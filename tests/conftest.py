@@ -1,0 +1,42 @@
+"""Test config: force CPU backend with 8 virtual devices so mesh/sharding
+tests run without TPU hardware (SURVEY.md §4 test plan)."""
+import os
+
+# Force CPU: the image's sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon (TPU tunnel), so env vars alone are read too early —
+# update the live jax config before any backend initialises.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="session")
+def tiny_imagefolder(tmp_path_factory):
+    """Synthetic <root>/{train,test}/<class>/*.png tree, 4 weather classes."""
+    root = tmp_path_factory.mktemp("weather")
+    rng = np.random.RandomState(0)
+    classes = ["fog", "rain", "snow", "sun"]
+    for split, n in (("train", 6), ("test", 3)):
+        for ci, cls in enumerate(classes):
+            d = root / split / cls
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                # class-dependent mean so a model can actually learn
+                base = np.full((48, 64, 3), 40 + 50 * ci, dtype=np.float32)
+                img = np.clip(base + rng.randn(48, 64, 3) * 20, 0, 255).astype(np.uint8)
+                Image.fromarray(img).save(d / f"img_{i:03d}.png")
+    return root
