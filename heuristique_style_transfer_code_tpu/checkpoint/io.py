@@ -1,0 +1,87 @@
+"""Native checkpoint IO: flat-key .npz pytrees + hyperparameter JSON sidecar.
+
+Mirrors the reference's artifact conventions
+(functions/functions_RESNET50_Truncate.py:129-141): a weights file plus
+``<name>_hyperparameters.json`` next to it.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+_SEP = "/"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}{i}{_SEP}"))
+    elif tree is None:
+        flat[prefix[: -len(_SEP)] + ".__none__"] = np.zeros(0)
+    else:
+        flat[prefix[: -len(_SEP)]] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        if key.endswith(".__none__"):
+            parts = key[: -len(".__none__")].split(_SEP)
+            val = None
+        else:
+            parts = key.split(_SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: listify(v) for k, v in node.items()}
+        if out and all(k.isdigit() for k in out):
+            return [out[str(i)] for i in range(len(out))]
+        return out
+
+    return listify(root)
+
+
+def save_pytree_npz(tree: Any, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = {k: np.asarray(v) for k, v in _flatten(tree).items()}
+    np.savez(path, **flat)
+
+
+def load_pytree_npz(path: str, as_jax: bool = True) -> Any:
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    tree = _unflatten(flat)
+    if as_jax:
+        import jax.numpy as jnp
+
+        tree = jax.tree_util.tree_map(lambda x: jnp.asarray(x) if x is not None else None, tree)
+    return tree
+
+
+def save_model_and_hyperparameters(tree: Any, hyperparameters: dict, save_dir: str, filename: str):
+    """Reference-compatible artifact pair: <name>.npz + <name>_hyperparameters.json."""
+    os.makedirs(save_dir, exist_ok=True)
+    model_path = os.path.join(save_dir, f"{filename}.npz")
+    save_pytree_npz(tree, model_path)
+    with open(os.path.join(save_dir, f"{filename}_hyperparameters.json"), "w") as f:
+        json.dump(hyperparameters, f, indent=4)
+    return model_path
+
+
+def load_hyperparameters(config_path: str) -> dict:
+    with open(config_path, "r") as f:
+        return json.load(f)

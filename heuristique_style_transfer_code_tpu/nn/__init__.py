@@ -1,0 +1,15 @@
+from .resnet import (
+    resnet50_init,
+    resnet50_apply,
+    resnet50_stem,
+    resnet50_stage_channels,
+    truncated_feature_channels,
+    RESNET50_CHILDREN,
+)
+from .patch_discriminator import (
+    discriminator_layer_plan,
+    patch_discriminator_init,
+    patch_discriminator_apply,
+    patch_discriminator_test_init,
+    patch_discriminator_test_apply,
+)
