@@ -1,0 +1,234 @@
+"""On-device data augmentation: the reference's transform-combination product
+(functions/functions_RESNET50_Truncate.py:157-173 + AugmentedDataset :28-59),
+re-designed to run *inside the jitted train step*.
+
+Reference semantics: the user selects geometric and color transforms; every
+(geom x color) pair composed with the base transform becomes one "combo", and
+the dataset is expanded |samples| x |combos| with idx -> divmod. Each combo's
+random parameters (rotation angle, jitter factor, ...) are re-drawn per
+sample, exactly like torchvision's Random* transforms.
+
+Here every sample carries a static ``combo_id``; the jitted augment fn
+dispatches with a vmapped ``lax.switch`` over the (few) combos, draws the
+random parameters from a per-sample PRNG key, and emits the final
+normalised 224x224 crop. All transforms are shape-preserving on the staged
+256x256 canvas, so one XLA program covers the whole product.
+
+Transform inventory mirrors train_best_RESNET50_Truncate.py:72-88:
+  color:  brightness(0.5), contrast(0.5), saturation(0.5), hue(0.1),
+          grayscale(p=1)
+  geom:   horizontal_flip, vertical_flip, rotation(15deg),
+          affine(15deg, translate .1, scale .9-1.1), resized_crop(224, .8-1)
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import center_crop, normalize_imagenet, resize_image
+
+AVAILABLE_COLOR_TRANSFORMS = ("brightness", "contrast", "saturation", "hue", "grayscale")
+AVAILABLE_GEOM_TRANSFORMS = (
+    "horizontal_flip",
+    "vertical_flip",
+    "rotation",
+    "affine",
+    "resized_crop",
+)
+
+_LUMA = jnp.array([0.299, 0.587, 0.114])
+
+
+# ------------------------------------------------------------ color transforms
+# All operate on float [0,1] HWC images, torchvision functional semantics.
+
+
+def _blend(a, b, factor):
+    return jnp.clip(a * factor + b * (1.0 - factor), 0.0, 1.0)
+
+
+def brightness(img, key):
+    f = jax.random.uniform(key, (), minval=0.5, maxval=1.5)
+    return jnp.clip(img * f, 0.0, 1.0)
+
+
+def contrast(img, key):
+    f = jax.random.uniform(key, (), minval=0.5, maxval=1.5)
+    mean = jnp.mean(img @ _LUMA)
+    return _blend(img, mean, f)
+
+
+def saturation(img, key):
+    f = jax.random.uniform(key, (), minval=0.5, maxval=1.5)
+    gray = (img @ _LUMA)[..., None]
+    return _blend(img, gray, f)
+
+
+def hue(img, key):
+    """Hue shift in +-0.1 turns via YIQ chroma rotation (differentiable,
+    vectorised equivalent of the HSV roundtrip)."""
+    h = jax.random.uniform(key, (), minval=-0.1, maxval=0.1)
+    theta = 2.0 * jnp.pi * h
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # RGB -> YIQ
+    m = jnp.array(
+        [[0.299, 0.587, 0.114], [0.5959, -0.2746, -0.3213], [0.2115, -0.5227, 0.3112]]
+    )
+    yiq = img @ m.T
+    rot = jnp.array([[1.0, 0, 0], [0, cos, -sin], [0, sin, cos]])
+    yiq = yiq @ rot.T
+    m_inv = jnp.array([[1.0, 0.956, 0.619], [1.0, -0.272, -0.647], [1.0, -1.106, 1.703]])
+    return jnp.clip(yiq @ m_inv.T, 0.0, 1.0)
+
+
+def grayscale(img, key):
+    del key
+    g = (img @ _LUMA)[..., None]
+    return jnp.broadcast_to(g, img.shape)
+
+
+# -------------------------------------------------------- geometric transforms
+
+
+def horizontal_flip(img, key):
+    del key
+    return img[:, ::-1, :]
+
+
+def vertical_flip(img, key):
+    del key
+    return img[::-1, :, :]
+
+
+def _affine_warp(img, matrix, offset):
+    """Inverse-map bilinear warp of an HWC image (constant 0 padding)."""
+    h, w, _ = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    src_y = matrix[0, 0] * yy + matrix[0, 1] * xx + offset[0]
+    src_x = matrix[1, 0] * yy + matrix[1, 1] * xx + offset[1]
+    coords = jnp.stack([src_y, src_x])
+
+    def warp_channel(c):
+        return jax.scipy.ndimage.map_coordinates(c, coords, order=1, mode="constant")
+
+    return jnp.stack([warp_channel(img[..., c]) for c in range(img.shape[-1])], axis=-1)
+
+
+def _rotation_matrix(angle_rad, h, w, scale=1.0, translate=(0.0, 0.0)):
+    """Inverse affine about the image center (torchvision convention)."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(angle_rad) / scale, jnp.sin(angle_rad) / scale
+    m = jnp.array([[cos, sin], [-sin, cos]])
+    ty, tx = translate
+    center = jnp.array([cy, cx])
+    offset = center - m @ (center + jnp.array([ty, tx]))
+    return m, offset
+
+
+def rotation(img, key):
+    deg = jax.random.uniform(key, (), minval=-15.0, maxval=15.0)
+    m, off = _rotation_matrix(jnp.deg2rad(deg), img.shape[0], img.shape[1])
+    return _affine_warp(img, m, off)
+
+
+def affine(img, key):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    deg = jax.random.uniform(k1, (), minval=-15.0, maxval=15.0)
+    scale = jax.random.uniform(k2, (), minval=0.9, maxval=1.1)
+    h, w = img.shape[0], img.shape[1]
+    ty = jax.random.uniform(k3, (), minval=-0.1, maxval=0.1) * h
+    tx = jax.random.uniform(k4, (), minval=-0.1, maxval=0.1) * w
+    m, off = _rotation_matrix(jnp.deg2rad(deg), h, w, scale, (ty, tx))
+    return _affine_warp(img, m, off)
+
+
+def resized_crop(img, key):
+    """RandomResizedCrop(scale=(0.8, 1.0), ratio=(3/4, 4/3)) onto the same
+    canvas; the final 224 center-crop happens downstream."""
+    h, w = img.shape[0], img.shape[1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = jax.random.uniform(k1, (), minval=0.8, maxval=1.0) * h * w
+    log_ratio = jax.random.uniform(
+        k2, (), minval=jnp.log(3.0 / 4.0), maxval=jnp.log(4.0 / 3.0)
+    )
+    ratio = jnp.exp(log_ratio)
+    ch = jnp.clip(jnp.sqrt(area / ratio), 8.0, h)
+    cw = jnp.clip(jnp.sqrt(area * ratio), 8.0, w)
+    top = jax.random.uniform(k3, (), minval=0.0, maxval=1.0) * (h - ch)
+    left = jax.random.uniform(k4, (), minval=0.0, maxval=1.0) * (w - cw)
+    # inverse map: out pixel (y, x) -> crop box
+    m = jnp.array([[ch / h, 0.0], [0.0, cw / w]])
+    off = jnp.array([top, left])
+    return _affine_warp(img, m, off)
+
+
+_TRANSFORMS = {
+    "brightness": brightness,
+    "contrast": contrast,
+    "saturation": saturation,
+    "hue": hue,
+    "grayscale": grayscale,
+    "horizontal_flip": horizontal_flip,
+    "vertical_flip": vertical_flip,
+    "rotation": rotation,
+    "affine": affine,
+    "resized_crop": resized_crop,
+}
+
+
+def generate_transform_combinations(
+    geom_names: Sequence[Optional[str]], color_names: Sequence[Optional[str]]
+) -> List[Tuple[Optional[str], Optional[str]]]:
+    """Cartesian product (geom x color), None = identity — the reference's
+    combination builder (functions_RESNET50_Truncate.py:157-173)."""
+    geoms = list(geom_names) or [None]
+    colors = list(color_names) or [None]
+    return [(g, c) for g in geoms for c in colors]
+
+
+def make_augment_fn(
+    combos: Sequence[Tuple[Optional[str], Optional[str]]],
+    crop: int = 224,
+) -> Callable:
+    """Build a jittable fn (images_u8 (B,S,S,3), combo_ids (B,), key) ->
+    normalised float32 (B, crop, crop, 3). Dispatch over combos is a vmapped
+    lax.switch — every branch is compiled once into the same program."""
+    combos = list(combos)
+
+    def make_branch(geom, color):
+        def branch(img, key):
+            kg, kc = jax.random.split(key)
+            if geom is not None:
+                img = _TRANSFORMS[geom](img, kg)
+            if color is not None:
+                img = _TRANSFORMS[color](img, kc)
+            return img
+
+        return branch
+
+    branches = [make_branch(g, c) for g, c in combos]
+
+    def augment_one(img_u8, combo_id, key):
+        img = img_u8.astype(jnp.float32) / 255.0
+        if len(branches) == 1:
+            img = branches[0](img, key)
+        else:
+            img = jax.lax.switch(combo_id, branches, img, key)
+        img = center_crop(img, crop)
+        return normalize_imagenet(img)
+
+    def augment(images_u8, combo_ids, key):
+        keys = jax.random.split(key, images_u8.shape[0])
+        return jax.vmap(augment_one)(images_u8, combo_ids, keys)
+
+    return augment
+
+
+def eval_preprocess(images_u8: jax.Array, crop: int = 224) -> jax.Array:
+    """Deterministic eval path: staged uint8 -> center crop -> normalise."""
+    img = images_u8.astype(jnp.float32) / 255.0
+    img = center_crop(img, crop)
+    return normalize_imagenet(img)

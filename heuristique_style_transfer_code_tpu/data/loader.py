@@ -1,0 +1,138 @@
+"""Host-side image loading, staged for on-device preprocessing.
+
+Design (TPU-first): the host only decodes and aspect-resizes each image to a
+fixed ``STAGING_SIZE`` uint8 canvas (PIL bilinear shorter-side resize +
+center crop — the deterministic prefix of the canonical transform). The
+variable part of preprocessing (augmentation, final 224 crop, /255,
+ImageNet normalisation) runs *inside the jitted step* on device, fused with
+the forward pass — replacing the reference's per-sample host transform chain
+and ``DataLoader(num_workers=4)`` (train_best_RESNET50_Truncate.py:175-176)
+with a thread-pool prefetcher feeding fixed-shape device batches.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+STAGING_SIZE = 256  # shorter-side resize target AND staged canvas size
+
+
+def load_image_staged(path: str, staging: int = STAGING_SIZE) -> np.ndarray:
+    """Decode -> PIL bilinear resize (shorter side = staging) -> center crop
+    (staging, staging) -> uint8 HWC."""
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        if h <= w:
+            th, tw = staging, max(1, round(w * staging / h))
+        else:
+            th, tw = max(1, round(h * staging / w)), staging
+        im = im.resize((tw, th), Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.uint8)
+    top = int(round((th - staging) / 2.0)) if th > staging else 0
+    left = int(round((tw - staging) / 2.0)) if tw > staging else 0
+    return arr[top : top + staging, left : left + staging]
+
+
+class HostLoader:
+    """Threaded prefetching batch loader over (path, label[, combo]) tuples.
+
+    Yields (images_u8 (B, S, S, 3), labels (B,), combo_ids (B,), indices).
+    The final short batch is padded to ``batch_size`` (pad entries repeat the
+    last sample and are flagged with label -1 in ``pad_mask``) so every device
+    step sees one static shape — no recompiles.
+    """
+
+    def __init__(
+        self,
+        samples: Sequence[Tuple[str, int]],
+        batch_size: int,
+        combo_ids: Optional[Sequence[int]] = None,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 8,
+        staging: int = STAGING_SIZE,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.samples = list(samples)
+        self.combo_ids = list(combo_ids) if combo_ids is not None else [0] * len(self.samples)
+        assert len(self.combo_ids) == len(self.samples)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.staging = staging
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.samples)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.samples))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._order()
+        self._epoch += 1
+        bs = self.batch_size
+        batches: List[np.ndarray] = [
+            order[i : i + bs] for i in range(0, len(order), bs)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < bs:
+            batches.pop()
+
+        # two pools: decode workers + batch assemblers (separate pools so an
+        # assembler waiting on decodes can never starve the decode pool)
+        decode_pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        batch_pool = cf.ThreadPoolExecutor(max_workers=max(1, self.prefetch))
+
+        def make_batch(idxs: np.ndarray) -> dict:
+            n = len(idxs)
+            imgs = np.empty((bs, self.staging, self.staging, 3), dtype=np.uint8)
+            decoded = list(
+                decode_pool.map(
+                    lambda i: load_image_staged(self.samples[i][0], self.staging), idxs
+                )
+            )
+            for j, arr in enumerate(decoded):
+                imgs[j] = arr
+            labels = np.full((bs,), -1, dtype=np.int32)
+            combos = np.zeros((bs,), dtype=np.int32)
+            for j, i in enumerate(idxs):
+                labels[j] = self.samples[i][1]
+                combos[j] = self.combo_ids[i]
+            if n < bs:  # pad with the last real sample
+                imgs[n:] = imgs[n - 1]
+                combos[n:] = combos[n - 1]
+            return {
+                "image": imgs,
+                "label": labels,
+                "combo": combos,
+                "indices": np.asarray(idxs),
+                "n_valid": n,
+            }
+
+        pending = []
+        try:
+            for idxs in batches:
+                pending.append(batch_pool.submit(make_batch, idxs))
+                if len(pending) >= self.prefetch:
+                    yield pending.pop(0).result()
+            while pending:
+                yield pending.pop(0).result()
+        finally:
+            batch_pool.shutdown(wait=False)
+            decode_pool.shutdown(wait=False)

@@ -77,9 +77,11 @@ def max_pool2d(
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(
-        x.dtype, jnp.floating
-    ) else jnp.iinfo(x.dtype).min
+    # init must be a Python literal so XLA pattern-matches the max-pool
+    # (select-and-scatter) for reverse-mode autodiff
+    neg_inf = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(
+        jnp.iinfo(x.dtype).min
+    )
     return lax.reduce_window(
         x,
         neg_inf,

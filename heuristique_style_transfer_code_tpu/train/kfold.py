@@ -1,0 +1,176 @@
+"""K-fold cross-validation driver with the reference's artifact surface
+(train_best_RESNET50_Truncate.py:146-258):
+
+- sklearn KFold(shuffle=True, random_state=seed) over the train ImageFolder
+- per fold: fresh init (+ optional pretrained load), train, eval
+- artifacts: fold_<k>_performance.json, best_model_fold_<k>.npz (improving
+  across reruns via best_model_results.json), best_global_model.npz by
+  val_loss, training_info.json with per-fold and averaged metrics
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..checkpoint.io import save_model_and_hyperparameters
+from ..data.imagefolder import ImageFolderIndex
+from ..data.loader import HostLoader
+from .train_loop import evaluate, train_epochs
+
+
+def load_training_info(save_dir: str, filename: str):
+    path = os.path.join(save_dir, filename)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def save_training_info(info, save_dir: str, filename: str):
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, filename)
+    with open(path, "w") as f:
+        json.dump(info, f, indent=4)
+    print(f"Training information saved to {path}")
+
+
+def run_kfold(
+    dataset: ImageFolderIndex,
+    *,
+    k_folds: int,
+    seed: int,
+    epochs: int,
+    batch_size: int,
+    save_dir: str,
+    hyperparameters: dict,
+    init_fn: Callable[[jax.Array, int], tuple],
+    # init_fn(key, fold) -> (variables, opt_state, train_step, eval_step)
+    combos_per_sample: int = 1,
+    combo_of: Optional[Callable[[int], int]] = None,
+    key: Optional[jax.Array] = None,
+    writer=None,
+    num_workers: int = 8,
+    verbose_batches: bool = True,
+    save_fn: Optional[Callable] = None,
+) -> Dict:
+    """Runs the full CV protocol; returns training_info dict."""
+    from sklearn.model_selection import KFold
+
+    os.makedirs(save_dir, exist_ok=True)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+
+    kf = KFold(n_splits=k_folds, shuffle=True, random_state=seed)
+    num_classes = len(dataset.classes)
+
+    fold_results = []
+    best_model_results = load_training_info(save_dir, "best_model_results.json") or []
+    best_performance = float("inf")
+    best_global_path = None
+
+    training_info = load_training_info(save_dir, "training_info.json") or {
+        "num_classes": num_classes,
+        "class_names": dataset.classes,
+        "num_samples_per_class": dataset.samples_per_class(),
+        "total_num_samples": len(dataset),
+        "num_epochs": epochs,
+        "num_folds": k_folds,
+        "fold_results": [],
+    }
+
+    if save_fn is None:
+        save_fn = save_model_and_hyperparameters
+
+    for fold, (train_idx, val_idx) in enumerate(kf.split(np.arange(len(dataset)))):
+        print(f"FOLD {fold}")
+        # augmentation product expansion: each train sample x each combo
+        train_samples, combo_ids = [], []
+        for i in train_idx:
+            for c in range(combos_per_sample):
+                train_samples.append(dataset.samples[i])
+                combo_ids.append(combo_of(c) if combo_of else c)
+        train_loader = HostLoader(
+            train_samples,
+            batch_size,
+            combo_ids=combo_ids,
+            shuffle=True,
+            seed=seed + fold,
+            num_workers=num_workers,
+        )
+        val_loader = HostLoader(
+            [dataset.samples[i] for i in val_idx],
+            batch_size,
+            shuffle=False,
+            num_workers=num_workers,
+        )
+
+        key, init_key, train_key = jax.random.split(key, 3)
+        variables, opt_state, train_step, eval_step = init_fn(init_key, fold)
+
+        variables, opt_state = train_epochs(
+            train_step,
+            variables,
+            opt_state,
+            train_loader,
+            epochs,
+            train_key,
+            fold=fold,
+            writer=writer,
+            verbose_batches=verbose_batches,
+        )
+        result = evaluate(
+            eval_step, variables, val_loader, num_classes, fold=fold, writer=writer
+        )
+        fold_results.append(result)
+        fold_result = {"fold": fold, **result}
+        training_info["fold_results"].append(fold_result)
+
+        fold_perf_path = os.path.join(save_dir, f"fold_{fold}_performance.json")
+        with open(fold_perf_path, "w") as f:
+            json.dump(fold_result, f, indent=4)
+        print(f"Fold {fold} performance saved to {fold_perf_path}")
+
+        if result["val_loss"] < best_performance:
+            best_performance = result["val_loss"]
+            best_global_path = os.path.join(save_dir, "best_global_model.npz")
+            save_fn(variables, hyperparameters, save_dir, "best_global_model")
+
+        prev = next((m for m in best_model_results if m["fold"] == fold), None)
+        if prev is None or result["val_loss"] < prev["val_loss"]:
+            model_path = save_fn(
+                variables, hyperparameters, save_dir, f"best_model_fold_{fold}"
+            )
+            best_model_results = [m for m in best_model_results if m["fold"] != fold]
+            best_model_results.append(
+                {"fold": fold, "model_path": model_path, **result}
+            )
+
+    keys = ("val_loss", "val_accuracy", "val_precision", "val_recall", "val_f1")
+    avg = {f"avg_{k.replace('val_', '') if k != 'val_loss' else 'val_loss'}":
+           float(np.mean([r[k] for r in fold_results])) for k in keys}
+    training_info["average_results"] = {
+        "avg_val_loss": avg["avg_val_loss"],
+        "avg_accuracy": avg["avg_accuracy"],
+        "avg_precision": avg["avg_precision"],
+        "avg_recall": avg["avg_recall"],
+        "avg_f1": avg["avg_f1"],
+    }
+    print(
+        "Average Validation Loss: {:.4f}, Accuracy: {:.4f}, Precision: {:.4f}, "
+        "Recall: {:.4f}, F1 Score: {:.4f}".format(
+            avg["avg_val_loss"], avg["avg_accuracy"], avg["avg_precision"],
+            avg["avg_recall"], avg["avg_f1"],
+        )
+    )
+    save_training_info(training_info, save_dir, "training_info.json")
+    save_training_info(best_model_results, save_dir, "best_model_results.json")
+    if best_global_path:
+        print(
+            f"Best global model saved at {best_global_path} "
+            f"with validation loss: {best_performance:.4f}"
+        )
+    return training_info

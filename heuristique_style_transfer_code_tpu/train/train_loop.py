@@ -1,0 +1,195 @@
+"""Jitted train/eval steps + epoch loops (the engine collapsing the
+reference's three copy-paste train/eval verticals, SURVEY.md §2.2 E1/E2).
+
+TPU design:
+- One compiled ``train_step``: on-device augmentation -> forward -> CE loss ->
+  grads -> SGD update -> BN running-stat merge, with donated carry
+  (variables, opt_state) so XLA updates parameters in place in HBM.
+- Batches are fixed-shape (HostLoader pads); pad entries carry label -1 and
+  are masked out of the loss/metrics, so there is exactly one compilation.
+- Data parallelism: pass a ``Mesh`` — inputs get sharded along the batch axis,
+  variables replicated; XLA inserts the gradient all-reduce over ICI.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.augment import eval_preprocess
+from .optim import BN_STAT_KEYS, _leaf_name
+
+
+def _merge_bn_stats(variables, new_variables):
+    """Copy mean/var leaves from the forward's updated tree, keep the
+    optimiser-updated values for everything else."""
+
+    def pick(path, old_leaf, new_leaf):
+        return new_leaf if _leaf_name(path) in BN_STAT_KEYS else old_leaf
+
+    return jax.tree_util.tree_map_with_path(pick, variables, new_variables)
+
+
+def masked_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean CE over entries with label >= 0 (pad entries are -1)."""
+    valid = (labels >= 0).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    ll = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def make_train_step(
+    forward_train: Callable,
+    optimizer: optax.GradientTransformation,
+    augment_fn: Callable,
+    mesh: Optional[Mesh] = None,
+):
+    """forward_train(variables, images) -> (logits, new_variables).
+
+    Returns jitted step(variables, opt_state, images_u8, labels, combos, key)
+    -> (variables, opt_state, loss).
+    """
+
+    def step(variables, opt_state, images_u8, labels, combos, key):
+        images = augment_fn(images_u8, combos, key)
+
+        def loss_fn(v):
+            logits, new_v = forward_train(v, images)
+            return masked_cross_entropy(logits, labels), new_v
+
+        (loss, new_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state = optimizer.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        if new_v is not None:
+            variables = _merge_bn_stats(variables, new_v)
+        return variables, opt_state, loss
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, data, data, data, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_eval_step(
+    forward_eval: Callable,
+    mesh: Optional[Mesh] = None,
+    crop: int = 224,
+):
+    """forward_eval(variables, images) -> logits. Returns jitted
+    step(variables, images_u8, labels) -> (per_example_loss, probs, preds)."""
+
+    def step(variables, images_u8, labels):
+        images = eval_preprocess(images_u8, crop)
+        logits = forward_eval(variables, images)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+        loss = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+        probs = jnp.exp(logp)
+        preds = jnp.argmax(logits, axis=-1)
+        return loss, probs, preds
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(repl, data, data),
+            out_shardings=(data, data, data),
+        )
+    return jax.jit(step)
+
+
+def train_epochs(
+    train_step,
+    variables,
+    opt_state,
+    loader,
+    num_epochs: int,
+    key: jax.Array,
+    fold: int = 0,
+    log_fn: Callable[[str], None] = print,
+    writer=None,
+    verbose_batches: bool = True,
+):
+    """Reference train loop semantics (functions_RESNET50_Truncate.py:63-87):
+    per-batch loss prints, per-epoch mean loss (+ optional TB scalar)."""
+    n_batches = len(loader)
+    for epoch in range(num_epochs):
+        running, seen = 0.0, 0
+        for batch_idx, batch in enumerate(loader):
+            key, sub = jax.random.split(key)
+            variables, opt_state, loss = train_step(
+                variables,
+                opt_state,
+                batch["image"],
+                batch["label"],
+                batch["combo"],
+                sub,
+            )
+            n = batch["n_valid"]
+            loss_f = float(loss)
+            running += loss_f * n
+            seen += n
+            if verbose_batches:
+                log_fn(
+                    f"Fold {fold}, Epoch [{epoch + 1}/{num_epochs}], "
+                    f"Batch [{batch_idx + 1}/{n_batches}], Loss: {loss_f:.4f}"
+                )
+        epoch_loss = running / max(seen, 1)
+        log_fn(f"Fold {fold}, Epoch [{epoch + 1}/{num_epochs}], Loss: {epoch_loss:.4f}")
+        if writer is not None:
+            writer.add_scalar(f"Fold_{fold}/Train/Loss", epoch_loss, epoch)
+    return variables, opt_state
+
+
+def evaluate(
+    eval_step,
+    variables,
+    loader,
+    num_classes: int,
+    fold: int = 0,
+    log_fn: Callable[[str], None] = print,
+    writer=None,
+) -> Dict[str, float]:
+    """Reference eval loop semantics (functions_RESNET50_Truncate.py:89-122)."""
+    from ..metrics.classification import classification_metrics
+
+    losses, all_preds, all_labels = [], [], []
+    for batch in loader:
+        loss, probs, preds = eval_step(variables, batch["image"], batch["label"])
+        n = batch["n_valid"]
+        losses.append(np.asarray(loss)[:n])
+        all_preds.append(np.asarray(preds)[:n])
+        all_labels.append(batch["label"][:n])
+    losses = np.concatenate(losses)
+    preds = np.concatenate(all_preds)
+    labels = np.concatenate(all_labels)
+    m = classification_metrics(labels, preds, num_classes)
+    out = {
+        "val_loss": float(losses.mean()),
+        "val_accuracy": float((preds == labels).mean()),
+        "val_precision": float(m["precision"]),
+        "val_recall": float(m["recall"]),
+        "val_f1": float(m["f1"]),
+    }
+    log_fn(
+        f"Fold {fold}, Validation Loss: {out['val_loss']:.4f}, "
+        f"Accuracy: {out['val_accuracy']:.4f}, Precision: {out['val_precision']:.4f}, "
+        f"Recall: {out['val_recall']:.4f}, F1 Score: {out['val_f1']:.4f}"
+    )
+    if writer is not None:
+        writer.add_scalar(f"Fold_{fold}/Validation/Loss", out["val_loss"])
+        writer.add_scalar(f"Fold_{fold}/Validation/Accuracy", out["val_accuracy"])
+    return out
