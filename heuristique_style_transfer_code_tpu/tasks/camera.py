@@ -1,0 +1,217 @@
+"""Realtime camera/video inference (reference
+functions/functions_RESNET50_Truncate.py:228-379).
+
+TPU-first pipeline: the *whole* per-frame compute — uint8 frame -> PIL-parity
+matrix resize (shorter side 256) -> center crop 224 -> /255 -> ImageNet
+normalise -> model forward -> softmax — is ONE jitted function specialised on
+the fixed camera frame shape. The host only grabs frames and draws overlays;
+there is exactly one small H2D transfer (the raw uint8 frame) per step. This
+is the benchmark surface for the >=10x-vs-reference-CPU target
+(BASELINE.json).
+
+Host UX preserved from the reference: fullscreen letterboxing with
+screeninfo (optional), click-to-toggle fullscreen, XVID recording, 'q' to
+quit, times_camera.json with --measure_time, camera enumeration. The
+--kalman_filter flag applies a *working* constant-state Kalman smoother over
+the probability vector (the reference initialises pykalman but never updates
+it — SURVEY.md §2.5, not reproduced).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import center_crop, normalize_imagenet, resize_shorter_side
+
+
+def make_camera_infer_fn(forward_eval: Callable, frame_shape: Tuple[int, int]):
+    """Returns jitted fn(variables, frame_u8 (H,W,3)) -> probs (C,).
+    Compiled once per camera resolution."""
+
+    @jax.jit
+    def infer(variables, frame_u8):
+        x = frame_u8.astype(jnp.float32) / 255.0
+        x = resize_shorter_side(x, 256)
+        x = center_crop(x, 224)
+        x = normalize_imagenet(x)[None]  # (1,224,224,3)
+        logits = forward_eval(variables, x)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
+
+    return infer
+
+
+class KalmanSmoother:
+    """Scalar-per-class constant-state Kalman filter over the probability
+    vector: x_k = x_{k-1} + w, z_k = x_k + v."""
+
+    def __init__(self, n: int, process_var: float = 1e-3, obs_var: float = 1e-2):
+        self.x = np.full(n, 1.0 / n)
+        self.p = np.ones(n)
+        self.q = process_var
+        self.r = obs_var
+
+    def update(self, z: np.ndarray) -> np.ndarray:
+        p_pred = self.p + self.q
+        k = p_pred / (p_pred + self.r)
+        self.x = self.x + k * (np.asarray(z) - self.x)
+        self.p = (1.0 - k) * p_pred
+        s = self.x.sum()
+        return self.x / s if s > 0 else self.x
+
+
+def list_available_cameras(max_cameras: int = 5) -> List[int]:
+    import cv2
+
+    available = []
+    for index in range(max_cameras):
+        cap = cv2.VideoCapture(index)
+        if cap.read()[0]:
+            available.append(index)
+            cap.release()
+    return available
+
+
+def run_camera(
+    forward_eval: Callable,
+    variables,
+    class_names: List[str],
+    *,
+    save_video: bool = False,
+    save_dir: str = "results",
+    prob_threshold: float = 0.5,
+    measure_time: bool = False,
+    kalman_filter: bool = False,
+    camera_index=0,
+    max_frames: Optional[int] = None,
+    display: Optional[bool] = None,
+    log_fn=print,
+) -> dict:
+    """camera_index may be an int (device) or a path (video file). Returns a
+    summary dict; writes times_camera.json when measure_time."""
+    import cv2
+
+    cap = cv2.VideoCapture(camera_index)
+    if not cap.isOpened():
+        log_fn("Error: cannot open camera")
+        return {"frames": 0}
+
+    if display is None:
+        display = bool(os.environ.get("DISPLAY"))
+
+    screen_w, screen_h = 1920, 1080
+    if display:
+        try:
+            from screeninfo import get_monitors
+
+            screen = get_monitors()[0]
+            screen_w, screen_h = screen.width, screen.height
+        except Exception:
+            pass
+        log_fn(f"Selected resolution: {screen_w}x{screen_h}")
+        cv2.namedWindow("Camera", cv2.WND_PROP_FULLSCREEN)
+        cv2.setWindowProperty("Camera", cv2.WND_PROP_FULLSCREEN, cv2.WINDOW_FULLSCREEN)
+        state = {"fullscreen": True}
+
+        def on_mouse(event, x, y, flags, param):
+            if event == cv2.EVENT_LBUTTONDOWN:
+                state["fullscreen"] = not state["fullscreen"]
+                cv2.setWindowProperty(
+                    "Camera",
+                    cv2.WND_PROP_FULLSCREEN,
+                    cv2.WINDOW_FULLSCREEN if state["fullscreen"] else cv2.WINDOW_NORMAL,
+                )
+
+        cv2.setMouseCallback("Camera", on_mouse)
+
+    out = None
+    if save_video:
+        os.makedirs(save_dir, exist_ok=True)
+        fourcc = cv2.VideoWriter_fourcc(*"XVID")
+        out = cv2.VideoWriter(
+            os.path.join(save_dir, "camera_output.avi"), fourcc, 20.0,
+            (screen_w, screen_h),
+        )
+
+    infer = None
+    smoother = KalmanSmoother(len(class_names)) if kalman_filter else None
+    times: List[float] = []
+    frames = 0
+    last_label, last_prob = "?", 0.0
+
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            if frames == 0:
+                log_fn("Error: cannot read frame from camera")
+            break
+
+        start = time.perf_counter()
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if infer is None:
+            infer = make_camera_infer_fn(forward_eval, rgb.shape[:2])
+            # warm the compile outside the timed region (first frame only)
+            np.asarray(infer(variables, jnp.asarray(rgb)))
+            start = time.perf_counter()
+        probs = np.asarray(infer(variables, jnp.asarray(rgb)))
+        if smoother is not None:
+            probs = smoother.update(probs)
+        pred = int(np.argmax(probs))
+        prob = float(probs[pred])
+        label = "Unknown" if prob < prob_threshold else class_names[pred]
+        times.append(time.perf_counter() - start)
+        last_label, last_prob = label, prob
+        frames += 1
+
+        text = f"Label: {label}, Prob: {prob:.4f}"
+
+        if display or save_video:
+            fh, fw = frame.shape[:2]
+            frame_ar, screen_ar = fw / fh, screen_w / screen_h
+            if screen_ar > frame_ar:
+                nh, nw = screen_h, int(frame_ar * screen_h)
+            else:
+                nw, nh = screen_w, int(screen_w / frame_ar)
+            resized = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            canvas = np.zeros((screen_h, screen_w, 3), dtype=np.uint8)
+            xo, yo = (screen_w - nw) // 2, (screen_h - nh) // 2
+            canvas[yo : yo + nh, xo : xo + nw] = resized
+            cv2.putText(
+                canvas, text, (xo + 10, yo + 150), cv2.FONT_HERSHEY_SIMPLEX, 3.0,
+                (0, 255, 0), 13,
+            )
+            if display:
+                cv2.imshow("Camera", canvas)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+            if out is not None:
+                out.write(canvas)
+
+        if max_frames is not None and frames >= max_frames:
+            break
+
+    if measure_time and times:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "times_camera.json"), "w") as f:
+            json.dump(times, f, indent=4)
+        log_fn(f"Temps moyen de traitement par image: {np.mean(times)} secondes")
+        log_fn(f"Temps total de traitement: {np.sum(times)} secondes")
+
+    cap.release()
+    if out is not None:
+        out.release()
+    if display:
+        cv2.destroyAllWindows()
+    return {
+        "frames": frames,
+        "mean_latency_s": float(np.mean(times)) if times else None,
+        "p50_ms": float(np.percentile(times, 50) * 1e3) if times else None,
+        "fps": float(1.0 / np.mean(times)) if times else None,
+        "last_label": last_label,
+        "last_prob": last_prob,
+    }

@@ -1,0 +1,268 @@
+"""Tasks layer: style transfer loop, classification harness, gradcam,
+clustering, tsne artifacts, camera inference fn."""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderIndex
+from heuristique_style_transfer_code_tpu.data.loader import HostLoader
+
+
+@pytest.fixture(scope="module")
+def family1(tiny_imagefolder):
+    from heuristique_style_transfer_code_tpu.config.schema import TruncatedResNetConfig
+    from heuristique_style_transfer_code_tpu.train.factories import make_truncated_resnet50
+
+    cfg = TruncatedResNetConfig(batch_size=4, lr=0.01, truncate_layer=5, dim=16)
+    variables, _, _, _, forward_eval = make_truncated_resnet50(
+        jax.random.PRNGKey(0), cfg, 4, [(None, None)]
+    )
+    return cfg, variables, forward_eval
+
+
+class TestStyleTransferLoop:
+    def test_converges_on_quadratic_gram(self):
+        """The jitted while_loop must reduce the gram MSE and stop early
+        once below threshold."""
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            make_style_transfer_optimizer,
+        )
+        from heuristique_style_transfer_code_tpu.ops.gram import gram_matrix_nhwc
+
+        def gram_fn(imgs):  # identity "encoder": gram of the raw pixels
+            return [gram_matrix_nhwc(imgs)]
+
+        opt = make_style_transfer_optimizer(
+            gram_fn, learning_rate=0.05, num_iterations=300, threshold=1e-4
+        )
+        key = jax.random.PRNGKey(0)
+        target_img = jax.random.uniform(key, (2, 16, 16, 3))
+        targets = gram_fn(target_img)
+        noise0 = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        final, iters, per_loss = opt(noise0, targets)
+        start_loss = float(
+            jnp.mean(jnp.square(gram_fn(noise0)[0] - targets[0]))
+        )
+        assert float(per_loss.max()) < start_loss / 10
+        assert int(iters) <= 300
+
+    def test_early_stop_below_threshold(self):
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            make_style_transfer_optimizer,
+        )
+
+        def gram_fn(imgs):
+            return [jnp.mean(imgs, axis=(1, 2))]  # (B, C) trivial "gram"
+
+        opt = make_style_transfer_optimizer(
+            gram_fn, learning_rate=0.5, num_iterations=1000, threshold=1e-3
+        )
+        noise0 = jnp.ones((1, 8, 8, 3))
+        targets = [jnp.mean(noise0, axis=(1, 2)) + 0.01]
+        final, iters, per_loss = opt(noise0, targets)
+        assert int(iters) < 1000  # stopped early
+        assert float(per_loss[0]) < 1e-3
+
+    def test_gram_attention_style_transfer_artifacts(self, tiny_imagefolder, tmp_path, family1):
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            style_transfer_gram_attention,
+        )
+
+        variables = gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4)
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        loader = HostLoader(idx.samples[:2], batch_size=2)
+        saved = style_transfer_gram_attention(
+            variables,
+            loader,
+            str(tmp_path),
+            layers=5,
+            threshold=1e-3,
+            num_iterations=5,
+            learning_rate=0.05,
+            truncate_layer=5,
+        )
+        assert len(saved) == 2
+        for p in saved:
+            assert os.path.exists(p)
+            assert "style_transfer_" in p
+
+
+class TestClassificationHarness:
+    def test_artifacts_and_metrics(self, tiny_imagefolder, tmp_path, family1):
+        from heuristique_style_transfer_code_tpu.tasks.classification import (
+            run_classification_test,
+        )
+
+        cfg, variables, forward_eval = family1
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        loader = HostLoader(idx.samples, batch_size=4)
+        save_dir = str(tmp_path / "cls")
+        res = run_classification_test(
+            forward_eval,
+            variables,
+            loader,
+            idx.samples,
+            idx.classes,
+            save_dir,
+            prob_threshold=0.0,
+            measure_time=True,
+            compute_auc=True,
+        )
+        assert os.path.exists(os.path.join(save_dir, "metrics.txt"))
+        assert os.path.exists(os.path.join(save_dir, "confusion_matrix.png"))
+        assert os.path.exists(os.path.join(save_dir, "times_test.json"))
+        assert res["confusion_matrix"].sum() == len(idx)
+        assert 0 <= res["accuracy"] <= 100
+        if res["auc"] is not None:
+            assert 0 <= res["auc"] <= 1
+
+    def test_threshold_produces_unknown(self, tiny_imagefolder, tmp_path, family1):
+        from heuristique_style_transfer_code_tpu.tasks.classification import (
+            run_classification_test,
+        )
+
+        cfg, variables, forward_eval = family1
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        loader = HostLoader(idx.samples, batch_size=4)
+        res = run_classification_test(
+            forward_eval, variables, loader, idx.samples, idx.classes,
+            str(tmp_path / "cls2"), prob_threshold=1.01,
+        )
+        assert (res["preds"] == -1).all()  # everything Unknown
+        assert res["accuracy"] == 0.0
+
+
+class TestEmbeddingsAndTsne:
+    def test_embeddings_paths_order(self, tiny_imagefolder, family1):
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            truncated_moco_apply,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.embeddings import (
+            compute_embeddings_with_paths,
+        )
+
+        cfg, variables, _ = family1
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        loader = HostLoader(idx.samples, batch_size=5)
+
+        def embed(v, images):
+            emb, _ = truncated_moco_apply(v["moco"], images, cfg.truncate_layer)
+            return emb
+
+        emb, labels, paths = compute_embeddings_with_paths(
+            embed, variables, loader, idx.samples
+        )
+        assert emb.shape == (12, 16)
+        assert list(labels) == idx.labels
+        assert paths == idx.paths  # no Subset duplication bug
+
+    def test_static_tsne_plot(self, tmp_path):
+        from heuristique_style_transfer_code_tpu.tasks.tsne import perform_tsne
+
+        rng = np.random.RandomState(0)
+        emb = rng.randn(20, 8)
+        labels = np.repeat([0, 1, 2, 3], 5)
+        path = perform_tsne(emb, labels, ["fog", "rain", "snow", "sun"],
+                            results_dir=str(tmp_path))
+        assert os.path.exists(path)
+
+    def test_polygon_analysis_artifacts(self, tmp_path):
+        from heuristique_style_transfer_code_tpu.tasks.tsne import analyze_polygon_points
+
+        pts = np.array([[0.0, 0.0], [5.0, 5.0], [0.2, 0.2]])
+        polygon = [(-1, -1), (1, -1), (1, 1), (-1, 1)]
+        inside, outside = analyze_polygon_points(
+            pts, polygon, [0, 1, 0], ["a", "b"], ["p0", "p1", "p2"], str(tmp_path)
+        )
+        assert len(inside) == 2 and len(outside) == 1
+        with open(os.path.join(str(tmp_path), "inside_polygon.json")) as f:
+            data = json.load(f)
+        assert {d["path"] for d in data} == {"p0", "p2"}
+
+
+class TestClustering:
+    def test_grid_search_and_artifact(self, tmp_path):
+        from heuristique_style_transfer_code_tpu.tasks.clustering import run_clustering
+
+        rng = np.random.RandomState(0)
+        # two obvious blobs inside class 0
+        emb = np.concatenate([rng.randn(20, 4), rng.randn(20, 4) + 8.0])
+        labels = np.zeros(40, dtype=int)
+        paths = [f"img_{i}.png" for i in range(40)]
+        res = run_clustering(
+            emb, labels, paths, ["fog"], "fog",
+            min_cluster_sizes=[5], min_samples_list=[3],
+            save_dir=str(tmp_path), interactive=False,
+        )
+        assert res["num_clusters"] >= 2
+        assert os.path.exists(os.path.join(str(tmp_path), "fog_clustering_results.json"))
+
+
+class TestGradCAM:
+    def test_cam_shape_and_range(self, tiny_imagefolder, family1):
+        from heuristique_style_transfer_code_tpu.tasks.gradcam import gradcam_moco
+
+        cfg, variables, _ = family1
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        from heuristique_style_transfer_code_tpu.data.loader import load_image_staged
+
+        img = load_image_staged(idx.samples[0][0])[None]
+        cam = np.asarray(gradcam_moco(variables, img, [0], truncate=cfg.truncate_layer))
+        assert cam.shape == (1, 224, 224)
+        assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+
+    def test_overlay_file(self, tiny_imagefolder, tmp_path, family1):
+        from heuristique_style_transfer_code_tpu.tasks.gradcam import (
+            generate_heatmap_overlays,
+            gradcam_moco,
+        )
+        from heuristique_style_transfer_code_tpu.data.loader import load_image_staged
+
+        cfg, variables, _ = family1
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        img = load_image_staged(idx.samples[0][0])[None]
+        cam = np.asarray(gradcam_moco(variables, img, [1], truncate=cfg.truncate_layer))[0]
+        out = str(tmp_path / "cam.png")
+        combined = generate_heatmap_overlays(cam, idx.samples[0][0], out, colormap="jet")
+        assert os.path.exists(out)
+        assert combined.shape == (224, 224 * 3, 3)
+
+
+class TestCamera:
+    def test_infer_fn_and_video_source(self, tmp_path, family1):
+        import cv2
+
+        from heuristique_style_transfer_code_tpu.tasks.camera import (
+            make_camera_infer_fn,
+            run_camera,
+        )
+
+        cfg, variables, forward_eval = family1
+        # synthetic AVI as the "camera"
+        video_path = str(tmp_path / "in.avi")
+        w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            w.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+        w.release()
+
+        infer = make_camera_infer_fn(forward_eval, (48, 64))
+        frame = rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+        probs = np.asarray(infer(variables, jnp.asarray(frame)))
+        assert probs.shape == (4,) and abs(probs.sum() - 1.0) < 1e-5
+
+        summary = run_camera(
+            forward_eval, variables, ["fog", "rain", "snow", "sun"],
+            save_dir=str(tmp_path), measure_time=True, camera_index=video_path,
+            max_frames=5, display=False, kalman_filter=True,
+        )
+        assert summary["frames"] == 5
+        assert os.path.exists(os.path.join(str(tmp_path), "times_camera.json"))
+        assert summary["fps"] > 0
