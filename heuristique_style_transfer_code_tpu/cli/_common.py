@@ -1,0 +1,170 @@
+"""Shared CLI plumbing: seeding, class-name resolution, loaders, checkpoint
+loading (.npz native / .pth via the converter), TPU extras."""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+
+
+def _honor_jax_platforms_env():
+    """This image's sitecustomize registers the TPU backend at interpreter
+    start and pins the platform, which silently overrides JAX_PLATFORMS=cpu.
+    Re-apply the user's explicit choice before any backend initialises."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+_honor_jax_platforms_env()
+
+
+def add_tpu_args(parser: argparse.ArgumentParser):
+    parser.add_argument(
+        "--precision", choices=["float32", "bf16"], default="float32",
+        help="Compute precision policy (bf16 engages the MXU's native type)",
+    )
+    parser.add_argument(
+        "--devices", type=int, default=None,
+        help="Number of devices for the data-parallel mesh (default: all)",
+    )
+    parser.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="Write a jax.profiler trace of the run to this directory",
+    )
+
+
+def resolve_class_names(
+    args_classes: Optional[List[str]],
+    config: dict,
+    data_root: Optional[str],
+    split: str = "test",
+) -> List[str]:
+    """Reference resolution order: --classes > config['classes'] > dataset
+    dirs > default (test_RESNET50_Truncate.py:97-106)."""
+    if args_classes:
+        return list(args_classes)
+    if "classes" in config:
+        return list(config["classes"])
+    if data_root:
+        from ..data.imagefolder import ImageFolderIndex
+
+        return ImageFolderIndex(os.path.join(data_root, split)).classes
+    return ["fog", "rain", "snow", "sun"]
+
+
+def resolve_seed(config: dict, cli_seed: Optional[int]):
+    """config > CLI > random; write the choice back
+    (train_best_RESNET50_Truncate.py:58-70)."""
+    seed = config.get("seed", cli_seed)
+    if seed is None:
+        seed = random.randint(0, 1_000_000)
+        config["seed"] = seed
+    random.seed(seed)
+    np.random.seed(seed)
+    return seed
+
+
+def maybe_subset(samples, num_samples: Optional[int], seed: Optional[int] = None):
+    """--num_samples random subsetting (test_RESNET50_Truncate.py:125-129)."""
+    if num_samples is None or num_samples >= len(samples):
+        return samples
+    rng = random.Random(seed)
+    indices = list(range(len(samples)))
+    rng.shuffle(indices)
+    return [samples[i] for i in indices[:num_samples]]
+
+
+def load_checkpoint_tree(model_path: str, family: str, config: dict):
+    """Route .pth files through the converter, .npz through native IO."""
+    if model_path.endswith(".pth") or model_path.endswith(".pt"):
+        from ..checkpoint import pth_converter as pc
+
+        if family == "truncated_resnet50":
+            return pc.convert_moco_checkpoint(model_path)
+        if family == "gram_attention":
+            return pc.convert_gram_attention_checkpoint(model_path)
+        if family == "multi_patchgan":
+            return pc.convert_multi_patchgan_checkpoint(
+                model_path, config.get("patch_sizes", {}), ndf=config.get("ndf", 64),
+                norm=config.get("norm", "batch"),
+            )
+        if family == "multi_patchgan_test":
+            return pc.convert_multi_patchgan_test_checkpoint(
+                model_path, config.get("patch_sizes", {}), ndf=config.get("ndf", 64),
+                norm=config.get("norm", "batch"),
+            )
+        raise ValueError(family)
+    from ..checkpoint.io import load_pytree_npz
+
+    return load_pytree_npz(model_path)
+
+
+def count_params(tree) -> int:
+    import jax
+
+    return sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(tree)
+        if hasattr(x, "shape")
+    )
+
+
+def make_writer(enabled: bool, save_dir: str, sub: str = "tensorboard"):
+    if not enabled:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=os.path.join(save_dir, sub))
+    except Exception:
+        print("TensorBoard unavailable; continuing without it.")
+        return None
+
+
+def build_mesh(n_devices: Optional[int], batch_size: Optional[int] = None):
+    """Data-parallel mesh; the device count must divide the (padded) batch
+    size, so clamp to the largest divisor when needed."""
+    import jax
+
+    from ..core.mesh import create_mesh
+
+    avail = len(jax.devices())
+    n = min(n_devices or avail, avail)
+    if batch_size is not None:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+    return create_mesh(n)
+
+
+def select_augmentations(args):
+    """Reference augmentation selection (train_best_RESNET50_Truncate.py:72-123):
+    returns (geom_names, color_names) lists possibly containing None."""
+    from ..data.augment import AVAILABLE_COLOR_TRANSFORMS, AVAILABLE_GEOM_TRANSFORMS
+
+    color = [None]
+    geom = [None]
+    if getattr(args, "color_aug", False) and getattr(args, "num_color_transforms", 0) > 0:
+        n = min(args.num_color_transforms, len(AVAILABLE_COLOR_TRANSFORMS))
+        color = random.sample(list(AVAILABLE_COLOR_TRANSFORMS), n)
+    if getattr(args, "geom_aug", False):
+        if getattr(args, "geom_transforms", None):
+            geom = []
+            for t in args.geom_transforms:
+                if t in AVAILABLE_GEOM_TRANSFORMS:
+                    geom.append(t)
+                else:
+                    print(f"Warning: Geometric transform '{t}' is not recognized.")
+            geom = geom or [None]
+        elif getattr(args, "num_geom_transforms", 0) > 0:
+            n = min(args.num_geom_transforms, len(AVAILABLE_GEOM_TRANSFORMS))
+            geom = random.sample(list(AVAILABLE_GEOM_TRANSFORMS), n)
+    return geom, color

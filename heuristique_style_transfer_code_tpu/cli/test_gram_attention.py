@@ -1,0 +1,156 @@
+"""Evaluation CLI, family 2 — mode-compatible with the reference's
+test_RESNET50_Truncate_gram_attention.py: tsne / tsne_interactive /
+classification / camera / style_transfer."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from ..config.schema import GramAttentionConfig
+from ..data.imagefolder import ImageFolderIndex
+from ..data.loader import HostLoader
+from ..models.gram_attention import gram_attention_apply
+from ._common import (
+    add_tpu_args,
+    count_params,
+    load_checkpoint_tree,
+    maybe_subset,
+    resolve_class_names,
+)
+
+MODES = ["tsne", "tsne_interactive", "classification", "camera", "style_transfer"]
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Gram+attention weather classifier (TPU)")
+    parser.add_argument("--data", type=str, required=True)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--num_samples", type=int, default=None)
+    parser.add_argument("--mode", type=str, choices=MODES, default="classification")
+    parser.add_argument("--save_dir", type=str, required=True)
+    parser.add_argument("--colors", nargs="+")
+    parser.add_argument("--classes", nargs="+")
+    parser.add_argument("--save_camera_video", action="store_true")
+    parser.add_argument("--prob_threshold", default=0.5, type=float)
+    parser.add_argument("--measure_time", action="store_true")
+    parser.add_argument("--layers", type=int, default=4,
+                        help="Encoder child truncation for style transfer")
+    parser.add_argument("--threshold", default=1e-7, type=float)
+    parser.add_argument("--learning_rate", default=0.01, type=float)
+    parser.add_argument("--num_iterations", default=500, type=int)
+    parser.add_argument("--afficher_params", action="store_true")
+    parser.add_argument("--camera_index", type=str, default="0")
+    add_tpu_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    cfg = GramAttentionConfig.from_json(args.config_path)
+    config = cfg.to_dict()
+    idx = ImageFolderIndex(os.path.join(args.data, "test"))
+    num_classes = len(idx.classes)
+    truncate = cfg.truncate_layer
+    s = cfg.gram_matrix_size
+
+    variables = load_checkpoint_tree(args.model_path, "gram_attention", config)
+
+    if args.afficher_params:
+        total = count_params(variables)
+        print(
+            f"Nombre total de paramètres du modèle (TruncatedResNet50_for_test) : {total}"
+        )
+
+    samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
+    loader = HostLoader(samples, cfg.batch_size, shuffle=False)
+
+    def forward_eval(v, images):
+        _, logits, _ = gram_attention_apply(v, images, truncate, s, num_classes)
+        return logits
+
+    def embed_fn(v, images):
+        emb, _, _ = gram_attention_apply(v, images, truncate, s, num_classes)
+        return emb
+
+    if args.mode == "classification":
+        from sklearn.metrics import f1_score, precision_score, recall_score
+
+        from ..tasks.embeddings import compute_embeddings_with_paths
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from ..data.augment import eval_preprocess
+
+        @jax.jit
+        def step(v, images_u8):
+            images = eval_preprocess(images_u8)
+            emb, logits, _ = gram_attention_apply(v, images, truncate, s, num_classes)
+            return emb, jnp.argmax(logits, axis=-1)
+
+        preds, labels = [], []
+        for batch in loader:
+            _, p = step(variables, jnp.asarray(batch["image"]))
+            n = batch["n_valid"]
+            preds.extend(np.asarray(p)[:n].tolist())
+            labels.extend(batch["label"][:n].tolist())
+
+        results = {
+            "precision": precision_score(labels, preds, average="weighted", zero_division=0),
+            "recall": recall_score(labels, preds, average="weighted", zero_division=0),
+            "f1_score": f1_score(labels, preds, average="weighted", zero_division=0),
+        }
+        results_path = os.path.join(args.save_dir, "classification_results.json")
+        with open(results_path, "w") as f:
+            json.dump(results, f, indent=4)
+        print(f"Classification results saved to {results_path}")
+
+    elif args.mode in ("tsne", "tsne_interactive"):
+        from ..tasks.embeddings import compute_embeddings_with_paths
+
+        emb, labels, img_paths = compute_embeddings_with_paths(
+            embed_fn, variables, loader, samples
+        )
+        if args.mode == "tsne":
+            from ..tasks.tsne import perform_tsne
+
+            perform_tsne(emb, labels, idx.classes, args.colors, args.save_dir)
+        else:
+            from ..tasks.tsne import plot_tsne_interactive
+
+            plot_tsne_interactive(
+                emb, labels, idx.classes, img_paths, args.colors, save_dir=args.save_dir
+            )
+
+    elif args.mode == "camera":
+        from ..tasks.camera import run_camera
+
+        class_names = resolve_class_names(args.classes, config, args.data)
+        if args.classes is None:
+            raise ValueError(
+                "You must specify classes with the --classes option for camera mode."
+            )
+        cam_index = int(args.camera_index) if args.camera_index.isdigit() else args.camera_index
+        run_camera(
+            forward_eval, variables, class_names,
+            save_video=args.save_camera_video, save_dir=args.save_dir,
+            prob_threshold=args.prob_threshold, measure_time=args.measure_time,
+            camera_index=cam_index,
+        )
+
+    elif args.mode == "style_transfer":
+        from ..tasks.style_transfer import style_transfer_gram_attention
+
+        style_transfer_gram_attention(
+            variables, loader, args.save_dir,
+            layers=args.layers, threshold=args.threshold,
+            num_iterations=args.num_iterations, learning_rate=args.learning_rate,
+            truncate_layer=truncate,
+        )
+
+
+if __name__ == "__main__":
+    main()

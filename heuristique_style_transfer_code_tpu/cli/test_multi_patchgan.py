@@ -1,0 +1,185 @@
+"""Evaluation CLI, family 3 — mode-compatible with the reference's
+test_Multi_PatchGAN.py: tsne / tsne_interactive / camera / style_transfer /
+classification (+ --pooling_type)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from ..config.schema import MultiPatchGANConfig
+from ..data.imagefolder import ImageFolderIndex
+from ..data.loader import HostLoader
+from ..models.multi_patchgan import multiscale_test_apply
+from ._common import add_tpu_args, count_params, load_checkpoint_tree, maybe_subset
+
+MODES = ["tsne", "tsne_interactive", "camera", "style_transfer", "classification"]
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Multi-scale PatchGAN classifier (TPU)")
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--data", type=str, required=True)
+    parser.add_argument("--num_samples", default=None, type=int)
+    parser.add_argument("--save_dir", default="results", type=str)
+    parser.add_argument("--measure_time", action="store_true")
+    parser.add_argument("--mode", type=str, choices=MODES, default="classification")
+    parser.add_argument("--pooling_type", type=str, default="avg", choices=["avg", "max"])
+    parser.add_argument("--save_camera_video", action="store_true")
+    parser.add_argument("--prob_threshold", default=0.5, type=float)
+    parser.add_argument("--classes", nargs="+", default=None)
+    parser.add_argument("--colors", nargs="+")
+    parser.add_argument("--layers", type=int, default=None,
+                        help="(reference flag; its truncation path is broken upstream)")
+    parser.add_argument("--threshold", default=1e-4, type=float)
+    parser.add_argument("--learning_rate", default=0.01, type=float)
+    parser.add_argument("--num_iterations", default=500, type=int)
+    parser.add_argument("--afficher_params", action="store_true")
+    parser.add_argument("--camera_index", type=str, default="0")
+    add_tpu_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    cfg = MultiPatchGANConfig.from_json(args.config_path)
+    config = cfg.to_dict()
+    gdim, norm = cfg.gram_matrix_dim, cfg.norm
+
+    idx = ImageFolderIndex(os.path.join(args.data, "test"))
+    classes = idx.classes
+    samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
+    loader = HostLoader(samples, cfg.batch_size, shuffle=False)
+
+    variables = load_checkpoint_tree(args.model_path, "multi_patchgan_test", config)
+    if not all(
+        isinstance(variables.get(s), dict) and "features" in variables[s]
+        for s in ("small", "medium", "large")
+    ):
+        # train-variant checkpoint: initialise the test architecture and pull
+        # in every same-shape leaf (the reference's partial-load strategy,
+        # train_best_Multi_PatchGAN.py:88-94)
+        import jax
+
+        from ..checkpoint.pth_converter import shape_filtered_update
+        from ..models.multi_patchgan import multiscale_test_init
+
+        init = multiscale_test_init(
+            jax.random.PRNGKey(cfg.seed or 0), cfg.patch_sizes, ndf=cfg.ndf,
+            num_classes=cfg.num_classes, gram_matrix_dim=gdim, norm=norm,
+        )
+        variables = shape_filtered_update(init, variables)
+        print("Train-variant checkpoint detected: shape-filtered partial load "
+              "into the test architecture.")
+
+    if args.afficher_params:
+        total = count_params(variables)
+        print(
+            f"Nombre total de paramètres du modèle (MultiScaleDiscriminator_test) : {total}"
+        )
+
+    def forward_eval(v, images):
+        _, logits, _ = multiscale_test_apply(v, images, gdim, norm=norm)
+        return logits
+
+    def embed_fn(v, images):
+        emb, _, _ = multiscale_test_apply(v, images, gdim, norm=norm)
+        return emb
+
+    if args.mode == "camera":
+        from ..tasks.camera import run_camera
+
+        if args.classes is None:
+            raise ValueError(
+                "Vous devez spécifier les classes avec l'option --classes en mode caméra."
+            )
+        cam_index = int(args.camera_index) if args.camera_index.isdigit() else args.camera_index
+        run_camera(
+            forward_eval, variables, args.classes,
+            save_video=args.save_camera_video, save_dir=args.save_dir,
+            prob_threshold=args.prob_threshold, measure_time=args.measure_time,
+            camera_index=cam_index,
+        )
+
+    elif args.mode in ("tsne", "tsne_interactive"):
+        from ..tasks.embeddings import compute_embeddings_with_paths
+
+        emb, labels, img_paths = compute_embeddings_with_paths(
+            embed_fn, variables, loader, samples
+        )
+        if args.mode == "tsne":
+            from ..tasks.tsne import perform_tsne
+
+            perform_tsne(emb, labels, classes, args.colors, args.save_dir)
+        else:
+            from ..tasks.tsne import plot_tsne_interactive
+
+            plot_tsne_interactive(
+                emb, labels, classes, img_paths, args.colors, save_dir=args.save_dir
+            )
+
+    elif args.mode == "style_transfer":
+        from ..tasks.style_transfer import style_transfer_patches
+
+        st_loader = HostLoader(samples, 1, shuffle=False)
+        style_transfer_patches(
+            variables, st_loader, args.save_dir,
+            gram_matrix_dim=gdim, norm=norm,
+            layers=args.layers, threshold=args.threshold,
+            num_iterations=args.num_iterations, learning_rate=args.learning_rate,
+        )
+
+    elif args.mode == "classification":
+        import jax
+        import jax.numpy as jnp
+        from sklearn.metrics import confusion_matrix, f1_score, precision_score, recall_score
+
+        from ..data.augment import eval_preprocess
+        from ..tasks.classification import plot_and_save_confusion_matrix
+
+        @jax.jit
+        def step(v, images_u8):
+            images = eval_preprocess(images_u8)
+            _, logits, _ = multiscale_test_apply(v, images, gdim, norm=norm)
+            return jnp.argmax(logits, axis=-1)
+
+        all_preds, all_labels = [], []
+        for batch in loader:
+            p = step(variables, jnp.asarray(batch["image"]))
+            n = batch["n_valid"]
+            all_preds.extend(np.asarray(p)[:n].tolist())
+            all_labels.extend(batch["label"][:n].tolist())
+
+        accuracy = float(np.mean(np.array(all_preds) == np.array(all_labels)))
+        precision = precision_score(all_labels, all_preds, average="weighted", zero_division=0)
+        recall = recall_score(all_labels, all_preds, average="weighted", zero_division=0)
+        f1 = f1_score(all_labels, all_preds, average="weighted", zero_division=0)
+        print(f"Accuracy: {accuracy:.4f}")
+        print(f"Precision: {precision:.4f}")
+        print(f"Recall: {recall:.4f}")
+        print(f"F1 Score: {f1:.4f}")
+
+        cm = confusion_matrix(all_labels, all_preds)
+        plot_and_save_confusion_matrix(cm, classes, args.save_dir)
+
+        results = {
+            "accuracy": accuracy,
+            "precision": float(precision),
+            "recall": float(recall),
+            "f1_score": float(f1),
+            "predictions": [int(p) for p in all_preds],
+            "labels": [int(l) for l in all_labels],
+        }
+        results_path = os.path.join(args.save_dir, "classification_results.json")
+        with open(results_path, "w") as f:
+            json.dump(results, f, indent=4)
+        print(f"Résultats de classification sauvegardés dans {results_path}")
+
+
+if __name__ == "__main__":
+    main()

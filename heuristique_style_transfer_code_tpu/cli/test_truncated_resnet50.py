@@ -1,0 +1,189 @@
+"""Evaluation/inference CLI, family 1 — mode-compatible with the reference's
+test_RESNET50_Truncate.py: classification / tsne / tsne_interactive / camera /
+inference / clustering (the reference declares 'inference' but never handles
+it, test_RESNET50_Truncate.py:40,245 — here it runs single-image-per-batch
+classification so the flag actually works)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from ..config.schema import TruncatedResNetConfig
+from ..data.imagefolder import ImageFolderIndex
+from ..data.loader import HostLoader
+from ..models.truncated_resnet50 import classifier_apply, combined_apply, truncated_moco_apply
+from ._common import (
+    add_tpu_args,
+    count_params,
+    load_checkpoint_tree,
+    make_writer,
+    maybe_subset,
+    resolve_class_names,
+)
+
+MODES = ["classification", "tsne", "tsne_interactive", "camera", "inference", "clustering"]
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Truncated ResNet50 weather classifier (TPU)")
+    parser.add_argument("--data", type=str)
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--num_samples", type=int, default=None)
+    parser.add_argument("--save_dir", default="results", type=str)
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--save_camera_video", action="store_true")
+    parser.add_argument("--prob_threshold", default=0.5, type=float)
+    parser.add_argument("--visualize_gradcam", action="store_true")
+    parser.add_argument("--save_gradcam_images", action="store_true")
+    parser.add_argument("--measure_time", action="store_true")
+    parser.add_argument("--mode", choices=MODES, default="classification")
+    parser.add_argument("--colors", nargs="+", default=None)
+    parser.add_argument("--clustering_class", type=str)
+    parser.add_argument("--min_cluster_size", type=int, nargs="+", default=[10, 15, 20])
+    parser.add_argument("--min_samples", type=int, nargs="+", default=[5, 10])
+    parser.add_argument("--kalman_filter", action="store_true")
+    parser.add_argument("--save_test_images", action="store_true")
+    parser.add_argument("--test_data", type=str)
+    parser.add_argument("--list_cameras", action="store_true")
+    parser.add_argument("--camera_index", type=str, default="0")
+    parser.add_argument("--colormap", type=str, default="hot")
+    parser.add_argument("--compute_auc", action="store_true")
+    parser.add_argument("--classes", nargs="+", type=str)
+    parser.add_argument("--afficher_params", action="store_true")
+    add_tpu_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    writer = make_writer(args.tensorboard, args.save_dir, "TensorBoard")
+
+    if args.list_cameras:
+        from ..tasks.camera import list_available_cameras
+
+        print(f"Caméras disponibles : {list_available_cameras()}")
+        return
+
+    cfg = TruncatedResNetConfig.from_json(args.config_path)
+    config = cfg.to_dict()
+    class_names = resolve_class_names(args.classes, config, args.data)
+    truncate = cfg.truncate_layer
+
+    variables = load_checkpoint_tree(args.model_path, "truncated_resnet50", config)
+    if "moco" not in variables:  # native checkpoints may store flat
+        variables = {"moco": variables["moco"], "classifier": variables["classifier"]}
+
+    if args.afficher_params:
+        total = count_params(variables)
+        print(f"Nombre total de paramètres du modèle (MoCo + Classifier) : {total}")
+
+    def forward_eval(v, images):
+        logits, _ = combined_apply(v["moco"], v["classifier"], images, truncate)
+        return logits
+
+    def embed_fn(v, images):
+        emb, _ = truncated_moco_apply(v["moco"], images, truncate)
+        return emb
+
+    def make_loader():
+        if not args.data:
+            raise ValueError("Le chemin du dataset doit être spécifié pour ce mode")
+        idx = ImageFolderIndex(os.path.join(args.data, "test"))
+        samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
+        return idx, samples, HostLoader(samples, args.batch_size, shuffle=False)
+
+    if args.mode in ("classification", "inference"):
+        from ..tasks.classification import run_classification_test
+
+        idx, samples, loader = make_loader()
+        if args.mode == "inference":
+            loader = HostLoader(samples, 1, shuffle=False)
+
+        gradcam_fn = None
+        if args.visualize_gradcam:
+            from ..tasks.gradcam import generate_heatmap_overlays, gradcam_moco
+
+            def gradcam_fn(v, image_u8, target, img_path, out_path, colormap="hot"):
+                cam = np.asarray(
+                    gradcam_moco(v, image_u8[None], [target], truncate=truncate)
+                )[0]
+                return generate_heatmap_overlays(cam, img_path, out_path, colormap)
+
+        res = run_classification_test(
+            forward_eval, variables, loader, samples, class_names, args.save_dir,
+            prob_threshold=args.prob_threshold, measure_time=args.measure_time,
+            save_test_images=args.save_test_images, compute_auc=args.compute_auc,
+            gradcam_fn=gradcam_fn, save_gradcam_images=args.save_gradcam_images,
+            colormap=args.colormap,
+        )
+        print(
+            f"Précision du test: {res['accuracy']}, Perte du test: {res['loss']}, "
+            f"Précision: {res['precision']}, Rappel: {res['recall']}, Score F1: {res['f1']}"
+        )
+        if res["auc"] is not None:
+            print(f"Score AUC: {res['auc']}")
+
+    elif args.mode in ("tsne", "tsne_interactive", "clustering"):
+        from ..tasks.embeddings import compute_embeddings_with_paths
+
+        idx, samples, loader = make_loader()
+        emb, labels, img_paths = compute_embeddings_with_paths(
+            embed_fn, variables, loader, samples
+        )
+        # embeddings export (test_RESNET50_Truncate.py:161-165)
+        out_path = os.path.join(
+            args.save_dir,
+            os.path.basename(args.model_path)
+            .replace(".pth", "_embeddings.json")
+            .replace(".npz", "_embeddings.json"),
+        )
+        os.makedirs(args.save_dir, exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({"embeddings": emb.tolist(), "labels": labels.tolist()}, f)
+
+        if args.mode == "tsne":
+            from ..tasks.tsne import perform_tsne
+
+            perform_tsne(emb, labels, class_names, args.colors, args.save_dir)
+        elif args.mode == "tsne_interactive":
+            from ..tasks.tsne import plot_tsne_interactive
+
+            plot_tsne_interactive(
+                emb, labels, class_names, img_paths, args.colors, save_dir=args.save_dir
+            )
+        else:
+            from ..tasks.clustering import run_clustering
+
+            if not args.clustering_class:
+                raise ValueError(
+                    "L'option --clustering_class doit être spécifiée pour le mode clustering"
+                )
+            run_clustering(
+                emb, labels, img_paths, class_names, args.clustering_class,
+                args.min_cluster_size, args.min_samples, args.save_dir, args.colors,
+            )
+
+    elif args.mode == "camera":
+        from ..tasks.camera import run_camera
+
+        cam_index = int(args.camera_index) if args.camera_index.isdigit() else args.camera_index
+        run_camera(
+            forward_eval, variables, class_names,
+            save_video=args.save_camera_video, save_dir=args.save_dir,
+            prob_threshold=args.prob_threshold, measure_time=args.measure_time,
+            kalman_filter=args.kalman_filter, camera_index=cam_index,
+        )
+    else:
+        raise ValueError(f"Mode non reconnu: {args.mode}")
+
+    if writer:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Training CLI, family 2 — flag-compatible with the reference's
+train_best_RESNET50_Truncate_gram_attention.py (incl. --freeze_layers)."""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..config.schema import GramAttentionConfig
+from ..data.imagefolder import ImageFolderIndex
+from ..train.factories import make_gram_attention
+from ..train.kfold import run_kfold
+from ._common import add_tpu_args, build_mesh, load_checkpoint_tree, make_writer, resolve_seed
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Train truncated ResNet50 + Gram/attention head (TPU)"
+    )
+    parser.add_argument("--data", type=str, required=True)
+    parser.add_argument("--model_path", type=str, help="Pre-trained encoder (.npz or .pth)")
+    parser.add_argument("--epochs", default=25, type=int)
+    parser.add_argument("--save_dir", default="saved_models_attention_gram_resnet50", type=str)
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--k_folds", default=2, type=int)
+    parser.add_argument("--freeze_layers", action="store_true", help="Freeze the encoder layers")
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=None)
+    add_tpu_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    cfg = GramAttentionConfig.from_json(args.config_path)
+    hyperparameters = cfg.to_dict()
+    seed = resolve_seed(hyperparameters, args.seed)
+
+    dataset = ImageFolderIndex(os.path.join(args.data, "train"))
+    num_classes = len(dataset.classes)
+    writer = make_writer(args.tensorboard, args.save_dir)
+    mesh = build_mesh(args.devices, cfg.batch_size)
+    combos = [(None, None)]
+
+    pretrained = None
+    if args.model_path:
+        pretrained = load_checkpoint_tree(args.model_path, "gram_attention", hyperparameters)
+        print(f"Poids du modèle chargés depuis {args.model_path}")
+
+    def init_fn(key, fold):
+        variables, opt_state, train_step, eval_step, _ = make_gram_attention(
+            key, cfg, num_classes, combos, mesh=mesh,
+            pretrained=pretrained, freeze_encoder=args.freeze_layers,
+        )
+        return variables, opt_state, train_step, eval_step
+
+    run_kfold(
+        dataset,
+        k_folds=args.k_folds,
+        seed=seed,
+        epochs=args.epochs,
+        batch_size=cfg.batch_size,
+        save_dir=args.save_dir,
+        hyperparameters=hyperparameters,
+        init_fn=init_fn,
+        key=jax.random.PRNGKey(seed),
+        writer=writer,
+    )
+    if writer:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

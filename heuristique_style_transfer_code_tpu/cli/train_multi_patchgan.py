@@ -1,0 +1,75 @@
+"""Training CLI, family 3 — flag-compatible with the reference's
+train_best_Multi_PatchGAN.py (shape-filtered partial checkpoint load)."""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..config.schema import MultiPatchGANConfig
+from ..data.imagefolder import ImageFolderIndex
+from ..train.factories import make_multi_patchgan
+from ..train.kfold import run_kfold
+from ._common import add_tpu_args, build_mesh, load_checkpoint_tree, make_writer, resolve_seed
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Train multi-scale PatchGAN classifier (TPU)")
+    parser.add_argument("--data", type=str, required=True)
+    parser.add_argument("--epochs", default=25, type=int)
+    parser.add_argument("--save_dir", default="Model_Multi_scale_PatchGAN/best", type=str)
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--k_folds", default=2, type=int)
+    parser.add_argument("--model_path", type=str, help="Weights (.npz or .pth); shape-filtered partial load")
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=None)
+    add_tpu_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    cfg = MultiPatchGANConfig.from_json(args.config_path)
+    hyperparameters = cfg.to_dict()
+    seed = resolve_seed(hyperparameters, args.seed)
+
+    dataset = ImageFolderIndex(os.path.join(args.data, "train"))
+    num_classes = cfg.num_classes or len(dataset.classes)
+    writer = make_writer(args.tensorboard, args.save_dir)
+    mesh = build_mesh(args.devices, cfg.batch_size)
+    combos = [(None, None)]
+
+    pretrained = None
+    if args.model_path:
+        pretrained = load_checkpoint_tree(args.model_path, "multi_patchgan", hyperparameters)
+        print(f"Poids du modèle chargés depuis {args.model_path} (shape-filtered)")
+
+    def init_fn(key, fold):
+        variables, opt_state, train_step, eval_step, _ = make_multi_patchgan(
+            key, cfg, num_classes, combos, mesh=mesh, pretrained=pretrained
+        )
+        return variables, opt_state, train_step, eval_step
+
+    run_kfold(
+        dataset,
+        k_folds=args.k_folds,
+        seed=seed,
+        epochs=args.epochs,
+        batch_size=cfg.batch_size,
+        save_dir=args.save_dir,
+        hyperparameters=hyperparameters,
+        init_fn=init_fn,
+        key=jax.random.PRNGKey(seed),
+        writer=writer,
+    )
+    # retrained hyperparameters round-trip (train_best_Multi_PatchGAN.py:125-126)
+    cfg.save(os.path.join(args.save_dir, "retrained_hyperparameters.json"))
+    if writer:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Training CLI, family 1 — flag-compatible with the reference's
+train_best_RESNET50_Truncate.py (SURVEY.md §2.3), running the jitted TPU
+engine underneath (k-fold CV, on-device augmentation, data-parallel mesh).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..checkpoint.io import save_pytree_npz
+from ..config.schema import TruncatedResNetConfig
+from ..data.augment import generate_transform_combinations
+from ..data.imagefolder import ImageFolderIndex
+from ..train.factories import make_truncated_resnet50
+from ..train.kfold import run_kfold
+from ._common import (
+    add_tpu_args,
+    build_mesh,
+    load_checkpoint_tree,
+    make_writer,
+    resolve_seed,
+    select_augmentations,
+)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Fine-tuning truncated ResNet50 for weather classification (TPU)"
+    )
+    parser.add_argument("--data", type=str, required=True, help="Path to dataset root directory")
+    parser.add_argument("--model_path", type=str, help="Path to pre-trained weights (.npz or .pth)")
+    parser.add_argument("--config_path", type=str, required=True, help="Hyperparameter JSON")
+    parser.add_argument("--epochs", default=25, type=int)
+    parser.add_argument("--save_dir", default="saved_models", type=str)
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--k_folds", default=5, type=int)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--color_aug", action="store_true")
+    parser.add_argument("--geom_aug", action="store_true")
+    parser.add_argument("--num_color_transforms", type=int, default=0)
+    parser.add_argument("--num_geom_transforms", type=int, default=0)
+    parser.add_argument("--geom_transforms", nargs="+", type=str, default=None)
+    add_tpu_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    cfg = TruncatedResNetConfig.from_json(args.config_path)
+    hyperparameters = cfg.to_dict()
+    seed = resolve_seed(hyperparameters, args.seed)
+    cfg.seed = seed
+
+    geom, color = select_augmentations(args)
+    combos = generate_transform_combinations(geom, color)
+
+    dataset = ImageFolderIndex(os.path.join(args.data, "train"))
+    num_classes = len(dataset.classes)
+    writer = make_writer(args.tensorboard, args.save_dir)
+    mesh = build_mesh(args.devices, cfg.batch_size)
+
+    pretrained = None
+    if args.model_path:
+        tree = load_checkpoint_tree(args.model_path, "truncated_resnet50", hyperparameters)
+        pretrained = tree
+        print(f"Poids du modèle chargés depuis {args.model_path}")
+
+    def init_fn(key, fold):
+        variables, opt_state, train_step, eval_step, _ = make_truncated_resnet50(
+            key, cfg, num_classes, combos, mesh=mesh, pretrained=pretrained
+        )
+        return variables, opt_state, train_step, eval_step
+
+    run_kfold(
+        dataset,
+        k_folds=args.k_folds,
+        seed=seed,
+        epochs=args.epochs,
+        batch_size=cfg.batch_size,
+        save_dir=args.save_dir,
+        hyperparameters=hyperparameters,
+        init_fn=init_fn,
+        combos_per_sample=len(combos),
+        key=jax.random.PRNGKey(seed),
+        writer=writer,
+    )
+    if writer:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

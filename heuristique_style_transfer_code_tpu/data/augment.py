@@ -38,7 +38,11 @@ AVAILABLE_GEOM_TRANSFORMS = (
     "resized_crop",
 )
 
-_LUMA = jnp.array([0.299, 0.587, 0.114])
+# np (not jnp): a module-level jnp constant would initialise the JAX backend
+# at import time, before CLIs can apply the user's JAX_PLATFORMS choice
+import numpy as _np
+
+_LUMA = _np.array([0.299, 0.587, 0.114], dtype=_np.float32)
 
 
 # ------------------------------------------------------------ color transforms

@@ -61,6 +61,10 @@ def weighted_auc_ovr(targets, probs, num_classes: int) -> Optional[float]:
 
     try:
         if num_classes > 2:
+            # TPU bf16 matmuls can leave softmax rows summing to 1 +- 1e-3,
+            # which sklearn's multiclass validation rejects; renormalise
+            probs = np.asarray(probs, dtype=np.float64)
+            probs = probs / np.maximum(probs.sum(axis=1, keepdims=True), 1e-12)
             return float(
                 roc_auc_score(targets, probs, multi_class="ovr", average="weighted")
             )

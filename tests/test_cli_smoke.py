@@ -1,0 +1,213 @@
+"""CLI smoke tests: every entry point end-to-end on the tiny dataset
+(SURVEY.md §4 plan (c)). Runs in-process (main(argv)) on the CPU backend."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cfg_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cfg")
+
+    def write(name, payload):
+        p = d / name
+        with open(p, "w") as f:
+            json.dump(payload, f)
+        return str(p)
+
+    return {
+        "f1": write("f1.json", {"batch_size": 8, "lr": 0.01, "truncate_layer": 5, "seed": 0, "dim": 16}),
+        "f2": write(
+            "f2.json",
+            {"batch_size": 8, "lr": 0.01, "truncate_layer": 5, "gram_matrix_size": 4,
+             "num_classes": 4, "seed": 0},
+        ),
+        "f3": write(
+            "f3.json",
+            {"batch_size": 4, "lr": 0.01, "seed": 0, "num_classes": 4,
+             "patch_sizes": {"small": 10, "medium": 16, "large": 20},
+             "gram_matrix_dim": 16, "ndf": 16, "norm": "instance"},
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def trained_f1(tiny_imagefolder, cfg_file, tmp_path_factory):
+    from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
+
+    save_dir = str(tmp_path_factory.mktemp("f1_models"))
+    main([
+        "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+        "--epochs", "1", "--k_folds", "2", "--save_dir", save_dir, "--seed", "0",
+    ])
+    return save_dir
+
+
+class TestTrainCLIs:
+    def test_train_truncated_resnet50(self, trained_f1):
+        for f in ("training_info.json", "best_model_results.json", "best_global_model.npz"):
+            assert os.path.exists(os.path.join(trained_f1, f)), f
+
+    def test_train_gram_attention_freeze(self, tiny_imagefolder, cfg_file, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.train_gram_attention import main
+
+        save_dir = str(tmp_path / "f2_models")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
+            "--epochs", "1", "--k_folds", "2", "--save_dir", save_dir,
+            "--freeze_layers", "--seed", "0",
+        ])
+        assert os.path.exists(os.path.join(save_dir, "best_global_model.npz"))
+
+    def test_train_multi_patchgan(self, tiny_imagefolder, cfg_file, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.train_multi_patchgan import main
+
+        save_dir = str(tmp_path / "f3_models")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f3"],
+            "--epochs", "1", "--k_folds", "2", "--save_dir", save_dir, "--seed", "0",
+        ])
+        assert os.path.exists(os.path.join(save_dir, "best_global_model.npz"))
+        assert os.path.exists(os.path.join(save_dir, "retrained_hyperparameters.json"))
+
+
+class TestTestCLIs:
+    def test_classification_mode(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        out = str(tmp_path / "res")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "classification", "--save_dir", out, "--batch_size", "4",
+            "--compute_auc", "--measure_time", "--afficher_params",
+        ])
+        assert os.path.exists(os.path.join(out, "metrics.txt"))
+        assert os.path.exists(os.path.join(out, "confusion_matrix.png"))
+        assert os.path.exists(os.path.join(out, "times_test.json"))
+
+    def test_tsne_mode_and_embeddings_export(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        out = str(tmp_path / "tsne")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "tsne", "--save_dir", out, "--batch_size", "4",
+        ])
+        assert os.path.exists(os.path.join(out, "tsne_plot.png"))
+        assert os.path.exists(os.path.join(out, "best_global_model_embeddings.json"))
+        with open(os.path.join(out, "best_global_model_embeddings.json")) as f:
+            data = json.load(f)
+        assert len(data["embeddings"]) == 12
+
+    def test_clustering_mode(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        out = str(tmp_path / "clust")
+        try:
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+                "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+                "--mode", "clustering", "--save_dir", out, "--clustering_class", "fog",
+                "--min_cluster_size", "2", "--min_samples", "1", "--batch_size", "4",
+            ])
+            assert os.path.exists(os.path.join(out, "fog_clustering_results.json"))
+        except ValueError as e:
+            # 3 samples may legitimately yield no clusters — the reference
+            # raises the same error (test_RESNET50_Truncate.py:202-203)
+            assert "No clusters found" in str(e)
+
+    def test_inference_mode_works(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
+        """'inference' raises in the reference (declared but unhandled); here it
+        runs batch-1 classification."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        out = str(tmp_path / "inf")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "inference", "--save_dir", out, "--num_samples", "3",
+        ])
+        assert os.path.exists(os.path.join(out, "metrics.txt"))
+
+    def test_gram_attention_classification_and_style_transfer(
+        self, tiny_imagefolder, cfg_file, tmp_path
+    ):
+        from heuristique_style_transfer_code_tpu.cli.train_gram_attention import (
+            main as train_main,
+        )
+        from heuristique_style_transfer_code_tpu.cli.test_gram_attention import (
+            main as test_main,
+        )
+
+        models = str(tmp_path / "m")
+        train_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
+            "--epochs", "1", "--k_folds", "2", "--save_dir", models, "--seed", "0",
+        ])
+        out = str(tmp_path / "res")
+        ckpt = os.path.join(models, "best_global_model.npz")
+        test_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
+            "--model_path", ckpt, "--mode", "classification", "--save_dir", out,
+        ])
+        assert os.path.exists(os.path.join(out, "classification_results.json"))
+
+        test_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
+            "--model_path", ckpt, "--mode", "style_transfer", "--save_dir", out,
+            "--layers", "5", "--num_iterations", "3", "--threshold", "1e-3",
+            "--num_samples", "2",
+        ])
+        st_dirs = [d for d in os.listdir(out) if d.startswith("style_transfer_")]
+        assert st_dirs
+
+    def test_multi_patchgan_classification(self, tiny_imagefolder, cfg_file, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.train_multi_patchgan import (
+            main as train_main,
+        )
+        from heuristique_style_transfer_code_tpu.cli.test_multi_patchgan import (
+            main as test_main,
+        )
+
+        models = str(tmp_path / "m")
+        train_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f3"],
+            "--epochs", "1", "--k_folds", "2", "--save_dir", models, "--seed", "0",
+        ])
+        out = str(tmp_path / "res")
+        # test CLI uses the *test* architecture; train checkpoint loads via
+        # shape-filtered update semantics -> here we exercise the native-init
+        # path by converting: use the trained ckpt directly (shape mismatch
+        # leaves stay at init, matching the reference's partial-load behavior)
+        test_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f3"],
+            "--model_path", os.path.join(models, "best_global_model.npz"),
+            "--mode", "classification", "--save_dir", out, "--num_samples", "4",
+        ])
+        assert os.path.exists(os.path.join(out, "classification_results.json"))
+
+
+class TestRootWrappers:
+    def test_wrappers_importable(self):
+        import importlib.util
+        import sys
+
+        for name in (
+            "train_best_RESNET50_Truncate",
+            "test_RESNET50_Truncate",
+            "train_best_RESNET50_Truncate_gram_attention",
+            "test_RESNET50_Truncate_gram_attention",
+            "train_best_Multi_PatchGAN",
+            "test_Multi_PatchGAN",
+        ):
+            path = os.path.join(os.path.dirname(os.path.dirname(__file__)), f"{name}.py")
+            spec = importlib.util.spec_from_file_location(f"wrapper_{name}", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            assert callable(mod.main)
