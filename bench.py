@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Headline benchmark: camera-mode images/sec on one TPU chip vs the
+reference's CPU pipeline (BASELINE.json north star: >=10x).
+
+Measured pipeline (both sides replicate the reference camera hot loop,
+functions/functions_RESNET50_Truncate.py:306-319): uint8 480x640 frame ->
+Resize(256) -> CenterCrop(224) -> normalise -> TruncatedMoCoV3(truncate=8) ->
+classifier -> softmax.
+
+Two TPU numbers are measured:
+- batch-1 closed loop (reference-faithful semantics): p50 per-frame ms.
+  NOTE: in this environment the TPU is reached through a loopback relay with
+  a ~35 ms per-dispatch floor and ~50 ms H2D per frame, so batch-1 latency
+  is transport-bound, not compute-bound.
+- batched streaming (batch 64, one dispatch per batch): images/sec/chip —
+  the chip's actual camera-pipeline capacity and the headline metric. A real
+  deployment buffers frames exactly like this.
+
+Baseline: the reference-equivalent torch-CPU pipeline (PIL transform +
+torchvision-architecture ResNet50 truncation + heads), batch 1 as the
+reference runs it, measured in-process for a machine-fair ratio.
+
+Prints ONE JSON line with the headline value.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FRAME_H, FRAME_W = 480, 640
+BATCH = 64
+WARMUP = 5
+ITERS_B1 = 50
+ITERS_BATCH = 20
+CPU_SECONDS_CAP = 60.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _variables():
+    import jax
+
+    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+        classifier_init,
+        truncated_moco_init,
+    )
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    return {
+        "moco": truncated_moco_init(k1, 8, dim=256),
+        "classifier": classifier_init(k2, 256, 4),
+    }
+
+
+def bench_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+        combined_apply,
+    )
+    from heuristique_style_transfer_code_tpu.tasks.camera import make_camera_infer_fn
+
+    variables = _variables()
+
+    def forward_eval(v, images):
+        logits, _ = combined_apply(v["moco"], v["classifier"], images, 8)
+        return logits
+
+    infer1 = make_camera_infer_fn(
+        forward_eval, (FRAME_H, FRAME_W), compute_dtype=jnp.bfloat16
+    )
+    inferN = make_camera_infer_fn(
+        forward_eval, (FRAME_H, FRAME_W), compute_dtype=jnp.bfloat16, batch=BATCH
+    )
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 256, (FRAME_H, FRAME_W, 3), dtype=np.uint8)
+    frames = rng.randint(0, 256, (BATCH, FRAME_H, FRAME_W, 3), dtype=np.uint8)
+
+    log(f"[tpu] compiling batch-1 on {jax.devices()[0]} ...")
+    t0 = time.perf_counter()
+    np.asarray(infer1(variables, jnp.asarray(frame)))
+    log(f"[tpu] batch-1 compile: {time.perf_counter() - t0:.1f}s")
+    for _ in range(WARMUP):
+        np.asarray(infer1(variables, jnp.asarray(frame)))
+    times = []
+    for _ in range(ITERS_B1):
+        t0 = time.perf_counter()
+        probs = np.asarray(infer1(variables, jnp.asarray(frame)))
+        times.append(time.perf_counter() - t0)
+    b1 = np.asarray(times)
+
+    log("[tpu] compiling batch-%d ..." % BATCH)
+    t0 = time.perf_counter()
+    np.asarray(inferN(variables, jnp.asarray(frames)))
+    log(f"[tpu] batch compile: {time.perf_counter() - t0:.1f}s")
+    for _ in range(WARMUP):
+        np.asarray(inferN(variables, jnp.asarray(frames)))
+    times = []
+    for _ in range(ITERS_BATCH):
+        t0 = time.perf_counter()
+        np.asarray(inferN(variables, jnp.asarray(frames)))  # incl. H2D + D2H
+        times.append(time.perf_counter() - t0)
+    bN = np.asarray(times)
+
+    return {
+        "b1_p50_ms": float(np.percentile(b1, 50) * 1e3),
+        "b1_fps": float(1.0 / b1.mean()),
+        "batched_fps": float(BATCH / bN.mean()),
+        "batched_p50_batch_ms": float(np.percentile(bN, 50) * 1e3),
+        "probs_ok": bool(abs(float(probs.sum()) - 1.0) < 1e-2),
+    }
+
+
+def bench_torch_cpu() -> dict:
+    """Reference-equivalent CPU pipeline, batch 1 (the reference's camera
+    semantics: TruncatedMoCoV3 = children[:-1][:8] + AdaptiveAvgPool + fc)."""
+    import torch
+    import torch.nn as nn
+    from PIL import Image
+
+    sys.path.insert(0, ".")
+    from tests.torch_ref import ResNet50
+
+    torch.manual_seed(0)
+    base = ResNet50()
+    encoder = nn.Sequential(*list(base.children())[:-1][:8])
+    pool = nn.AdaptiveAvgPool2d((1, 1))
+    moco_fc = nn.Linear(2048, 256)
+    classifier = nn.Linear(256, 4)
+    encoder.eval()
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+    rng = np.random.RandomState(0)
+    frames = [
+        rng.randint(0, 256, (FRAME_H, FRAME_W, 3), dtype=np.uint8) for _ in range(4)
+    ]
+
+    def one(frame):
+        img = Image.fromarray(frame)
+        w, h = img.size
+        if h <= w:
+            tw, th = round(w * 256 / h), 256
+        else:
+            tw, th = 256, round(h * 256 / w)
+        img = img.resize((tw, th), Image.BILINEAR)
+        left, top = (tw - 224) // 2, (th - 224) // 2
+        img = img.crop((left, top, left + 224, top + 224))
+        x = torch.from_numpy(np.asarray(img).copy()).permute(2, 0, 1).float() / 255.0
+        x = ((x - mean) / std).unsqueeze(0)
+        with torch.no_grad():
+            emb = moco_fc(torch.flatten(pool(encoder(x)), 1))
+            return torch.softmax(classifier(emb), dim=1).numpy()
+
+    one(frames[0])  # warmup
+    times = []
+    t_start = time.perf_counter()
+    for i in range(ITERS_B1):
+        t0 = time.perf_counter()
+        one(frames[i % len(frames)])
+        times.append(time.perf_counter() - t0)
+        if time.perf_counter() - t_start > CPU_SECONDS_CAP:
+            break
+    times = np.asarray(times)
+    return {
+        "fps": float(1.0 / times.mean()),
+        "p50_ms": float(np.percentile(times, 50) * 1e3),
+        "n": len(times),
+    }
+
+
+def main():
+    tpu = bench_tpu()
+    log(
+        f"[tpu] batch-1: {tpu['b1_fps']:.1f} img/s (p50 {tpu['b1_p50_ms']:.1f} ms); "
+        f"batched({BATCH}): {tpu['batched_fps']:.1f} img/s"
+    )
+    try:
+        cpu = bench_torch_cpu()
+        log(f"[cpu-baseline] {cpu['fps']:.1f} img/s, p50 {cpu['p50_ms']:.1f} ms ({cpu['n']} frames)")
+        baseline_fps = cpu["fps"]
+    except Exception as e:
+        log(f"[cpu-baseline] unavailable ({e})")
+        baseline_fps = None
+    vs = (tpu["batched_fps"] / baseline_fps) if baseline_fps else None
+    print(
+        json.dumps(
+            {
+                "metric": "camera_mode_images_per_sec_per_chip",
+                "value": round(tpu["batched_fps"], 2),
+                "unit": "images/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+                "batch1_p50_frame_ms": round(tpu["b1_p50_ms"], 2),
+                "batch1_fps": round(tpu["b1_fps"], 2),
+                "batch_size": BATCH,
+                "baseline_cpu_fps": round(baseline_fps, 2) if baseline_fps else None,
+                "note": "batch-1 latency is bound by this environment's ~35ms "
+                "relay dispatch floor, not TPU compute; batched streaming is "
+                "the chip capacity",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Multi-chip sharding: 2-D (data x model) mesh over ICI.
+
+The workload is convolutional classification, so the scaling strategy is
+data parallelism (batch sharded over 'data'; XLA inserts the gradient
+all-reduce) with tensor parallelism on the dense projection heads (the MoCo
+fc and classifier kernels sharded over 'model') — the only layers with
+enough width to be worth splitting. The reference has no distributed path
+at all (SURVEY.md §2.4); this module is the TPU-native replacement.
+
+Rules are path-based so they apply to any of the three families' trees.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh_2d(n_devices: Optional[int] = None, model_parallel: Optional[int] = None) -> Mesh:
+    """(data, model) mesh. model axis defaults to 2 when the device count is
+    even (enough TP to exercise collectives without starving DP), else 1."""
+    devices = jax.devices()
+    n = min(n_devices or len(devices), len(devices))
+    if model_parallel is None:
+        model_parallel = 2 if n % 2 == 0 and n >= 2 else 1
+    assert n % model_parallel == 0
+    grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return ".".join(parts)
+
+
+def variable_shardings(variables, mesh: Mesh):
+    """Sharding tree: dense head kernels column-sharded over 'model'
+    (their biases likewise); everything else (convs, BN, attention)
+    replicated — conv kernels are small relative to activations here, and
+    replication keeps them out of the collective path."""
+
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def rule(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return NamedSharding(mesh, P())
+        p = _path_str(path)
+        is_head = (
+            p.endswith("fc.kernel")
+            or p.endswith("classifier.kernel")
+            or p.endswith("feature_projection.kernel")
+        )
+        if is_head and leaf.ndim == 2 and leaf.shape[1] % model_size == 0:
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if is_head:
+            return NamedSharding(mesh, P())
+        if (
+            (p.endswith("fc.bias") or p.endswith("feature_projection.bias"))
+            and leaf.ndim == 1
+            and leaf.shape[0] % model_size == 0
+        ):
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, variables)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def make_sharded_train_step(forward_train, optimizer, augment_fn, mesh: Mesh, variables):
+    """Full training step jitted over the 2-D mesh: on-device augmentation ->
+    forward -> CE -> grads -> SGD -> BN-stat merge, with batch inputs sharded
+    over 'data', parameters laid out per ``variable_shardings``. XLA inserts
+    the grad all-reduce (data axis) and the head matmul collectives (model
+    axis) over ICI."""
+    import optax
+
+    from ..train.train_loop import _merge_bn_stats, masked_cross_entropy
+
+    v_shard = variable_shardings(variables, mesh)
+    repl = NamedSharding(mesh, P())
+    data = batch_sharding(mesh)
+
+    def step(variables, opt_state, images_u8, labels, combos, key):
+        images = augment_fn(images_u8, combos, key)
+
+        def loss_fn(v):
+            logits, new_v = forward_train(v, images)
+            return masked_cross_entropy(logits, labels), new_v
+
+        (loss, new_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state = optimizer.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        if new_v is not None:
+            variables = _merge_bn_stats(variables, new_v)
+        return variables, opt_state, loss
+
+    # opt-state sharding mirrors the variables' (momentum per leaf); jit
+    # infers it from the input layout (in_shardings=None passes through)
+    return jax.jit(
+        step,
+        in_shardings=(v_shard, None, data, data, data, repl),
+        out_shardings=(v_shard, None, repl),
+        donate_argnums=(0, 1),
+    ), v_shard

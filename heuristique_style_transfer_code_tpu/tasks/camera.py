@@ -30,18 +30,30 @@ import numpy as np
 from ..ops.resize import center_crop, normalize_imagenet, resize_shorter_side
 
 
-def make_camera_infer_fn(forward_eval: Callable, frame_shape: Tuple[int, int]):
-    """Returns jitted fn(variables, frame_u8 (H,W,3)) -> probs (C,).
-    Compiled once per camera resolution."""
+def make_camera_infer_fn(
+    forward_eval: Callable,
+    frame_shape: Tuple[int, int],
+    compute_dtype=None,
+    batch: Optional[int] = None,
+):
+    """Returns jitted fn(variables, frame_u8 (H,W,3) or (B,H,W,3)) -> probs.
+    Compiled once per camera resolution. ``compute_dtype=jnp.bfloat16`` runs
+    the conv stack in the MXU's native type (params stay f32; kernels are
+    cast at the op boundary)."""
 
     @jax.jit
     def infer(variables, frame_u8):
         x = frame_u8.astype(jnp.float32) / 255.0
         x = resize_shorter_side(x, 256)
         x = center_crop(x, 224)
-        x = normalize_imagenet(x)[None]  # (1,224,224,3)
+        x = normalize_imagenet(x)
+        if batch is None:
+            x = x[None]
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
         logits = forward_eval(variables, x)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs if batch is not None else probs[0]
 
     return infer
 

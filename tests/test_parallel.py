@@ -1,0 +1,133 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend (SURVEY.md §4(d))."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from heuristique_style_transfer_code_tpu.core.mesh import create_mesh, data_sharding
+
+
+class TestDataParallelMesh:
+    def test_eight_virtual_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_data_sharding_roundtrip(self):
+        mesh = create_mesh()
+        x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+        xs = jax.device_put(x, data_sharding(mesh))
+        assert len(xs.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(xs), x)
+
+    def test_psum_matches_sum(self):
+        mesh = create_mesh()
+        x = np.arange(8, dtype=np.float32)
+        xs = jax.device_put(x, data_sharding(mesh))
+        total = jax.jit(lambda a: jnp.sum(a))(xs)
+        assert float(total) == x.sum()
+
+
+class TestShardedTrainStep:
+    def test_dp_tp_train_step_runs_and_matches_single_device(self):
+        """The 4x2 (data x model) sharded step must produce the same loss as
+        the unsharded step — sharding is a layout, not a semantics change."""
+        from heuristique_style_transfer_code_tpu.data.augment import make_augment_fn
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            batch_sharding,
+            make_mesh_2d,
+            make_sharded_train_step,
+        )
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+        from heuristique_style_transfer_code_tpu.train.train_loop import make_train_step
+
+        truncate = 5
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        variables = {
+            "moco": truncated_moco_init(k1, truncate, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+
+        def forward_train(v, images):
+            logits, new_v = combined_apply(
+                v["moco"], v["classifier"], images, truncate, train=True
+            )
+            return logits, {"moco": new_v, "classifier": v["classifier"]}
+
+        optimizer = sgd_momentum(0.01, variables)
+        augment = make_augment_fn([(None, None)], crop=64)
+
+        rng = np.random.RandomState(0)
+        images = rng.randint(0, 256, (8, 96, 96, 3), dtype=np.uint8)
+        labels = np.arange(8, dtype=np.int32) % 4
+        combos = np.zeros(8, dtype=np.int32)
+        key = jax.random.PRNGKey(1)
+
+        # the steps donate their inputs; keep a host-side master copy
+        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+
+        # single-device reference
+        step1 = make_train_step(forward_train, optimizer, augment)
+        v_in = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        v1, o1, loss1 = step1(
+            v_in, optimizer.init(v_in), images, labels, combos, key
+        )
+
+        # sharded
+        mesh = make_mesh_2d(8)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+        stepN, v_shard = make_sharded_train_step(
+            forward_train, optimizer, augment, mesh, host_vars
+        )
+        vs = jax.device_put(host_vars, v_shard)
+        os_ = optimizer.init(vs)
+        imgs_s = jax.device_put(jnp.asarray(images), batch_sharding(mesh))
+        lbl_s = jax.device_put(jnp.asarray(labels), batch_sharding(mesh))
+        cmb_s = jax.device_put(jnp.asarray(combos), batch_sharding(mesh))
+        vN, oN, lossN = stepN(vs, os_, imgs_s, lbl_s, cmb_s, key)
+
+        np.testing.assert_allclose(float(loss1), float(lossN), rtol=1e-4)
+        # parameters after the step must agree too (grad all-reduce correct)
+        k_single = np.asarray(v1["classifier"]["fc"]["kernel"])
+        k_shard = np.asarray(vN["classifier"]["fc"]["kernel"])
+        np.testing.assert_allclose(k_single, k_shard, rtol=1e-3, atol=1e-5)
+
+    def test_head_kernels_are_model_sharded(self):
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            truncated_moco_init,
+        )
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_2d,
+            variable_shardings,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        variables = {
+            "moco": truncated_moco_init(k1, 5, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+        mesh = make_mesh_2d(8)
+        shardings = variable_shardings(variables, mesh)
+        moco_fc = shardings["moco"]["fc"]["kernel"]
+        assert moco_fc.spec == jax.sharding.PartitionSpec(None, "model")
+        conv1 = shardings["moco"]["encoder"]["conv1"]["kernel"]
+        assert conv1.spec == jax.sharding.PartitionSpec()
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (8, 4)
+        np.testing.assert_allclose(np.asarray(out).sum(axis=1), 1.0, rtol=1e-4)
