@@ -108,6 +108,39 @@ def load_checkpoint_tree(model_path: str, family: str, config: dict):
     return load_pytree_npz(model_path)
 
 
+def resolve_compute_dtype(precision: Optional[str]):
+    """--precision flag -> compute dtype (None = float32 passthrough)."""
+    if precision in ("bf16", "bfloat16"):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
+    return None
+
+
+def cast_forward(forward, compute_dtype):
+    """Wrap a forward fn so activations run in ``compute_dtype``."""
+    if compute_dtype is None:
+        return forward
+
+    def wrapped(v, images):
+        return forward(v, images.astype(compute_dtype))
+
+    return wrapped
+
+
+def start_profile(profile_dir: Optional[str]):
+    """Start a jax.profiler trace for the rest of the process (stops at
+    exit). Context-manager-free so CLI bodies need no re-indentation."""
+    if not profile_dir:
+        return
+    import atexit
+
+    import jax
+
+    jax.profiler.start_trace(profile_dir)
+    atexit.register(jax.profiler.stop_trace)
+
+
 def count_params(tree) -> int:
     import jax
 

@@ -13,6 +13,9 @@ from ..data.loader import HostLoader
 from ..models.gram_attention import gram_attention_apply
 from ._common import (
     add_tpu_args,
+    cast_forward,
+    resolve_compute_dtype,
+    start_profile,
     count_params,
     load_checkpoint_tree,
     maybe_subset,
@@ -75,6 +78,11 @@ def main(argv=None):
     def embed_fn(v, images):
         emb, _, _ = gram_attention_apply(v, images, truncate, s, num_classes)
         return emb
+
+    dtype = resolve_compute_dtype(args.precision)
+    forward_eval = cast_forward(forward_eval, dtype)
+    embed_fn = cast_forward(embed_fn, dtype)
+    start_profile(args.profile_dir)
 
     if args.mode == "classification":
         from sklearn.metrics import f1_score, precision_score, recall_score

@@ -13,7 +13,15 @@ from ..config.schema import MultiPatchGANConfig
 from ..data.imagefolder import ImageFolderIndex
 from ..data.loader import HostLoader
 from ..models.multi_patchgan import multiscale_test_apply
-from ._common import add_tpu_args, count_params, load_checkpoint_tree, maybe_subset
+from ._common import (
+    add_tpu_args,
+    cast_forward,
+    count_params,
+    load_checkpoint_tree,
+    maybe_subset,
+    resolve_compute_dtype,
+    start_profile,
+)
 
 MODES = ["tsne", "tsne_interactive", "camera", "style_transfer", "classification"]
 
@@ -90,6 +98,11 @@ def main(argv=None):
     def embed_fn(v, images):
         emb, _, _ = multiscale_test_apply(v, images, gdim, norm=norm)
         return emb
+
+    dtype = resolve_compute_dtype(args.precision)
+    forward_eval = cast_forward(forward_eval, dtype)
+    embed_fn = cast_forward(embed_fn, dtype)
+    start_profile(args.profile_dir)
 
     if args.mode == "camera":
         from ..tasks.camera import run_camera

@@ -17,6 +17,9 @@ from ..data.loader import HostLoader
 from ..models.truncated_resnet50 import classifier_apply, combined_apply, truncated_moco_apply
 from ._common import (
     add_tpu_args,
+    cast_forward,
+    resolve_compute_dtype,
+    start_profile,
     count_params,
     load_checkpoint_tree,
     make_writer,
@@ -89,6 +92,11 @@ def main(argv=None):
     def embed_fn(v, images):
         emb, _ = truncated_moco_apply(v["moco"], images, truncate)
         return emb
+
+    dtype = resolve_compute_dtype(args.precision)
+    forward_eval = cast_forward(forward_eval, dtype)
+    embed_fn = cast_forward(embed_fn, dtype)
+    start_profile(args.profile_dir)
 
     def make_loader():
         if not args.data:

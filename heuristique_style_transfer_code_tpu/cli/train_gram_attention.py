@@ -54,10 +54,12 @@ def main(argv=None):
         variables, opt_state, train_step, eval_step, _ = make_gram_attention(
             key, cfg, num_classes, combos, mesh=mesh,
             pretrained=pretrained, freeze_encoder=args.freeze_layers,
+            compute_dtype=resolve_compute_dtype(args.precision),
         )
         return variables, opt_state, train_step, eval_step
 
-    run_kfold(
+    with maybe_profile(args.profile_dir):
+        run_kfold(
         dataset,
         k_folds=args.k_folds,
         seed=seed,

@@ -49,11 +49,13 @@ def main(argv=None):
 
     def init_fn(key, fold):
         variables, opt_state, train_step, eval_step, _ = make_multi_patchgan(
-            key, cfg, num_classes, combos, mesh=mesh, pretrained=pretrained
+            key, cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
+            compute_dtype=resolve_compute_dtype(args.precision),
         )
         return variables, opt_state, train_step, eval_step
 
-    run_kfold(
+    with maybe_profile(args.profile_dir):
+        run_kfold(
         dataset,
         k_folds=args.k_folds,
         seed=seed,

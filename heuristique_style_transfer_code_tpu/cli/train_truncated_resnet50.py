@@ -15,11 +15,13 @@ from ..data.augment import generate_transform_combinations
 from ..data.imagefolder import ImageFolderIndex
 from ..train.factories import make_truncated_resnet50
 from ..train.kfold import run_kfold
+from ..utils.logging import maybe_profile
 from ._common import (
     add_tpu_args,
     build_mesh,
     load_checkpoint_tree,
     make_writer,
+    resolve_compute_dtype,
     resolve_seed,
     select_augmentations,
 )
@@ -71,11 +73,13 @@ def main(argv=None):
 
     def init_fn(key, fold):
         variables, opt_state, train_step, eval_step, _ = make_truncated_resnet50(
-            key, cfg, num_classes, combos, mesh=mesh, pretrained=pretrained
+            key, cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
+            compute_dtype=resolve_compute_dtype(args.precision),
         )
         return variables, opt_state, train_step, eval_step
 
-    run_kfold(
+    with maybe_profile(args.profile_dir):
+        run_kfold(
         dataset,
         k_folds=args.k_folds,
         seed=seed,

@@ -35,17 +35,24 @@ def make_camera_infer_fn(
     frame_shape: Tuple[int, int],
     compute_dtype=None,
     batch: Optional[int] = None,
+    host_downscale: bool = False,
 ):
     """Returns jitted fn(variables, frame_u8 (H,W,3) or (B,H,W,3)) -> probs.
     Compiled once per camera resolution. ``compute_dtype=jnp.bfloat16`` runs
     the conv stack in the MXU's native type (params stay f32; kernels are
-    cast at the op boundary)."""
+    cast at the op boundary).
+
+    ``host_downscale``: the frame arrives already resized+cropped to 224x224
+    uint8 (see ``downscale_frame``) — ~6x fewer bytes over the host->device
+    link, which is the bottleneck when the TPU sits behind a network relay.
+    The device still fuses /255 + normalise + forward + softmax."""
 
     @jax.jit
     def infer(variables, frame_u8):
         x = frame_u8.astype(jnp.float32) / 255.0
-        x = resize_shorter_side(x, 256)
-        x = center_crop(x, 224)
+        if not host_downscale:
+            x = resize_shorter_side(x, 256)
+            x = center_crop(x, 224)
         x = normalize_imagenet(x)
         if batch is None:
             x = x[None]
@@ -56,6 +63,23 @@ def make_camera_infer_fn(
         return probs if batch is not None else probs[0]
 
     return infer
+
+
+def downscale_frame(rgb: np.ndarray, crop: int = 224, shorter: int = 256) -> np.ndarray:
+    """Host-side cv2 downscale: shorter side -> 256 (INTER_AREA ~= antialiased
+    bilinear), center crop 224. ~1 ms of SIMD on the host in exchange for a
+    6x smaller device transfer."""
+    import cv2
+
+    h, w = rgb.shape[:2]
+    if h <= w:
+        th, tw = shorter, max(1, round(w * shorter / h))
+    else:
+        th, tw = max(1, round(h * shorter / w)), shorter
+    resized = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_AREA)
+    top = int(round((th - crop) / 2.0)) if th > crop else 0
+    left = int(round((tw - crop) / 2.0)) if tw > crop else 0
+    return resized[top : top + crop, left : left + crop]
 
 
 class KalmanSmoother:
@@ -102,6 +126,7 @@ def run_camera(
     camera_index=0,
     max_frames: Optional[int] = None,
     display: Optional[bool] = None,
+    host_downscale: bool = True,
     log_fn=print,
 ) -> dict:
     """camera_index may be an int (device) or a path (video file). Returns a
@@ -165,8 +190,12 @@ def run_camera(
 
         start = time.perf_counter()
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if host_downscale:
+            rgb = downscale_frame(rgb)
         if infer is None:
-            infer = make_camera_infer_fn(forward_eval, rgb.shape[:2])
+            infer = make_camera_infer_fn(
+                forward_eval, rgb.shape[:2], host_downscale=host_downscale
+            )
             # warm the compile outside the timed region (first frame only)
             np.asarray(infer(variables, jnp.asarray(rgb)))
             start = time.perf_counter()

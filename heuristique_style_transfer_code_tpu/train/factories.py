@@ -22,12 +22,27 @@ from .optim import sgd_momentum
 from .train_loop import make_eval_step, make_train_step
 
 
-def _steps(variables, forward_train, forward_eval, lr, combos, mesh, frozen_fn=None):
+def _cast_inputs(forward, compute_dtype):
+    """bf16 policy: activations in the MXU's native type, params f32 (ops
+    cast kernels at the boundary), logits back in f32 via the loss."""
+    if compute_dtype is None:
+        return forward
+
+    def wrapped(v, images):
+        return forward(v, images.astype(compute_dtype))
+
+    return wrapped
+
+
+def _steps(variables, forward_train, forward_eval, lr, combos, mesh,
+           frozen_fn=None, compute_dtype=None):
     optimizer = sgd_momentum(lr, variables, frozen_fn=frozen_fn)
     opt_state = optimizer.init(variables)
     augment = make_augment_fn(combos)
-    train_step = make_train_step(forward_train, optimizer, augment, mesh=mesh)
-    eval_step = make_eval_step(forward_eval, mesh=mesh)
+    train_step = make_train_step(
+        _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh
+    )
+    eval_step = make_eval_step(_cast_inputs(forward_eval, compute_dtype), mesh=mesh)
     return opt_state, train_step, eval_step
 
 
@@ -38,6 +53,7 @@ def make_truncated_resnet50(
     combos: Sequence,
     mesh=None,
     pretrained: Optional[Dict] = None,
+    compute_dtype=None,
 ):
     k1, k2 = jax.random.split(key)
     variables = {
@@ -57,7 +73,8 @@ def make_truncated_resnet50(
         return logits
 
     opt_state, train_step, eval_step = _steps(
-        variables, forward_train, forward_eval, config.lr, combos, mesh
+        variables, forward_train, forward_eval, config.lr, combos, mesh,
+        compute_dtype=compute_dtype,
     )
     return variables, opt_state, train_step, eval_step, forward_eval
 
@@ -70,6 +87,7 @@ def make_gram_attention(
     mesh=None,
     pretrained: Optional[Dict] = None,
     freeze_encoder: bool = False,
+    compute_dtype=None,
 ):
     variables = gram_attention_init(
         key, config.truncate_layer, num_classes, config.gram_matrix_size
@@ -97,7 +115,8 @@ def make_gram_attention(
             path.startswith("classifier") or path.startswith("attention")
         )
     opt_state, train_step, eval_step = _steps(
-        variables, forward_train, forward_eval, config.lr, combos, mesh, frozen_fn
+        variables, forward_train, forward_eval, config.lr, combos, mesh, frozen_fn,
+        compute_dtype=compute_dtype,
     )
     return variables, opt_state, train_step, eval_step, forward_eval
 
@@ -109,6 +128,7 @@ def make_multi_patchgan(
     combos: Sequence,
     mesh=None,
     pretrained: Optional[Dict] = None,
+    compute_dtype=None,
 ):
     variables = multiscale_init(
         key,
@@ -131,6 +151,7 @@ def make_multi_patchgan(
         return logits
 
     opt_state, train_step, eval_step = _steps(
-        variables, forward_train, forward_eval, config.lr, combos, mesh
+        variables, forward_train, forward_eval, config.lr, combos, mesh,
+        compute_dtype=compute_dtype,
     )
     return variables, opt_state, train_step, eval_step, forward_eval
