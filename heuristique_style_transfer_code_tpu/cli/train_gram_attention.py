@@ -11,7 +11,15 @@ from ..config.schema import GramAttentionConfig
 from ..data.imagefolder import ImageFolderIndex
 from ..train.factories import make_gram_attention
 from ..train.kfold import run_kfold
-from ._common import add_tpu_args, build_mesh, load_checkpoint_tree, make_writer, resolve_seed
+from ..utils.logging import maybe_profile
+from ._common import (
+    add_tpu_args,
+    build_mesh,
+    load_checkpoint_tree,
+    make_writer,
+    resolve_compute_dtype,
+    resolve_seed,
+)
 
 
 def build_parser():
