@@ -40,6 +40,11 @@ def add_tpu_args(parser: argparse.ArgumentParser):
         "--profile_dir", type=str, default=None,
         help="Write a jax.profiler trace of the run to this directory",
     )
+    parser.add_argument(
+        "--debug_nans", action="store_true",
+        help="Enable jax debug_nans (the reference leaves torch anomaly mode "
+        "on globally; here it is opt-in)",
+    )
 
 
 def resolve_class_names(
@@ -126,6 +131,14 @@ def cast_forward(forward, compute_dtype):
         return forward(v, images.astype(compute_dtype))
 
     return wrapped
+
+
+def apply_debug_flags(args):
+    """Honour --debug_nans (SURVEY §5 sanitizer-equivalent, opt-in)."""
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
 
 def start_profile(profile_dir: Optional[str]):

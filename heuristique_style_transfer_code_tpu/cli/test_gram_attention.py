@@ -12,6 +12,7 @@ from ..data.imagefolder import ImageFolderIndex
 from ..data.loader import HostLoader
 from ..models.gram_attention import gram_attention_apply
 from ._common import (
+    apply_debug_flags,
     add_tpu_args,
     cast_forward,
     resolve_compute_dtype,
@@ -51,6 +52,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
     os.makedirs(args.save_dir, exist_ok=True)
 
     cfg = GramAttentionConfig.from_json(args.config_path)
@@ -125,7 +127,9 @@ def main(argv=None):
         if args.mode == "tsne":
             from ..tasks.tsne import perform_tsne
 
-            perform_tsne(emb, labels, idx.classes, args.colors, args.save_dir)
+            # family-2 artifact name (test_RESNET50_Truncate_gram_attention.py:110)
+            perform_tsne(emb, labels, idx.classes, args.colors, args.save_dir,
+                         filename="tsne_visualization.png")
         else:
             from ..tasks.tsne import plot_tsne_interactive
 

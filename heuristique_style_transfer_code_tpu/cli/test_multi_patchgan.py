@@ -14,6 +14,7 @@ from ..data.imagefolder import ImageFolderIndex
 from ..data.loader import HostLoader
 from ..models.multi_patchgan import multiscale_test_apply
 from ._common import (
+    apply_debug_flags,
     add_tpu_args,
     cast_forward,
     count_params,
@@ -53,6 +54,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
     os.makedirs(args.save_dir, exist_ok=True)
 
     cfg = MultiPatchGANConfig.from_json(args.config_path)
@@ -155,18 +157,27 @@ def main(argv=None):
         from ..data.augment import eval_preprocess
         from ..tasks.classification import plot_and_save_confusion_matrix
 
+        import time
+
         @jax.jit
         def step(v, images_u8):
             images = eval_preprocess(images_u8)
             _, logits, _ = multiscale_test_apply(v, images, gdim, norm=norm)
             return jnp.argmax(logits, axis=-1)
 
-        all_preds, all_labels = [], []
+        all_preds, all_labels, times = [], [], []
         for batch in loader:
-            p = step(variables, jnp.asarray(batch["image"]))
+            t0 = time.perf_counter()
+            p = np.asarray(step(variables, jnp.asarray(batch["image"])))
             n = batch["n_valid"]
-            all_preds.extend(np.asarray(p)[:n].tolist())
+            if args.measure_time:
+                times.append((time.perf_counter() - t0) / max(n, 1))
+            all_preds.extend(p[:n].tolist())
             all_labels.extend(batch["label"][:n].tolist())
+        if args.measure_time and times:
+            # per-image average, like evaluate_model_test
+            # (functions_Multi_PatchGAN.py:167-174,188)
+            print(f"Temps moyen par image: {np.mean(times):.6f} secondes")
 
         accuracy = float(np.mean(np.array(all_preds) == np.array(all_labels)))
         precision = precision_score(all_labels, all_preds, average="weighted", zero_division=0)

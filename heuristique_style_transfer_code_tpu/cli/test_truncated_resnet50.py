@@ -16,6 +16,7 @@ from ..data.imagefolder import ImageFolderIndex
 from ..data.loader import HostLoader
 from ..models.truncated_resnet50 import classifier_apply, combined_apply, truncated_moco_apply
 from ._common import (
+    apply_debug_flags,
     add_tpu_args,
     cast_forward,
     resolve_compute_dtype,
@@ -64,6 +65,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
     writer = make_writer(args.tensorboard, args.save_dir, "TensorBoard")
 
     if args.list_cameras:

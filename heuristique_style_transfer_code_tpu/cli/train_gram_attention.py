@@ -13,6 +13,7 @@ from ..train.factories import make_gram_attention
 from ..train.kfold import run_kfold
 from ..utils.logging import maybe_profile
 from ._common import (
+    apply_debug_flags,
     add_tpu_args,
     build_mesh,
     load_checkpoint_tree,
@@ -41,6 +42,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
     os.makedirs(args.save_dir, exist_ok=True)
 
     cfg = GramAttentionConfig.from_json(args.config_path)

@@ -13,6 +13,7 @@ from ..train.factories import make_multi_patchgan
 from ..train.kfold import run_kfold
 from ..utils.logging import maybe_profile
 from ._common import (
+    apply_debug_flags,
     add_tpu_args,
     build_mesh,
     load_checkpoint_tree,
@@ -38,6 +39,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
     os.makedirs(args.save_dir, exist_ok=True)
 
     cfg = MultiPatchGANConfig.from_json(args.config_path)

@@ -45,6 +45,7 @@ def perform_tsne(
     results_dir: str = "results",
     show: bool = False,
     random_state: int = 0,
+    filename: str = "tsne_plot.png",
 ) -> str:
     import matplotlib
 
@@ -64,7 +65,7 @@ def perform_tsne(
                     color=color_map[int(label)])
     plt.legend()
     os.makedirs(results_dir, exist_ok=True)
-    path = os.path.join(results_dir, "tsne_plot.png")
+    path = os.path.join(results_dir, filename)
     plt.savefig(path)
     if show:
         plt.show()

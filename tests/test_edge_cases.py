@@ -1,0 +1,120 @@
+"""Edge cases pinned from the reference's behaviour + precision policy."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class TestGramAttentionEdges:
+    def test_truncate_4_returns_zeros(self):
+        """No stage executed -> no grams -> zeros (reference
+        Models_RESNET50_TRUNCATE_GRAM_with_Attention.py:48-49)."""
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_apply,
+            gram_attention_init,
+        )
+
+        v = gram_attention_init(jax.random.PRNGKey(0), 4, 4, 4)
+        x = jnp.ones((2, 64, 64, 3))
+        emb, logits, _ = gram_attention_apply(v, x, truncate=4, gram_matrix_size=4,
+                                              num_classes=4)
+        assert np.all(np.asarray(logits) == 0)
+        assert np.all(np.asarray(emb) == 0)
+
+    def test_seq_len_matches_executed_stages(self):
+        from heuristique_style_transfer_code_tpu.nn.resnet import resnet50_apply, resnet50_init
+
+        params = resnet50_init(jax.random.PRNGKey(0))
+        x = jnp.ones((1, 64, 64, 3))
+        for truncate, want in [(5, 1), (6, 2), (7, 3), (8, 4)]:
+            _, grams, _ = resnet50_apply(params, x, truncate=truncate,
+                                         collect_grams=True, gram_pool_size=4)
+            assert len(grams) == want
+
+
+class TestBf16Policy:
+    def test_bf16_argmax_matches_f32(self):
+        """The bf16 activation policy must not change predictions on
+        well-separated inputs."""
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        v = {
+            "moco": truncated_moco_init(k1, 5, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+        rng = np.random.RandomState(0)
+        x = rng.randn(4, 96, 96, 3).astype(np.float32)
+        logits_f32, _ = combined_apply(v["moco"], v["classifier"], jnp.asarray(x), 5)
+        logits_bf16, _ = combined_apply(
+            v["moco"], v["classifier"], jnp.asarray(x).astype(jnp.bfloat16), 5
+        )
+        f32 = np.asarray(logits_f32)
+        bf16 = np.asarray(logits_bf16).astype(np.float32)
+        np.testing.assert_allclose(bf16, f32, rtol=0.1, atol=0.1)
+        # argmax must agree wherever the f32 decision margin exceeds the
+        # bf16 noise floor (random-init logits can have ~0 margins)
+        sorted_ = np.sort(f32, axis=1)
+        margin = sorted_[:, -1] - sorted_[:, -2]
+        confident = margin > 0.05
+        np.testing.assert_array_equal(
+            bf16.argmax(1)[confident], f32.argmax(1)[confident]
+        )
+
+
+class TestLoaderEdges:
+    def test_single_sample_dataset(self, tiny_imagefolder):
+        from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderIndex
+        from heuristique_style_transfer_code_tpu.data.loader import HostLoader
+
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        loader = HostLoader(idx.samples[:1], batch_size=8)
+        batches = list(loader)
+        assert len(batches) == 1
+        assert batches[0]["n_valid"] == 1
+        assert (batches[0]["label"][1:] == -1).all()
+
+    def test_drop_last(self, tiny_imagefolder):
+        from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderIndex
+        from heuristique_style_transfer_code_tpu.data.loader import HostLoader
+
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))  # 12 samples
+        loader = HostLoader(idx.samples, batch_size=8, drop_last=True)
+        assert len(list(loader)) == 1
+
+    def test_shuffle_deterministic_per_seed(self, tiny_imagefolder):
+        from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderIndex
+        from heuristique_style_transfer_code_tpu.data.loader import HostLoader
+
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        a = HostLoader(idx.samples, 4, shuffle=True, seed=7)
+        b = HostLoader(idx.samples, 4, shuffle=True, seed=7)
+        la = [tuple(batch["indices"]) for batch in a]
+        lb = [tuple(batch["indices"]) for batch in b]
+        assert la == lb
+
+
+class TestShapeFilteredUpdate:
+    def test_partial_and_mismatch(self):
+        from heuristique_style_transfer_code_tpu.checkpoint.pth_converter import (
+            shape_filtered_update,
+        )
+
+        target = {
+            "a": np.zeros((2, 3)),
+            "b": [np.zeros(4), np.zeros(5)],
+            "c": {"x": np.zeros(2), "norm": None},
+        }
+        source = {
+            "a": np.ones((2, 3)),       # same shape -> taken
+            "b": [np.ones(9)],          # wrong shape + short list -> kept
+            "c": {"x": np.ones(2)},     # nested partial
+        }
+        out = shape_filtered_update(target, source)
+        assert (out["a"] == 1).all()
+        assert (out["b"][0] == 0).all() and (out["b"][1] == 0).all()
+        assert (out["c"]["x"] == 1).all()
+        assert out["c"]["norm"] is None
