@@ -56,9 +56,23 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_pytree_npz(tree: Any, path: str) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Atomic write: serialise to a temp file in the same directory, then
+    rename — a crashed run can never leave a torn checkpoint (the resume
+    files best_model_results.json etc. point only at complete ones)."""
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
     flat = {k: np.asarray(v) for k, v in _flatten(tree).items()}
-    np.savez(path, **flat)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def load_pytree_npz(path: str, as_jax: bool = True) -> Any:
@@ -85,3 +99,26 @@ def save_model_and_hyperparameters(tree: Any, hyperparameters: dict, save_dir: s
 def load_hyperparameters(config_path: str) -> dict:
     with open(config_path, "r") as f:
         return json.load(f)
+
+
+# ------------------------------------------------------------- orbax backend
+
+
+def save_pytree_orbax(tree: Any, path: str) -> None:
+    """Orbax StandardCheckpointer save (atomic, async-capable) — the
+    production checkpoint backend for large runs; npz remains the default
+    for its zero-dependency portability."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree_orbax(path: str, like: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(path), target=like)
+    return ckptr.restore(os.path.abspath(path))

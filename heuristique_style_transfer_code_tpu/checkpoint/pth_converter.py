@@ -301,21 +301,51 @@ def convert_multi_patchgan_test_checkpoint(
 # --------------------------------------------------------- strategy (d): shape
 
 
-def shape_filtered_update(target: Any, source: Any) -> Any:
+def shape_filtered_update(target: Any, source: Any, stats: Optional[dict] = None) -> Any:
     """Strategy (d): overwrite target leaves with same-path same-shape source
-    leaves, keep the rest (train_best_Multi_PatchGAN.py:88-94)."""
+    leaves, keep the rest (train_best_Multi_PatchGAN.py:88-94).
+
+    Pass ``stats={}`` to collect {'loaded': n, 'total': m} so callers can
+    report how much of the checkpoint actually matched (a silent near-zero
+    match usually means the wrong checkpoint)."""
     if isinstance(target, dict) and isinstance(source, dict):
         return {
-            k: shape_filtered_update(v, source[k]) if k in source else v
+            k: shape_filtered_update(v, source[k], stats) if k in source
+            else _count_only(v, stats)
             for k, v in target.items()
         }
     if isinstance(target, (list, tuple)) and isinstance(source, (list, tuple)):
         return [
-            shape_filtered_update(t, source[i]) if i < len(source) else t
+            shape_filtered_update(t, source[i], stats) if i < len(source)
+            else _count_only(t, stats)
             for i, t in enumerate(target)
         ]
     if target is None or source is None:
         return target
-    if hasattr(target, "shape") and hasattr(source, "shape") and target.shape == source.shape:
-        return source
+    if hasattr(target, "shape"):
+        if stats is not None:
+            stats["total"] = stats.get("total", 0) + 1
+        if hasattr(source, "shape") and tuple(target.shape) == tuple(source.shape):
+            if stats is not None:
+                stats["loaded"] = stats.get("loaded", 0) + 1
+            return source
     return target
+
+
+def _count_only(tree: Any, stats: Optional[dict]):
+    if stats is not None:
+        for leaf in _iter_leaves(tree):
+            if hasattr(leaf, "shape"):
+                stats["total"] = stats.get("total", 0) + 1
+    return tree
+
+
+def _iter_leaves(tree: Any):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_leaves(v)
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            yield from _iter_leaves(v)
+    else:
+        yield tree

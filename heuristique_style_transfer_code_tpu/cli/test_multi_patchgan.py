@@ -83,9 +83,13 @@ def main(argv=None):
             jax.random.PRNGKey(cfg.seed or 0), cfg.patch_sizes, ndf=cfg.ndf,
             num_classes=cfg.num_classes, gram_matrix_dim=gdim, norm=norm,
         )
-        variables = shape_filtered_update(init, variables)
-        print("Train-variant checkpoint detected: shape-filtered partial load "
-              "into the test architecture.")
+        stats = {}
+        variables = shape_filtered_update(init, variables, stats)
+        print(
+            "Train-variant checkpoint detected: shape-filtered partial load "
+            f"into the test architecture ({stats.get('loaded', 0)}/"
+            f"{stats.get('total', 0)} tensors matched)."
+        )
 
     if args.afficher_params:
         total = count_params(variables)
