@@ -9,7 +9,7 @@ import jax
 
 from ..config.schema import GramAttentionConfig
 from ..data.imagefolder import ImageFolderIndex
-from ..train.factories import make_gram_attention
+from ..train.factories import setup_gram_attention
 from ..train.kfold import run_kfold
 from ..utils.logging import maybe_profile
 from ._common import (
@@ -60,13 +60,16 @@ def main(argv=None):
         pretrained = load_checkpoint_tree(args.model_path, "gram_attention", hyperparameters)
         print(f"Poids du modèle chargés depuis {args.model_path}")
 
+    # compile the train/eval steps ONCE; reuse across all folds
+    setup = setup_gram_attention(
+        cfg, num_classes, combos, mesh=mesh,
+        pretrained=pretrained, freeze_encoder=args.freeze_layers,
+        compute_dtype=resolve_compute_dtype(args.precision),
+    )
+
     def init_fn(key, fold):
-        variables, opt_state, train_step, eval_step, _ = make_gram_attention(
-            key, cfg, num_classes, combos, mesh=mesh,
-            pretrained=pretrained, freeze_encoder=args.freeze_layers,
-            compute_dtype=resolve_compute_dtype(args.precision),
-        )
-        return variables, opt_state, train_step, eval_step
+        variables, opt_state = setup.init(key)
+        return variables, opt_state, setup.train_step, setup.eval_step
 
     with maybe_profile(args.profile_dir):
         run_kfold(

@@ -9,7 +9,7 @@ import jax
 
 from ..config.schema import MultiPatchGANConfig
 from ..data.imagefolder import ImageFolderIndex
-from ..train.factories import make_multi_patchgan
+from ..train.factories import setup_multi_patchgan
 from ..train.kfold import run_kfold
 from ..utils.logging import maybe_profile
 from ._common import (
@@ -57,12 +57,15 @@ def main(argv=None):
         pretrained = load_checkpoint_tree(args.model_path, "multi_patchgan", hyperparameters)
         print(f"Poids du modèle chargés depuis {args.model_path} (shape-filtered)")
 
+    # compile the train/eval steps ONCE; reuse across all folds
+    setup = setup_multi_patchgan(
+        cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
+        compute_dtype=resolve_compute_dtype(args.precision),
+    )
+
     def init_fn(key, fold):
-        variables, opt_state, train_step, eval_step, _ = make_multi_patchgan(
-            key, cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
-            compute_dtype=resolve_compute_dtype(args.precision),
-        )
-        return variables, opt_state, train_step, eval_step
+        variables, opt_state = setup.init(key)
+        return variables, opt_state, setup.train_step, setup.eval_step
 
     with maybe_profile(args.profile_dir):
         run_kfold(

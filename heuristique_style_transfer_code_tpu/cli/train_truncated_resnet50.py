@@ -13,7 +13,7 @@ from ..checkpoint.io import save_pytree_npz
 from ..config.schema import TruncatedResNetConfig
 from ..data.augment import generate_transform_combinations
 from ..data.imagefolder import ImageFolderIndex
-from ..train.factories import make_truncated_resnet50
+from ..train.factories import setup_truncated_resnet50
 from ..train.kfold import run_kfold
 from ..utils.logging import maybe_profile
 from ._common import (
@@ -73,12 +73,15 @@ def main(argv=None):
         pretrained = tree
         print(f"Poids du modèle chargés depuis {args.model_path}")
 
+    # compile the train/eval steps ONCE; reuse across all folds
+    setup = setup_truncated_resnet50(
+        cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
+        compute_dtype=resolve_compute_dtype(args.precision),
+    )
+
     def init_fn(key, fold):
-        variables, opt_state, train_step, eval_step, _ = make_truncated_resnet50(
-            key, cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
-            compute_dtype=resolve_compute_dtype(args.precision),
-        )
-        return variables, opt_state, train_step, eval_step
+        variables, opt_state = setup.init(key)
+        return variables, opt_state, setup.train_step, setup.eval_step
 
     with maybe_profile(args.profile_dir):
         run_kfold(

@@ -22,6 +22,16 @@ from .optim import sgd_momentum
 from .train_loop import make_eval_step, make_train_step
 
 
+def _fresh_copy(tree):
+    """Deep-copy array leaves: the train step donates its input buffers, so
+    per-fold variables must never alias the shared pretrained tree."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: jnp.array(x) if hasattr(x, "shape") else x, tree
+    )
+
+
 def _cast_inputs(forward, compute_dtype):
     """bf16 policy: activations in the MXU's native type, params f32 (ops
     cast kernels at the boundary), logits back in f32 via the loss."""
@@ -34,16 +44,66 @@ def _cast_inputs(forward, compute_dtype):
     return wrapped
 
 
-def _steps(variables, forward_train, forward_eval, lr, combos, mesh,
-           frozen_fn=None, compute_dtype=None):
-    optimizer = sgd_momentum(lr, variables, frozen_fn=frozen_fn)
-    opt_state = optimizer.init(variables)
+class FamilySetup:
+    """Steps compiled ONCE, variables re-initialisable per fold.
+
+    The reference re-creates the model every fold (fine in eager torch); under
+    jit, rebuilding the step closures would force a full recompile per fold —
+    this wrapper shares one compiled train/eval step across all folds."""
+
+    def __init__(self, init_variables, optimizer, train_step, eval_step, forward_eval):
+        self._init_variables = init_variables
+        self._optimizer = optimizer
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.forward_eval = forward_eval
+
+    def init(self, key: jax.Array):
+        variables = self._init_variables(key)
+        return variables, self._optimizer.init(variables)
+
+
+def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
+           frozen_fn=None, compute_dtype=None) -> FamilySetup:
+    template = jax.eval_shape(init_variables, jax.random.PRNGKey(0))
+    optimizer = sgd_momentum(lr, template, frozen_fn=frozen_fn)
     augment = make_augment_fn(combos)
     train_step = make_train_step(
         _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh
     )
     eval_step = make_eval_step(_cast_inputs(forward_eval, compute_dtype), mesh=mesh)
-    return opt_state, train_step, eval_step
+    return FamilySetup(init_variables, optimizer, train_step, eval_step, forward_eval)
+
+
+def setup_truncated_resnet50(
+    config: TruncatedResNetConfig,
+    num_classes: int,
+    combos: Sequence,
+    mesh=None,
+    pretrained: Optional[Dict] = None,
+    compute_dtype=None,
+) -> FamilySetup:
+    t = config.truncate_layer
+
+    def init_variables(key):
+        if pretrained is not None:
+            return _fresh_copy(pretrained)
+        k1, k2 = jax.random.split(key)
+        return {
+            "moco": truncated_moco_init(k1, t, dim=config.dim),
+            "classifier": classifier_init(k2, config.dim, num_classes),
+        }
+
+    def forward_train(v, images):
+        logits, new_moco = combined_apply(v["moco"], v["classifier"], images, t, train=True)
+        return logits, {"moco": new_moco, "classifier": v["classifier"]}
+
+    def forward_eval(v, images):
+        logits, _ = combined_apply(v["moco"], v["classifier"], images, t, train=False)
+        return logits
+
+    return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
+                  mesh, compute_dtype=compute_dtype)
 
 
 def make_truncated_resnet50(
@@ -55,32 +115,14 @@ def make_truncated_resnet50(
     pretrained: Optional[Dict] = None,
     compute_dtype=None,
 ):
-    k1, k2 = jax.random.split(key)
-    variables = {
-        "moco": truncated_moco_init(k1, config.truncate_layer, dim=config.dim),
-        "classifier": classifier_init(k2, config.dim, num_classes),
-    }
-    if pretrained is not None:
-        variables = pretrained
-    t = config.truncate_layer
-
-    def forward_train(v, images):
-        logits, new_moco = combined_apply(v["moco"], v["classifier"], images, t, train=True)
-        return logits, {"moco": new_moco, "classifier": v["classifier"]}
-
-    def forward_eval(v, images):
-        logits, _ = combined_apply(v["moco"], v["classifier"], images, t, train=False)
-        return logits
-
-    opt_state, train_step, eval_step = _steps(
-        variables, forward_train, forward_eval, config.lr, combos, mesh,
-        compute_dtype=compute_dtype,
+    setup = setup_truncated_resnet50(
+        config, num_classes, combos, mesh, pretrained, compute_dtype
     )
-    return variables, opt_state, train_step, eval_step, forward_eval
+    variables, opt_state = setup.init(key)
+    return variables, opt_state, setup.train_step, setup.eval_step, setup.forward_eval
 
 
-def make_gram_attention(
-    key: jax.Array,
+def setup_gram_attention(
     config: GramAttentionConfig,
     num_classes: int,
     combos: Sequence,
@@ -88,15 +130,16 @@ def make_gram_attention(
     pretrained: Optional[Dict] = None,
     freeze_encoder: bool = False,
     compute_dtype=None,
-):
-    variables = gram_attention_init(
-        key, config.truncate_layer, num_classes, config.gram_matrix_size
-    )
-    if pretrained is not None:
-        from ..checkpoint.pth_converter import shape_filtered_update
-
-        variables = shape_filtered_update(variables, pretrained)
+) -> FamilySetup:
     t, s = config.truncate_layer, config.gram_matrix_size
+
+    def init_variables(key):
+        variables = gram_attention_init(key, t, num_classes, s)
+        if pretrained is not None:
+            from ..checkpoint.pth_converter import shape_filtered_update
+
+            variables = _fresh_copy(shape_filtered_update(variables, pretrained))
+        return variables
 
     def forward_train(v, images):
         _, logits, new_v = gram_attention_apply(
@@ -114,11 +157,57 @@ def make_gram_attention(
         frozen_fn = lambda path: not (
             path.startswith("classifier") or path.startswith("attention")
         )
-    opt_state, train_step, eval_step = _steps(
-        variables, forward_train, forward_eval, config.lr, combos, mesh, frozen_fn,
-        compute_dtype=compute_dtype,
+    return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
+                  mesh, frozen_fn, compute_dtype)
+
+
+def make_gram_attention(
+    key: jax.Array,
+    config: GramAttentionConfig,
+    num_classes: int,
+    combos: Sequence,
+    mesh=None,
+    pretrained: Optional[Dict] = None,
+    freeze_encoder: bool = False,
+    compute_dtype=None,
+):
+    setup = setup_gram_attention(
+        config, num_classes, combos, mesh, pretrained, freeze_encoder, compute_dtype
     )
-    return variables, opt_state, train_step, eval_step, forward_eval
+    variables, opt_state = setup.init(key)
+    return variables, opt_state, setup.train_step, setup.eval_step, setup.forward_eval
+
+
+def setup_multi_patchgan(
+    config: MultiPatchGANConfig,
+    num_classes: int,
+    combos: Sequence,
+    mesh=None,
+    pretrained: Optional[Dict] = None,
+    compute_dtype=None,
+) -> FamilySetup:
+    norm = config.norm
+
+    def init_variables(key):
+        variables = multiscale_init(
+            key, config.patch_sizes, ndf=config.ndf,
+            num_classes=num_classes, norm=norm,
+        )
+        if pretrained is not None:
+            from ..checkpoint.pth_converter import shape_filtered_update
+
+            variables = _fresh_copy(shape_filtered_update(variables, pretrained))
+        return variables
+
+    def forward_train(v, images):
+        return multiscale_apply(v, images, norm=norm, train=True)
+
+    def forward_eval(v, images):
+        logits, _ = multiscale_apply(v, images, norm=norm, train=False)
+        return logits
+
+    return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
+                  mesh, compute_dtype=compute_dtype)
 
 
 def make_multi_patchgan(
@@ -130,28 +219,8 @@ def make_multi_patchgan(
     pretrained: Optional[Dict] = None,
     compute_dtype=None,
 ):
-    variables = multiscale_init(
-        key,
-        config.patch_sizes,
-        ndf=config.ndf,
-        num_classes=num_classes,
-        norm=config.norm,
+    setup = setup_multi_patchgan(
+        config, num_classes, combos, mesh, pretrained, compute_dtype
     )
-    if pretrained is not None:
-        from ..checkpoint.pth_converter import shape_filtered_update
-
-        variables = shape_filtered_update(variables, pretrained)
-    norm = config.norm
-
-    def forward_train(v, images):
-        return multiscale_apply(v, images, norm=norm, train=True)
-
-    def forward_eval(v, images):
-        logits, _ = multiscale_apply(v, images, norm=norm, train=False)
-        return logits
-
-    opt_state, train_step, eval_step = _steps(
-        variables, forward_train, forward_eval, config.lr, combos, mesh,
-        compute_dtype=compute_dtype,
-    )
-    return variables, opt_state, train_step, eval_step, forward_eval
+    variables, opt_state = setup.init(key)
+    return variables, opt_state, setup.train_step, setup.eval_step, setup.forward_eval
