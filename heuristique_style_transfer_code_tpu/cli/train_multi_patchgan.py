@@ -77,6 +77,7 @@ def main(argv=None):
         save_dir=args.save_dir,
         hyperparameters=hyperparameters,
         init_fn=init_fn,
+        mesh=mesh,
         key=jax.random.PRNGKey(seed),
         writer=writer,
     )

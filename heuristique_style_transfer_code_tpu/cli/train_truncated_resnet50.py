@@ -93,6 +93,7 @@ def main(argv=None):
         save_dir=args.save_dir,
         hyperparameters=hyperparameters,
         init_fn=init_fn,
+        mesh=mesh,
         combos_per_sample=len(combos),
         key=jax.random.PRNGKey(seed),
         writer=writer,

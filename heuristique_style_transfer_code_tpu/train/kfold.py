@@ -56,6 +56,7 @@ def run_kfold(
     num_workers: int = 8,
     verbose_batches: bool = True,
     save_fn: Optional[Callable] = None,
+    mesh=None,
 ) -> Dict:
     """Runs the full CV protocol; returns training_info dict."""
     from sklearn.model_selection import KFold
@@ -121,6 +122,7 @@ def run_kfold(
             fold=fold,
             writer=writer,
             verbose_batches=verbose_batches,
+            mesh=mesh,
         )
         result = evaluate(
             eval_step, variables, val_loader, num_classes, fold=fold, writer=writer

@@ -111,6 +111,30 @@ def make_eval_step(
     return jax.jit(step)
 
 
+def device_prefetch(loader, mesh: Optional[Mesh] = None, depth: int = 2):
+    """Async-transfer batches ahead of consumption: jax.device_put is
+    non-blocking, so the next batch's H2D overlaps the current step's compute
+    (the jit transfer would otherwise serialise on the relay/PCIe)."""
+    sharding = NamedSharding(mesh, P("data")) if mesh is not None else None
+
+    def put(batch):
+        out = dict(batch)
+        for k in ("image", "label", "combo"):
+            out[k] = (
+                jax.device_put(batch[k], sharding)
+                if sharding is not None
+                else jax.device_put(batch[k])
+            )
+        return out
+
+    pending = []
+    for batch in loader:
+        pending.append(put(batch))
+        if len(pending) >= depth:
+            yield pending.pop(0)
+    yield from pending
+
+
 def train_epochs(
     train_step,
     variables,
@@ -122,13 +146,14 @@ def train_epochs(
     log_fn: Callable[[str], None] = print,
     writer=None,
     verbose_batches: bool = True,
+    mesh: Optional[Mesh] = None,
 ):
     """Reference train loop semantics (functions_RESNET50_Truncate.py:63-87):
     per-batch loss prints, per-epoch mean loss (+ optional TB scalar)."""
     n_batches = len(loader)
     for epoch in range(num_epochs):
         running, seen = 0.0, 0
-        for batch_idx, batch in enumerate(loader):
+        for batch_idx, batch in enumerate(device_prefetch(loader, mesh)):
             key, sub = jax.random.split(key)
             variables, opt_state, loss = train_step(
                 variables,

@@ -109,3 +109,25 @@ def test_pth_embeddings_close_to_torch(tiny_imagefolder, reference_pth):
     with torch.no_grad():
         want = moco(x).numpy()
     np.testing.assert_allclose(np.asarray(emb), want, rtol=1e-3, atol=1e-3)
+
+
+def test_convert_checkpoint_cli(reference_pth, tmp_path):
+    """Offline .pth -> .npz conversion, then the npz drives the model."""
+    import jax.numpy as jnp
+
+    from heuristique_style_transfer_code_tpu.checkpoint.io import load_pytree_npz
+    from heuristique_style_transfer_code_tpu.cli.convert_checkpoint import main
+    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+        truncated_moco_apply,
+    )
+
+    pth, cfg, moco, clf = reference_pth
+    out = str(tmp_path / "converted.npz")
+    main(["--family", "truncated_resnet50", "--input", pth, "--output", out])
+    tree = load_pytree_npz(out)
+    emb, _ = truncated_moco_apply(tree["moco"], jnp.ones((1, 224, 224, 3)), 5)
+    import torch
+
+    with torch.no_grad():
+        want = moco(torch.ones(1, 3, 224, 224)).numpy()
+    np.testing.assert_allclose(np.asarray(emb), want, rtol=1e-3, atol=1e-3)
