@@ -129,7 +129,7 @@ def main(argv=None):
             prob_threshold=args.prob_threshold, measure_time=args.measure_time,
             save_test_images=args.save_test_images, compute_auc=args.compute_auc,
             gradcam_fn=gradcam_fn, save_gradcam_images=args.save_gradcam_images,
-            colormap=args.colormap,
+            colormap=args.colormap, writer=writer,
         )
         print(
             f"Précision du test: {res['accuracy']}, Perte du test: {res['loss']}, "

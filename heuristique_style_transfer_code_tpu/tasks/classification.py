@@ -74,6 +74,7 @@ def run_classification_test(
     save_gradcam_images: bool = False,
     colormap: str = "hot",
     embed_fn: Optional[Callable] = None,
+    writer=None,
     log_fn=print,
 ) -> Dict:
     """Returns the reference's tuple as a dict:
@@ -139,6 +140,15 @@ def run_classification_test(
                 text = f"Label: {label_name}, Pred: {pred_name}, Prob: {max_probs[j]:.4f}"
                 cv2.putText(img, text, (10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
                 cv2.imwrite(os.path.join(save_dir, label_name, f"{bi}_{j}.png"), img)
+
+                if writer is not None:
+                    # TB per-image logging (functions_RESNET50_Truncate.py:769-772)
+                    writer.add_image(
+                        f"Test/Images/{bi}_{j}",
+                        cv2.cvtColor(img, cv2.COLOR_BGR2RGB).transpose(2, 0, 1),
+                        global_step=bi,
+                    )
+                    writer.add_text(f"Test/Prédictions/{bi}_{j}", text, global_step=bi)
 
                 if gradcam_fn is not None:
                     overlay_path = os.path.join(

@@ -266,3 +266,59 @@ class TestCamera:
         assert summary["frames"] == 5
         assert os.path.exists(os.path.join(str(tmp_path), "times_camera.json"))
         assert summary["fps"] > 0
+
+
+class TestCameraRecording:
+    def test_save_video_headless(self, tmp_path, family1):
+        """--save_camera_video writes camera_output.avi without a display."""
+        import cv2
+
+        from heuristique_style_transfer_code_tpu.tasks.camera import run_camera
+
+        cfg, variables, forward_eval = family1
+        video_path = str(tmp_path / "in.avi")
+        w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            w.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+        w.release()
+
+        summary = run_camera(
+            forward_eval, variables, ["fog", "rain", "snow", "sun"],
+            save_video=True, save_dir=str(tmp_path), camera_index=video_path,
+            max_frames=4, display=False,
+        )
+        out = os.path.join(str(tmp_path), "camera_output.avi")
+        assert summary["frames"] == 4
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+        cap = cv2.VideoCapture(out)
+        ok, frame = cap.read()
+        cap.release()
+        assert ok and frame.shape[2] == 3
+
+
+class TestTBLogging:
+    def test_writer_receives_images(self, tiny_imagefolder, tmp_path, family1):
+        from heuristique_style_transfer_code_tpu.tasks.classification import (
+            run_classification_test,
+        )
+
+        class FakeWriter:
+            def __init__(self):
+                self.images, self.texts = [], []
+
+            def add_image(self, tag, img, global_step=None):
+                self.images.append((tag, img.shape))
+
+            def add_text(self, tag, text, global_step=None):
+                self.texts.append(tag)
+
+        cfg, variables, forward_eval = family1
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        loader = HostLoader(idx.samples[:4], batch_size=4)
+        writer = FakeWriter()
+        run_classification_test(
+            forward_eval, variables, loader, idx.samples, idx.classes,
+            str(tmp_path / "tb"), save_test_images=True, writer=writer,
+        )
+        assert len(writer.images) == 4 and len(writer.texts) == 4
