@@ -14,7 +14,7 @@ import numpy as np
 from ..config.schema import TruncatedResNetConfig
 from ..data.imagefolder import ImageFolderIndex
 from ..data.loader import HostLoader
-from ..models.truncated_resnet50 import classifier_apply, combined_apply, truncated_moco_apply
+from ..models.truncated_resnet50 import combined_apply, truncated_moco_apply
 from ._common import (
     apply_debug_flags,
     add_tpu_args,

@@ -9,7 +9,6 @@ import os
 
 import jax
 
-from ..checkpoint.io import save_pytree_npz
 from ..config.schema import TruncatedResNetConfig
 from ..data.augment import generate_transform_combinations
 from ..data.imagefolder import ImageFolderIndex

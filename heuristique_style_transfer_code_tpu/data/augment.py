@@ -27,7 +27,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.resize import center_crop, normalize_imagenet, resize_image
+from ..ops.resize import center_crop, normalize_imagenet
 
 AVAILABLE_COLOR_TRANSFORMS = ("brightness", "contrast", "saturation", "hue", "grayscale")
 AVAILABLE_GEOM_TRANSFORMS = (

@@ -12,7 +12,6 @@ with a thread-pool prefetcher feeding fixed-shape device batches.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

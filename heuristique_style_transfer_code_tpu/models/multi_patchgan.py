@@ -10,7 +10,7 @@ Reference: Models/Models_Multi_PatchGAN.py
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -47,7 +47,8 @@ def multihead_attention(params, x: jax.Array, num_heads: int = 1) -> jax.Array:
     w = params["in_proj_weight"].astype(x.dtype)  # (3E, E)
     b = params["in_proj_bias"].astype(x.dtype)
 
-    qkv = jnp.einsum("lne,fe->lnf", x, w, preferred_element_type=jnp.float32).astype(
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
+    qkv = jnp.einsum("lne,fe->lnf", x, w, preferred_element_type=pet).astype(
         x.dtype
     ) + b
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -58,16 +59,16 @@ def multihead_attention(params, x: jax.Array, num_heads: int = 1) -> jax.Array:
 
     q, k, v = heads(q), heads(k), heads(v)
     q = q * (D ** -0.5)
-    logits = jnp.einsum("nhld,nhmd->nhlm", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("nhld,nhmd->nhlm", q, k, preferred_element_type=pet).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("nhlm,nhmd->nhld", probs, v, preferred_element_type=jnp.float32).astype(
+    ctx = jnp.einsum("nhlm,nhmd->nhld", probs, v, preferred_element_type=pet).astype(
         x.dtype
     )
     ctx = ctx.transpose(2, 0, 1, 3).reshape(L, N, E)
 
     wo = params["out_proj_weight"].astype(x.dtype)
     bo = params["out_proj_bias"].astype(x.dtype)
-    out = jnp.einsum("lne,fe->lnf", ctx, wo, preferred_element_type=jnp.float32).astype(
+    out = jnp.einsum("lne,fe->lnf", ctx, wo, preferred_element_type=pet).astype(
         x.dtype
     ) + bo
     return out

@@ -16,6 +16,17 @@ from jax import lax
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
+def _pet(dtype):
+    """preferred_element_type: request f32 output only for f32 operands.
+    For bf16 operands the MXU already accumulates in f32 internally, and an
+    explicit f32 PET breaks the transpose (autodiff) rule with mixed-dtype
+    cotangents."""
+    import jax.numpy as _jnp
+
+    return _jnp.float32 if dtype == _jnp.float32 else None
+
+
+
 def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
@@ -61,7 +72,7 @@ def conv2d(
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_pet(x.dtype),
     )
     if "bias" in params:
         y = y + params["bias"]

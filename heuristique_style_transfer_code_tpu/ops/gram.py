@@ -26,7 +26,8 @@ def gram_matrix_nhwc(x: jax.Array) -> jax.Array:
     """x: (N, H, W, C) -> (N, C, C) = f f^T / (H*W), f = (C, H*W)."""
     n, h, w, c = x.shape
     f = x.reshape(n, h * w, c)
-    g = jnp.einsum("nsc,nsd->ncd", f, f, preferred_element_type=jnp.float32)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
+    g = jnp.einsum("nsc,nsd->ncd", f, f, preferred_element_type=pet).astype(jnp.float32)
     return (g / (h * w)).astype(x.dtype)
 
 
@@ -38,7 +39,8 @@ def gram_matrix_ncl(f: jax.Array, denom: float | None = None) -> jax.Array:
     """
     if denom is None:
         denom = f.shape[-1]
-    g = jnp.einsum("ncl,ndl->ncd", f, f, preferred_element_type=jnp.float32)
+    pet = jnp.float32 if f.dtype == jnp.float32 else None
+    g = jnp.einsum("ncl,ndl->ncd", f, f, preferred_element_type=pet).astype(jnp.float32)
     return (g / denom).astype(f.dtype)
 
 
@@ -51,8 +53,9 @@ def pooled_gram_nhwc(x: jax.Array, out_size: int) -> jax.Array:
     n, h, w, c = x.shape
     p = adaptive_pool_matrix(c, out_size).astype(x.dtype)  # (S, C)
     f = x.reshape(n, h * w, c)
-    pf = jnp.einsum("nsc,oc->nso", f, p, preferred_element_type=jnp.float32).astype(
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
+    pf = jnp.einsum("nsc,oc->nso", f, p, preferred_element_type=pet).astype(
         x.dtype
     )  # (N, HW, S)
-    g = jnp.einsum("nso,nsp->nop", pf, pf, preferred_element_type=jnp.float32)
+    g = jnp.einsum("nso,nsp->nop", pf, pf, preferred_element_type=pet).astype(jnp.float32)
     return (g / (h * w)).astype(x.dtype)

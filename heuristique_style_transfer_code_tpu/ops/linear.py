@@ -22,6 +22,8 @@ def linear_init(key: jax.Array, in_features: int, out_features: int, dtype=jnp.f
 
 
 def linear(params, x: jax.Array) -> jax.Array:
-    y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
-    y = y + params["bias"]
+    kernel = params["kernel"].astype(x.dtype)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
+    y = jnp.dot(x, kernel, preferred_element_type=pet)
+    y = y + params["bias"].astype(y.dtype)
     return y.astype(x.dtype)

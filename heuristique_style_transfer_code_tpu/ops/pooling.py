@@ -38,8 +38,9 @@ def adaptive_avg_pool2d(x: jax.Array, output_size) -> jax.Array:
     h, w = x.shape[-2], x.shape[-1]
     ph = adaptive_pool_matrix(h, oh).astype(x.dtype)
     pw = adaptive_pool_matrix(w, ow).astype(x.dtype)
-    y = jnp.einsum("...hw,oh->...ow", x, ph, preferred_element_type=jnp.float32)
-    y = jnp.einsum("...hw,pw->...hp", y, pw, preferred_element_type=jnp.float32)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
+    y = jnp.einsum("...hw,oh->...ow", x, ph, preferred_element_type=pet)
+    y = jnp.einsum("...hw,pw->...hp", y.astype(x.dtype), pw, preferred_element_type=pet)
     return y.astype(x.dtype)
 
 

@@ -11,7 +11,7 @@ Rules are path-based so they apply to any of the three families' trees.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

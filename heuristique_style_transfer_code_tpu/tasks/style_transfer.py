@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import time
 from datetime import datetime
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

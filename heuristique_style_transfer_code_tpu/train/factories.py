@@ -5,7 +5,7 @@ train CLIs' model-construction blocks (e.g. train_best_RESNET50_Truncate.py:
 179-194)."""
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 

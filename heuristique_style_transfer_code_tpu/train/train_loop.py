@@ -12,8 +12,7 @@ TPU design:
 """
 from __future__ import annotations
 
-import time
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -118,3 +118,47 @@ class TestShapeFilteredUpdate:
         assert (out["b"][0] == 0).all() and (out["b"][1] == 0).all()
         assert (out["c"]["x"] == 1).all()
         assert out["c"]["norm"] is None
+
+
+class TestBf16Training:
+    @pytest.mark.parametrize("family", ["f1", "f2", "f3"])
+    def test_bf16_train_step_runs(self, family):
+        """bf16 activations through fwd+bwd+SGD for every family (regression:
+        f32 preferred_element_type used to break the conv transpose rule)."""
+        from heuristique_style_transfer_code_tpu.config.schema import (
+            GramAttentionConfig,
+            MultiPatchGANConfig,
+            TruncatedResNetConfig,
+        )
+        from heuristique_style_transfer_code_tpu.train.factories import (
+            setup_gram_attention,
+            setup_multi_patchgan,
+            setup_truncated_resnet50,
+        )
+
+        if family == "f1":
+            setup = setup_truncated_resnet50(
+                TruncatedResNetConfig(batch_size=4, truncate_layer=5, dim=16),
+                4, [(None, None)], compute_dtype=jnp.bfloat16,
+            )
+        elif family == "f2":
+            setup = setup_gram_attention(
+                GramAttentionConfig(batch_size=4, truncate_layer=5,
+                                    gram_matrix_size=4, num_classes=4),
+                4, [(None, None)], compute_dtype=jnp.bfloat16,
+            )
+        else:
+            setup = setup_multi_patchgan(
+                MultiPatchGANConfig(batch_size=4,
+                                    patch_sizes={"small": 10, "medium": 16, "large": 20},
+                                    ndf=16, gram_matrix_dim=16, norm="instance",
+                                    num_classes=4),
+                4, [(None, None)], compute_dtype=jnp.bfloat16,
+            )
+        v, o = setup.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        imgs = rng.randint(0, 256, (4, 256, 256, 3), np.uint8)
+        labels = (np.arange(4) % 4).astype(np.int32)
+        v, o, loss = setup.train_step(v, o, imgs, labels, np.zeros(4, np.int32),
+                                      jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
