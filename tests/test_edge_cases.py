@@ -1,5 +1,6 @@
 """Edge cases pinned from the reference's behaviour + precision policy."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
