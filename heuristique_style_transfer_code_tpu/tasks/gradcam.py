@@ -105,6 +105,16 @@ def _cv2_colormap(name: str):
     return _CV2_COLORMAPS.get(str(name).lower(), _CV2_COLORMAPS["hot"])
 
 
+def create_custom_colormap():
+    """Blue->red gradient colormap (reference helper,
+    functions_RESNET50_Truncate.py:654-658)."""
+    from matplotlib.colors import LinearSegmentedColormap
+
+    return LinearSegmentedColormap.from_list(
+        "custom_cmap", [(0, 0, 1), (1, 0, 0)], N=256
+    )
+
+
 def generate_heatmap_overlays(
     cam: np.ndarray,
     original_path: str,
