@@ -89,7 +89,6 @@ def main(argv=None):
     if args.mode == "classification":
         from sklearn.metrics import f1_score, precision_score, recall_score
 
-        from ..tasks.embeddings import compute_embeddings_with_paths
         import numpy as np
         import jax
         import jax.numpy as jnp

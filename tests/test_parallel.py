@@ -131,3 +131,20 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert out.shape == (8, 4)
         np.testing.assert_allclose(np.asarray(out).sum(axis=1), 1.0, rtol=1e-4)
+
+
+class TestMeshSizes:
+    @pytest.mark.parametrize("n,want", [(8, {"data": 4, "model": 2}),
+                                        (4, {"data": 2, "model": 2}),
+                                        (2, {"data": 1, "model": 2}),
+                                        (1, {"data": 1, "model": 1})])
+    def test_mesh_factorisation(self, n, want):
+        from heuristique_style_transfer_code_tpu.parallel.sharding import make_mesh_2d
+
+        mesh = make_mesh_2d(n)
+        assert dict(mesh.shape) == want
+
+    def test_dryrun_small_counts(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(2)
