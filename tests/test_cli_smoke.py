@@ -211,3 +211,26 @@ class TestRootWrappers:
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
             assert callable(mod.main)
+
+
+class TestGradCAMCLI:
+    def test_gradcam_images_written(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        out = str(tmp_path / "gc")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "classification", "--save_dir", out, "--num_samples", "2",
+            "--save_test_images", "--visualize_gradcam", "--save_gradcam_images",
+            "--colormap", "jet", "--batch_size", "2",
+        ])
+        import glob
+
+        gradcam_files = glob.glob(os.path.join(out, "GradCAM_*", "*.png"))
+        annotated = [
+            f for cls in ("fog", "rain", "snow", "sun")
+            for f in glob.glob(os.path.join(out, cls, "*.png"))
+        ]
+        assert len(gradcam_files) == 2
+        assert len(annotated) == 2
