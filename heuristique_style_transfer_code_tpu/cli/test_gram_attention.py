@@ -46,6 +46,10 @@ def build_parser():
     parser.add_argument("--num_iterations", default=500, type=int)
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--camera_index", type=str, default="0")
+    parser.add_argument("--device_preprocess", action="store_true",
+                        help="Run the full resize pipeline on-device instead of "
+                        "host-downscaling frames before transfer (prefer when "
+                        "the TPU is directly attached)")
     add_tpu_args(parser)
     return parser
 
@@ -149,7 +153,7 @@ def main(argv=None):
             forward_eval, variables, class_names,
             save_video=args.save_camera_video, save_dir=args.save_dir,
             prob_threshold=args.prob_threshold, measure_time=args.measure_time,
-            camera_index=cam_index,
+            camera_index=cam_index, host_downscale=not args.device_preprocess,
         )
 
     elif args.mode == "style_transfer":

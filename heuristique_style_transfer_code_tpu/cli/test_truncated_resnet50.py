@@ -55,6 +55,10 @@ def build_parser():
     parser.add_argument("--test_data", type=str)
     parser.add_argument("--list_cameras", action="store_true")
     parser.add_argument("--camera_index", type=str, default="0")
+    parser.add_argument("--device_preprocess", action="store_true",
+                        help="Run the full resize pipeline on-device instead of "
+                        "host-downscaling frames before transfer (prefer when "
+                        "the TPU is directly attached)")
     parser.add_argument("--colormap", type=str, default="hot")
     parser.add_argument("--compute_auc", action="store_true")
     parser.add_argument("--classes", nargs="+", type=str)
@@ -187,6 +191,7 @@ def main(argv=None):
             save_video=args.save_camera_video, save_dir=args.save_dir,
             prob_threshold=args.prob_threshold, measure_time=args.measure_time,
             kalman_filter=args.kalman_filter, camera_index=cam_index,
+            host_downscale=not args.device_preprocess,
         )
     else:
         raise ValueError(f"Mode non reconnu: {args.mode}")
