@@ -67,6 +67,30 @@ def main(argv=None):
     s = cfg.gram_matrix_size
 
     variables = load_checkpoint_tree(args.model_path, "gram_attention", config)
+    if "encoder" not in variables and isinstance(variables.get("moco"), dict):
+        # family-1 checkpoint: reuse its encoder, fresh gram/attention head
+        # (mirrors the reference's encoder-only load_model path,
+        # functions_RESNET50_Truncate_Gram_Attention.py:29-58)
+        import jax
+
+        from ..checkpoint.pth_converter import shape_filtered_update
+        from ..models.gram_attention import gram_attention_init
+
+        init = gram_attention_init(
+            jax.random.PRNGKey(cfg.seed or 0), truncate, num_classes, s
+        )
+        variables = shape_filtered_update(
+            init, {"encoder": variables["moco"].get("encoder", {})}
+        )
+        print(
+            "Family-1 checkpoint detected: loaded its encoder; gram/attention "
+            "head freshly initialised."
+        )
+    if "encoder" not in variables:
+        raise KeyError(
+            f"Checkpoint {args.model_path} has no encoder for the gram-attention "
+            "architecture (expected 'encoder' or a family-1 'moco' tree)."
+        )
 
     if args.afficher_params:
         total = count_params(variables)

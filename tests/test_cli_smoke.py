@@ -234,3 +234,22 @@ class TestGradCAMCLI:
         ]
         assert len(gradcam_files) == 2
         assert len(annotated) == 2
+
+
+class TestCrossFamilyCheckpoint:
+    def test_family1_ckpt_in_gram_attention_cli(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """A family-1 checkpoint drives the gram-attention CLI: its encoder is
+        reused, the head freshly initialised (reference load_model semantics)."""
+        from heuristique_style_transfer_code_tpu.cli.test_gram_attention import main
+
+        out = str(tmp_path / "xfam")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "style_transfer", "--save_dir", out,
+            "--layers", "5", "--num_iterations", "2", "--threshold", "1e-3",
+            "--num_samples", "2",
+        ])
+        assert any(d.startswith("style_transfer_") for d in os.listdir(out))
