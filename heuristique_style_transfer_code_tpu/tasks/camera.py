@@ -65,6 +65,57 @@ def make_camera_infer_fn(
     return infer
 
 
+def rgb_to_yuv420(rgb: np.ndarray) -> np.ndarray:
+    """RGB (H,W,3) uint8 -> planar I420 (H*3//2, W) uint8 via cv2 (BT.601).
+    Cameras deliver YUV natively; shipping it halves the device transfer
+    (1.5 vs 3 bytes/pixel) at the cost of standard 4:2:0 chroma subsampling."""
+    import cv2
+
+    return cv2.cvtColor(rgb, cv2.COLOR_RGB2YUV_I420)
+
+
+def yuv420_to_rgb_device(yuv: jax.Array, h: int, w: int) -> jax.Array:
+    """Jit-compatible planar I420 -> float RGB in [0,1]. BT.601 *studio
+    swing* (Y in [16,235]) — the convention cv2's COLOR_RGB2YUV_I420 emits."""
+    y = yuv[:h, :].astype(jnp.float32)
+    u_plane = yuv[h : h + h // 4, :].reshape(h // 2, w // 2)
+    v_plane = yuv[h + h // 4 :, :].reshape(h // 2, w // 2)
+
+    def upsample(p):
+        p = jnp.repeat(p, 2, axis=0)
+        return jnp.repeat(p, 2, axis=1).astype(jnp.float32)
+
+    c = 1.164 * (y - 16.0)
+    d = upsample(u_plane) - 128.0
+    e = upsample(v_plane) - 128.0
+    r = c + 1.596 * e
+    g = c - 0.392 * d - 0.813 * e
+    b = c + 2.017 * d
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(rgb / 255.0, 0.0, 1.0)
+
+
+def make_camera_infer_fn_yuv(forward_eval: Callable, crop: int = 224,
+                             compute_dtype=None, batch: Optional[int] = None):
+    """Like make_camera_infer_fn(host_downscale=True) but the frame arrives
+    as planar I420 (half the bytes over the host->device link)."""
+
+    @jax.jit
+    def infer(variables, yuv_u8):
+        if batch is None:
+            x = yuv420_to_rgb_device(yuv_u8, crop, crop)[None]
+        else:
+            x = jax.vmap(lambda f: yuv420_to_rgb_device(f, crop, crop))(yuv_u8)
+        x = normalize_imagenet(x)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        logits = forward_eval(variables, x)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs if batch is not None else probs[0]
+
+    return infer
+
+
 def downscale_frame(rgb: np.ndarray, crop: int = 224, shorter: int = 256) -> np.ndarray:
     """Host-side cv2 downscale: shorter side -> 256 (INTER_AREA ~= antialiased
     bilinear), center crop 224. ~1 ms of SIMD on the host in exchange for a

@@ -322,3 +322,43 @@ class TestTBLogging:
             str(tmp_path / "tb"), save_test_images=True, writer=writer,
         )
         assert len(writer.images) == 4 and len(writer.texts) == 4
+
+
+class TestYUVTransfer:
+    def test_yuv_roundtrip_matches_cv2(self):
+        import cv2
+        from heuristique_style_transfer_code_tpu.tasks.camera import (
+            rgb_to_yuv420,
+            yuv420_to_rgb_device,
+        )
+
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 256, (14, 14, 3)).astype(np.uint8)
+        rgb = cv2.resize(base, (224, 224), interpolation=cv2.INTER_CUBIC)
+        yuv = rgb_to_yuv420(rgb)
+        assert yuv.shape == (336, 224)
+        back = np.asarray(yuv420_to_rgb_device(jnp.asarray(yuv), 224, 224)) * 255
+        cv2_back = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420).astype(np.float32)
+        assert np.abs(back - cv2_back).mean() < 0.5  # matches cv2's inverse
+
+    def test_yuv_infer_matches_rgb_predictions(self, family1):
+        import cv2
+        from heuristique_style_transfer_code_tpu.tasks.camera import (
+            make_camera_infer_fn,
+            make_camera_infer_fn_yuv,
+            rgb_to_yuv420,
+        )
+
+        cfg, variables, forward_eval = family1
+        rng = np.random.RandomState(1)
+        base = rng.randint(0, 256, (4, 14, 14, 3)).astype(np.uint8)
+        rgb = np.stack([
+            cv2.resize(b, (224, 224), interpolation=cv2.INTER_CUBIC) for b in base
+        ])
+        yuv = np.stack([rgb_to_yuv420(f) for f in rgb])
+        inferR = make_camera_infer_fn(forward_eval, (224, 224), batch=4,
+                                      host_downscale=True)
+        inferY = make_camera_infer_fn_yuv(forward_eval, 224, batch=4)
+        pr = np.asarray(inferR(variables, jnp.asarray(rgb)))
+        py = np.asarray(inferY(variables, jnp.asarray(yuv)))
+        np.testing.assert_allclose(py, pr, atol=0.06)  # 4:2:0 chroma tolerance
