@@ -253,3 +253,32 @@ class TestCrossFamilyCheckpoint:
             "--num_samples", "2",
         ])
         assert any(d.startswith("style_transfer_") for d in os.listdir(out))
+
+
+class TestTPUExtras:
+    def test_tensorboard_and_devices_flags(self, tiny_imagefolder, cfg_file, tmp_path):
+        """--tensorboard writes event files; --devices 4 trains on a 4-way
+        data-parallel mesh (8 virtual CPU devices available)."""
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
+
+        save_dir = str(tmp_path / "tb_models")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--epochs", "1", "--k_folds", "2", "--save_dir", save_dir, "--seed", "0",
+            "--tensorboard", "--devices", "4",
+        ])
+        tb_dir = os.path.join(save_dir, "tensorboard")
+        assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
+        assert os.path.exists(os.path.join(save_dir, "best_global_model.npz"))
+
+    def test_bf16_precision_flag(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        out = str(tmp_path / "bf16")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "classification", "--save_dir", out, "--batch_size", "4",
+            "--precision", "bf16",
+        ])
+        assert os.path.exists(os.path.join(out, "metrics.txt"))
