@@ -209,11 +209,13 @@ def bench_style_transfer() -> dict:
 def bench_torch_cpu() -> dict:
     """Reference-equivalent CPU pipeline, batch 1 (the reference's camera
     semantics: TruncatedMoCoV3 = children[:-1][:8] + AdaptiveAvgPool + fc)."""
+    import os
+
     import torch
     import torch.nn as nn
     from PIL import Image
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.torch_ref import ResNet50
 
     torch.manual_seed(0)
