@@ -84,8 +84,11 @@ def main(argv=None):
     truncate = cfg.truncate_layer
 
     variables = load_checkpoint_tree(args.model_path, "truncated_resnet50", config)
-    if "moco" not in variables:  # native checkpoints may store flat
-        variables = {"moco": variables["moco"], "classifier": variables["classifier"]}
+    if "moco" not in variables or "classifier" not in variables:
+        raise KeyError(
+            f"Checkpoint {args.model_path} does not contain the family-1 "
+            "{'moco', 'classifier'} tree."
+        )
 
     if args.afficher_params:
         total = count_params(variables)

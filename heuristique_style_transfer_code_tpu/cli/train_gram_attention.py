@@ -58,7 +58,32 @@ def main(argv=None):
     pretrained = None
     if args.model_path:
         pretrained = load_checkpoint_tree(args.model_path, "gram_attention", hyperparameters)
-        print(f"Poids du modèle chargés depuis {args.model_path}")
+        if "encoder" not in pretrained and isinstance(pretrained.get("moco"), dict):
+            # family-1 checkpoint: reuse its encoder (reference load_model path)
+            pretrained = {"encoder": pretrained["moco"].get("encoder", {})}
+            print("Family-1 checkpoint detected: reusing its encoder only.")
+        # report how much of the checkpoint actually matches the architecture
+        from ..checkpoint.pth_converter import shape_filtered_update
+        from ..models.gram_attention import gram_attention_init
+
+        _stats = {}
+        shape_filtered_update(
+            gram_attention_init(
+                jax.random.PRNGKey(0), cfg.truncate_layer, num_classes,
+                cfg.gram_matrix_size,
+            ),
+            pretrained,
+            _stats,
+        )
+        print(
+            f"Poids du modèle chargés depuis {args.model_path} "
+            f"({_stats.get('loaded', 0)}/{_stats.get('total', 0)} tensors matched)"
+        )
+        if _stats.get("loaded", 0) == 0:
+            raise ValueError(
+                f"No tensor in {args.model_path} matches the gram-attention "
+                "architecture — wrong checkpoint or config."
+            )
 
     # compile the train/eval steps ONCE; reuse across all folds
     setup = setup_gram_attention(

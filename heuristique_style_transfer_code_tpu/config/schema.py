@@ -58,16 +58,17 @@ class TruncatedResNetConfig(_BaseConfig):
 
 @dataclasses.dataclass
 class GramAttentionConfig(_BaseConfig):
-    truncate_layer: int = 8
-    num_layers: int = 8  # reference alias for the truncation depth
+    truncate_layer: Optional[int] = None
+    num_layers: Optional[int] = None  # reference alias for the truncation depth
     gram_matrix_size: int = 7
     num_classes: int = 4
 
     def __post_init__(self):
-        # the gram-attention CLI reads 'num_layers' where the first vertical
-        # reads 'truncate_layer'; accept either, prefer the explicit one
-        if "truncate_layer" not in self.extra and self.num_layers and not self.truncate_layer:
-            self.truncate_layer = self.num_layers
+        # accept either key; absent both, fall back to the reference test
+        # CLI's default (hyperparams.get('truncate_layer', 7),
+        # test_RESNET50_Truncate_gram_attention.py:79)
+        if self.truncate_layer is None:
+            self.truncate_layer = self.num_layers if self.num_layers is not None else 7
 
 
 @dataclasses.dataclass

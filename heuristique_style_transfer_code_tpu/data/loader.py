@@ -41,9 +41,12 @@ class HostLoader:
     """Threaded prefetching batch loader over (path, label[, combo]) tuples.
 
     Yields (images_u8 (B, S, S, 3), labels (B,), combo_ids (B,), indices).
-    The final short batch is padded to ``batch_size`` (pad entries repeat the
-    last sample and are flagged with label -1 in ``pad_mask``) so every device
-    step sees one static shape — no recompiles.
+    The final short batch is padded to ``batch_size`` so every device step
+    sees one static shape — no recompiles. Pad entries carry label -1 (masked
+    out of loss/metrics) and cycle through *distinct* samples from the start
+    of the epoch order rather than repeating one image, so train-mode
+    BatchNorm statistics are computed over varied real data instead of 31
+    copies of the last sample.
     """
 
     def __init__(
@@ -100,6 +103,9 @@ class HostLoader:
 
         def make_batch(idxs: np.ndarray) -> dict:
             n = len(idxs)
+            if n < bs:  # pad by cycling distinct samples from the epoch order
+                pad = order[np.arange(bs - n) % len(order)]
+                idxs = np.concatenate([idxs, pad])
             imgs = np.empty((bs, self.staging, self.staging, 3), dtype=np.uint8)
             decoded = list(
                 decode_pool.map(
@@ -111,11 +117,9 @@ class HostLoader:
             labels = np.full((bs,), -1, dtype=np.int32)
             combos = np.zeros((bs,), dtype=np.int32)
             for j, i in enumerate(idxs):
-                labels[j] = self.samples[i][1]
+                if j < n:
+                    labels[j] = self.samples[i][1]
                 combos[j] = self.combo_ids[i]
-            if n < bs:  # pad with the last real sample
-                imgs[n:] = imgs[n - 1]
-                combos[n:] = combos[n - 1]
             return {
                 "image": imgs,
                 "label": labels,

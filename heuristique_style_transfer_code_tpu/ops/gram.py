@@ -44,12 +44,28 @@ def gram_matrix_ncl(f: jax.Array, denom: float | None = None) -> jax.Array:
     return (g / denom).astype(f.dtype)
 
 
-def pooled_gram_nhwc(x: jax.Array, out_size: int) -> jax.Array:
+import os
+
+# Gram backend selection: 'xla' (default — XLA fuses these shapes well) or
+# 'pallas' (explicit VMEM-resident kernels, ops/pallas/gram_kernel.py).
+# Both are numerically equivalent (tested) and benchmark within noise of each
+# other on v5e for the model's shapes.
+GRAM_BACKEND = os.environ.get("HST_GRAM_BACKEND", "xla")
+
+
+def pooled_gram_nhwc(x: jax.Array, out_size: int, backend: str | None = None) -> jax.Array:
     """adaptive_avg_pool2d(gram(x), (S, S)) via the exact identity
     P (f f^T) P^T = (P f)(P f)^T.
 
     x: (N, H, W, C) -> (N, S, S).
     """
+    if (backend or GRAM_BACKEND) == "pallas":
+        from .pallas.gram_kernel import pooled_gram_pallas
+
+        # interpret on non-TPU backends (CPU tests); compiled Mosaic on TPU
+        return pooled_gram_pallas(
+            x, out_size, interpret=jax.default_backend() != "tpu"
+        )
     n, h, w, c = x.shape
     p = adaptive_pool_matrix(c, out_size).astype(x.dtype)  # (S, C)
     f = x.reshape(n, h * w, c)

@@ -11,10 +11,10 @@ Two kernels, one grid program per batch element, everything resident in VMEM:
   algebraic rewrite (ops/gram.py).
 
 The XLA einsum path (ops/gram.py) remains the default — XLA already fuses
-these shapes well; these kernels exist for the largest feature maps where
-explicit VMEM residency wins, and are selected by ``use_pallas`` in callers.
-Both are validated against the einsum path in tests (interpret mode on CPU,
-compiled on TPU).
+these shapes well (measured within noise of these kernels on v5e for the
+model's shapes). Select this backend with HST_GRAM_BACKEND=pallas (or the
+``backend`` argument of ops.gram.pooled_gram_nhwc). Both are validated
+against the einsum path in tests (interpret mode on CPU, compiled on TPU).
 """
 from __future__ import annotations
 

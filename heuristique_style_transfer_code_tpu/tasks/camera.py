@@ -32,13 +32,12 @@ from ..ops.resize import center_crop, normalize_imagenet, resize_shorter_side
 
 def make_camera_infer_fn(
     forward_eval: Callable,
-    frame_shape: Tuple[int, int],
     compute_dtype=None,
     batch: Optional[int] = None,
     host_downscale: bool = False,
 ):
     """Returns jitted fn(variables, frame_u8 (H,W,3) or (B,H,W,3)) -> probs.
-    Compiled once per camera resolution. ``compute_dtype=jnp.bfloat16`` runs
+    jit specialises on the actual frame shape at first call. ``compute_dtype=jnp.bfloat16`` runs
     the conv stack in the MXU's native type (params stay f32; kernels are
     cast at the op boundary).
 
@@ -244,9 +243,7 @@ def run_camera(
         if host_downscale:
             rgb = downscale_frame(rgb)
         if infer is None:
-            infer = make_camera_infer_fn(
-                forward_eval, rgb.shape[:2], host_downscale=host_downscale
-            )
+            infer = make_camera_infer_fn(forward_eval, host_downscale=host_downscale)
             # warm the compile outside the timed region (first frame only)
             np.asarray(infer(variables, jnp.asarray(rgb)))
             start = time.perf_counter()

@@ -32,7 +32,12 @@ def _cam_for_moco(variables, images, targets, truncate: int):
 
     # run everything up to the input of the last block of the last stage
     stages = ["layer1", "layer2", "layer3", "layer4"]
-    n_stages = max(0, min(truncate, 8) - 4)
+    n_stages = min(truncate, 8) - 4
+    if n_stages < 1:
+        raise ValueError(
+            "Grad-CAM targets a residual stage's conv3; truncate_layer must be "
+            f">= 5 (got {truncate}: stem-only encoder has no target layer)."
+        )
     last_stage = stages[n_stages - 1]
 
     h, _, _ = resnet50_apply(enc, images, truncate=4)

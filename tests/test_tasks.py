@@ -253,7 +253,7 @@ class TestCamera:
             w.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
         w.release()
 
-        infer = make_camera_infer_fn(forward_eval, (48, 64))
+        infer = make_camera_infer_fn(forward_eval)
         frame = rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
         probs = np.asarray(infer(variables, jnp.asarray(frame)))
         assert probs.shape == (4,) and abs(probs.sum() - 1.0) < 1e-5
@@ -356,8 +356,7 @@ class TestYUVTransfer:
             cv2.resize(b, (224, 224), interpolation=cv2.INTER_CUBIC) for b in base
         ])
         yuv = np.stack([rgb_to_yuv420(f) for f in rgb])
-        inferR = make_camera_infer_fn(forward_eval, (224, 224), batch=4,
-                                      host_downscale=True)
+        inferR = make_camera_infer_fn(forward_eval, batch=4, host_downscale=True)
         inferY = make_camera_infer_fn_yuv(forward_eval, 224, batch=4)
         pr = np.asarray(inferR(variables, jnp.asarray(rgb)))
         py = np.asarray(inferY(variables, jnp.asarray(yuv)))
