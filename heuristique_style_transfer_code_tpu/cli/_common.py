@@ -45,6 +45,10 @@ def add_tpu_args(parser: argparse.ArgumentParser):
         help="Enable jax debug_nans (the reference leaves torch anomaly mode "
         "on globally; here it is opt-in)",
     )
+    parser.add_argument(
+        "--checkpoint_format", choices=["npz", "orbax"], default="npz",
+        help="Checkpoint backend for saved models (train CLIs)",
+    )
 
 
 def resolve_class_names(
@@ -139,6 +143,27 @@ def apply_debug_flags(args):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+
+def make_save_fn(checkpoint_format: str):
+    """Checkpoint writer for run_kfold: npz (default) or orbax directories."""
+    if checkpoint_format == "orbax":
+        import json as _json
+        import os as _os
+
+        from ..checkpoint.io import save_pytree_orbax
+
+        def save_orbax(tree, hyperparameters, save_dir, filename):
+            path = _os.path.join(save_dir, f"{filename}.orbax")
+            save_pytree_orbax(tree, path)
+            with open(_os.path.join(save_dir, f"{filename}_hyperparameters.json"), "w") as f:
+                _json.dump(hyperparameters, f, indent=4)
+            return path
+
+        return save_orbax
+    from ..checkpoint.io import save_model_and_hyperparameters
+
+    return save_model_and_hyperparameters
 
 
 def start_profile(profile_dir: Optional[str]):

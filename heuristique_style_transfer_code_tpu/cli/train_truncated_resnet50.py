@@ -21,6 +21,7 @@ from ._common import (
     build_mesh,
     load_checkpoint_tree,
     make_writer,
+    make_save_fn,
     resolve_compute_dtype,
     resolve_seed,
     select_augmentations,
@@ -93,6 +94,7 @@ def main(argv=None):
         hyperparameters=hyperparameters,
         init_fn=init_fn,
         mesh=mesh,
+        save_fn=make_save_fn(args.checkpoint_format),
         combos_per_sample=len(combos),
         key=jax.random.PRNGKey(seed),
         writer=writer,

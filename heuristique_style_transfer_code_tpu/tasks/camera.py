@@ -177,10 +177,15 @@ def run_camera(
     max_frames: Optional[int] = None,
     display: Optional[bool] = None,
     host_downscale: bool = True,
+    pipeline_depth: int = 1,
     log_fn=print,
 ) -> dict:
     """camera_index may be an int (device) or a path (video file). Returns a
-    summary dict; writes times_camera.json when measure_time."""
+    summary dict; writes times_camera.json when measure_time.
+
+    ``pipeline_depth`` > 1 keeps that many frames in flight (async dispatch)
+    so transfer overlaps compute — only used headless (no display), since the
+    overlay must be drawn with each frame's own prediction."""
     import cv2
 
     cap = cv2.VideoCapture(camera_index)
@@ -230,6 +235,21 @@ def run_camera(
     times: List[float] = []
     frames = 0
     last_label, last_prob = "?", 0.0
+    # overlays need each frame's own prediction, so pipelining is
+    # headless-file-processing only
+    pipelined = pipeline_depth > 1 and not display and not save_video
+    in_flight: List = []  # (dispatch_time, future)
+
+    def finish(probs, started):
+        nonlocal last_label, last_prob
+        if smoother is not None:
+            probs = smoother.update(probs)
+        pred = int(np.argmax(probs))
+        prob = float(probs[pred])
+        label = "Unknown" if prob < prob_threshold else class_names[pred]
+        times.append(time.perf_counter() - started)
+        last_label, last_prob = label, prob
+        return label, prob
 
     while True:
         ret, frame = cap.read()
@@ -247,14 +267,19 @@ def run_camera(
             # warm the compile outside the timed region (first frame only)
             np.asarray(infer(variables, jnp.asarray(rgb)))
             start = time.perf_counter()
+
+        if pipelined:
+            in_flight.append((start, infer(variables, jax.device_put(rgb))))
+            frames += 1
+            if len(in_flight) >= pipeline_depth:
+                s, fut = in_flight.pop(0)
+                finish(np.asarray(fut), s)
+            if max_frames is not None and frames >= max_frames:
+                break
+            continue
+
         probs = np.asarray(infer(variables, jnp.asarray(rgb)))
-        if smoother is not None:
-            probs = smoother.update(probs)
-        pred = int(np.argmax(probs))
-        prob = float(probs[pred])
-        label = "Unknown" if prob < prob_threshold else class_names[pred]
-        times.append(time.perf_counter() - start)
-        last_label, last_prob = label, prob
+        label, prob = finish(probs, start)
         frames += 1
 
         text = f"Label: {label}, Prob: {prob:.4f}"
@@ -283,6 +308,9 @@ def run_camera(
 
         if max_frames is not None and frames >= max_frames:
             break
+
+    for s, fut in in_flight:  # drain the pipelined tail
+        finish(np.asarray(fut), s)
 
     if measure_time and times:
         os.makedirs(save_dir, exist_ok=True)

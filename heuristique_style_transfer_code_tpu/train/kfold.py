@@ -138,8 +138,9 @@ def run_kfold(
 
         if result["val_loss"] < best_performance:
             best_performance = result["val_loss"]
-            best_global_path = os.path.join(save_dir, "best_global_model.npz")
-            save_fn(variables, hyperparameters, save_dir, "best_global_model")
+            best_global_path = save_fn(
+                variables, hyperparameters, save_dir, "best_global_model"
+            )
 
         prev = next((m for m in best_model_results if m["fold"] == fold), None)
         if prev is None or result["val_loss"] < prev["val_loss"]:

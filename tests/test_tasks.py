@@ -361,3 +361,27 @@ class TestYUVTransfer:
         pr = np.asarray(inferR(variables, jnp.asarray(rgb)))
         py = np.asarray(inferY(variables, jnp.asarray(yuv)))
         np.testing.assert_allclose(py, pr, atol=0.06)  # 4:2:0 chroma tolerance
+
+
+class TestCameraPipelined:
+    def test_pipelined_file_processing(self, tmp_path, family1):
+        import cv2
+
+        from heuristique_style_transfer_code_tpu.tasks.camera import run_camera
+
+        cfg, variables, forward_eval = family1
+        video_path = str(tmp_path / "in.avi")
+        w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(8):
+            w.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+        w.release()
+
+        summary = run_camera(
+            forward_eval, variables, ["fog", "rain", "snow", "sun"],
+            save_dir=str(tmp_path), measure_time=True, camera_index=video_path,
+            display=False, pipeline_depth=3,
+        )
+        assert summary["frames"] == 8
+        with open(os.path.join(str(tmp_path), "times_camera.json")) as f:
+            assert len(json.load(f)) == 8  # every frame's result was collected
