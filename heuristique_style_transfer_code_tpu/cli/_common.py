@@ -73,12 +73,14 @@ def resolve_class_names(
 def resolve_seed(config: dict, cli_seed: Optional[int]):
     """config > CLI > random; write the choice back
     (train_best_RESNET50_Truncate.py:58-70)."""
+    from ..core.prng import seed_everything
+
     seed = config.get("seed", cli_seed)
     if seed is None:
-        seed = random.randint(0, 1_000_000)
+        seed, _ = seed_everything(None)
         config["seed"] = seed
-    random.seed(seed)
-    np.random.seed(seed)
+    else:
+        seed_everything(seed)
     return seed
 
 
@@ -119,11 +121,12 @@ def load_checkpoint_tree(model_path: str, family: str, config: dict):
 
 def resolve_compute_dtype(precision: Optional[str]):
     """--precision flag -> compute dtype (None = float32 passthrough)."""
-    if precision in ("bf16", "bfloat16"):
-        import jax.numpy as jnp
+    import jax.numpy as jnp
 
-        return jnp.bfloat16
-    return None
+    from ..core.dtypes import resolve_policy
+
+    policy = resolve_policy(precision)
+    return None if policy.compute_dtype == jnp.float32 else policy.compute_dtype
 
 
 def cast_forward(forward, compute_dtype):

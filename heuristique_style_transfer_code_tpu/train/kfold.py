@@ -61,7 +61,10 @@ def run_kfold(
     """Runs the full CV protocol; returns training_info dict."""
     from sklearn.model_selection import KFold
 
+    from ..utils.logging import StructuredLogger
+
     os.makedirs(save_dir, exist_ok=True)
+    logger = StructuredLogger(save_dir, echo=False)  # events.jsonl beside prints
     if key is None:
         key = jax.random.PRNGKey(seed)
 
@@ -130,6 +133,7 @@ def run_kfold(
         fold_results.append(result)
         fold_result = {"fold": fold, **result}
         training_info["fold_results"].append(fold_result)
+        logger.event("fold_result", **fold_result)
 
         fold_perf_path = os.path.join(save_dir, f"fold_{fold}_performance.json")
         with open(fold_perf_path, "w") as f:
@@ -169,6 +173,8 @@ def run_kfold(
             avg["avg_recall"], avg["avg_f1"],
         )
     )
+    logger.event("average_results", **training_info["average_results"])
+    logger.close()
     save_training_info(training_info, save_dir, "training_info.json")
     save_training_info(best_model_results, save_dir, "best_model_results.json")
     if best_global_path:

@@ -1,4 +1,5 @@
 """Edge cases pinned from the reference's behaviour + precision policy."""
+import os
 import numpy as np
 import pytest
 import jax
@@ -163,3 +164,41 @@ class TestBf16Training:
         v, o, loss = setup.train_step(v, o, imgs, labels, np.zeros(4, np.int32),
                                       jax.random.PRNGKey(1))
         assert np.isfinite(float(loss))
+
+
+class TestObservability:
+    def test_profile_trace_written(self, tmp_path):
+        from heuristique_style_transfer_code_tpu.utils.logging import maybe_profile
+
+        d = str(tmp_path / "trace")
+        with maybe_profile(d):
+            jnp.ones((8, 8)).sum().block_until_ready()
+        assert os.path.isdir(d) and any(os.scandir(d))
+
+    def test_kfold_events_jsonl(self, tiny_imagefolder, tmp_path):
+        import json as _json
+
+        from heuristique_style_transfer_code_tpu.config.schema import TruncatedResNetConfig
+        from heuristique_style_transfer_code_tpu.train.factories import (
+            make_truncated_resnet50,
+        )
+        from heuristique_style_transfer_code_tpu.train.kfold import run_kfold
+        from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderIndex
+
+        idx = ImageFolderIndex(str(tiny_imagefolder / "train"))
+        cfg = TruncatedResNetConfig(batch_size=8, lr=0.01, truncate_layer=4, dim=16, seed=0)
+        save_dir = str(tmp_path / "out")
+
+        def init_fn(key, fold):
+            v, o, ts, es, _ = make_truncated_resnet50(key, cfg, 4, [(None, None)])
+            return v, o, ts, es
+
+        run_kfold(
+            idx, k_folds=2, seed=0, epochs=1, batch_size=8, save_dir=save_dir,
+            hyperparameters=cfg.to_dict(), init_fn=init_fn, verbose_batches=False,
+        )
+        path = os.path.join(save_dir, "events.jsonl")
+        assert os.path.exists(path)
+        events = [_json.loads(l) for l in open(path)]
+        kinds = [e["kind"] for e in events]
+        assert kinds.count("fold_result") == 2 and "average_results" in kinds
