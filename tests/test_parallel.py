@@ -124,6 +124,37 @@ class TestGraftEntry:
 
         g.dryrun_multichip(8)
 
+    def test_dryrun_multichip_driver_env(self):
+        """Regression for round-1 driver failure (MULTICHIP_r01 rc=1): the
+        dryrun must force the virtual CPU mesh itself when called in an
+        environment with no xla_force_host_platform_device_count flag and the
+        platform pinned to the TPU tunnel."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("_GRAFT_DRYRUN_SUBPROC", None)
+        env["JAX_PLATFORMS"] = "axon"  # what sitecustomize pins in this image
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+            % repo
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            env=env,
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "dryrun_multichip OK" in proc.stdout
+        assert "'data': 4" in proc.stdout and "'model': 2" in proc.stdout
+
     def test_entry_compiles(self):
         import __graft_entry__ as g
 
