@@ -34,7 +34,10 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     )
     parser.add_argument(
         "--devices", type=int, default=None,
-        help="Number of devices for the data-parallel mesh (default: all)",
+        help="Number of devices for the data-parallel mesh (default: all on "
+        "train CLIs, 1 on eval CLIs; eval shards the classification/"
+        "embedding batch — camera mode is streaming batch-1 and stays "
+        "single-device)",
     )
     parser.add_argument(
         "--profile_dir", type=str, default=None,
@@ -217,6 +220,15 @@ def build_mesh(n_devices: Optional[int], batch_size: Optional[int] = None):
         while n > 1 and batch_size % n != 0:
             n -= 1
     return create_mesh(n)
+
+
+def resolve_eval_mesh(n_devices: Optional[int], batch_size: int):
+    """--devices on the eval CLIs: data-parallel mesh for the batched eval
+    paths (classification / embeddings). None or 1 -> single-device (None)."""
+    if n_devices is None or n_devices <= 1:
+        return None
+    mesh = build_mesh(n_devices, batch_size)
+    return mesh if mesh.devices.size > 1 else None
 
 
 def select_augmentations(args):

@@ -21,6 +21,7 @@ from ._common import (
     load_checkpoint_tree,
     maybe_subset,
     resolve_class_names,
+    resolve_eval_mesh,
 )
 
 MODES = ["tsne", "tsne_interactive", "classification", "camera", "style_transfer"]
@@ -118,15 +119,18 @@ def main(argv=None):
         from sklearn.metrics import f1_score, precision_score, recall_score
 
         import numpy as np
-        import jax
         import jax.numpy as jnp
+        from ..core.mesh import jit_eval_step
         from ..data.augment import eval_preprocess
 
-        @jax.jit
         def step(v, images_u8):
             images = eval_preprocess(images_u8)
             emb, logits, _ = gram_attention_apply(v, images, truncate, s, num_classes)
             return emb, jnp.argmax(logits, axis=-1)
+
+        step = jit_eval_step(
+            step, resolve_eval_mesh(args.devices, loader.batch_size)
+        )
 
         preds, labels = [], []
         for batch in loader:
@@ -149,7 +153,8 @@ def main(argv=None):
         from ..tasks.embeddings import compute_embeddings_with_paths
 
         emb, labels, img_paths = compute_embeddings_with_paths(
-            embed_fn, variables, loader, samples
+            embed_fn, variables, loader, samples,
+            mesh=resolve_eval_mesh(args.devices, loader.batch_size),
         )
         if args.mode == "tsne":
             from ..tasks.tsne import perform_tsne

@@ -21,6 +21,7 @@ from ._common import (
     load_checkpoint_tree,
     maybe_subset,
     resolve_compute_dtype,
+    resolve_eval_mesh,
     start_profile,
 )
 
@@ -133,7 +134,8 @@ def main(argv=None):
         from ..tasks.embeddings import compute_embeddings_with_paths
 
         emb, labels, img_paths = compute_embeddings_with_paths(
-            embed_fn, variables, loader, samples
+            embed_fn, variables, loader, samples,
+            mesh=resolve_eval_mesh(args.devices, loader.batch_size),
         )
         if args.mode == "tsne":
             from ..tasks.tsne import perform_tsne
@@ -158,20 +160,23 @@ def main(argv=None):
         )
 
     elif args.mode == "classification":
-        import jax
         import jax.numpy as jnp
         from sklearn.metrics import confusion_matrix, f1_score, precision_score, recall_score
 
+        from ..core.mesh import jit_eval_step
         from ..data.augment import eval_preprocess
         from ..tasks.classification import plot_and_save_confusion_matrix
 
         import time
 
-        @jax.jit
         def step(v, images_u8):
             images = eval_preprocess(images_u8)
             _, logits, _ = multiscale_test_apply(v, images, gdim, norm=norm)
             return jnp.argmax(logits, axis=-1)
+
+        step = jit_eval_step(
+            step, resolve_eval_mesh(args.devices, loader.batch_size)
+        )
 
         all_preds, all_labels, times = [], [], []
         for batch in loader:

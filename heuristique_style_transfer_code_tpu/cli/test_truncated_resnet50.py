@@ -26,6 +26,7 @@ from ._common import (
     make_writer,
     maybe_subset,
     resolve_class_names,
+    resolve_eval_mesh,
 )
 
 MODES = ["classification", "tsne", "tsne_interactive", "camera", "inference", "clustering"]
@@ -120,6 +121,7 @@ def main(argv=None):
         idx, samples, loader = make_loader()
         if args.mode == "inference":
             loader = HostLoader(samples, 1, shuffle=False)
+        mesh = resolve_eval_mesh(args.devices, loader.batch_size)
 
         gradcam_fn = None
         if args.visualize_gradcam:
@@ -136,7 +138,7 @@ def main(argv=None):
             prob_threshold=args.prob_threshold, measure_time=args.measure_time,
             save_test_images=args.save_test_images, compute_auc=args.compute_auc,
             gradcam_fn=gradcam_fn, save_gradcam_images=args.save_gradcam_images,
-            colormap=args.colormap, writer=writer,
+            colormap=args.colormap, writer=writer, mesh=mesh,
         )
         print(
             f"Précision du test: {res['accuracy']}, Perte du test: {res['loss']}, "
@@ -150,7 +152,8 @@ def main(argv=None):
 
         idx, samples, loader = make_loader()
         emb, labels, img_paths = compute_embeddings_with_paths(
-            embed_fn, variables, loader, samples
+            embed_fn, variables, loader, samples,
+            mesh=resolve_eval_mesh(args.devices, loader.batch_size),
         )
         # embeddings export (test_RESNET50_Truncate.py:161-165)
         out_path = os.path.join(

@@ -46,3 +46,19 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def jit_eval_step(step, mesh: Optional[Mesh], n_batch_inputs: int = 1):
+    """jit an eval ``step(variables, *batch_inputs)`` with variables
+    replicated and every batch input/output sharded over the mesh's 'data'
+    axis. With ``mesh=None`` this is a plain jit. Sharding is a layout, not a
+    semantics change: results are identical to single-device."""
+    if mesh is None:
+        return jax.jit(step)
+    repl = replicated_sharding(mesh)
+    data = data_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl,) + (data,) * n_batch_inputs,
+        out_shardings=data,
+    )

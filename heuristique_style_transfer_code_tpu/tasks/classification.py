@@ -76,14 +76,18 @@ def run_classification_test(
     embed_fn: Optional[Callable] = None,
     writer=None,
     log_fn=print,
+    mesh=None,
 ) -> Dict:
     """Returns the reference's tuple as a dict:
-    accuracy, loss, precision, recall, f1, cm, auc (+ features if embed_fn)."""
+    accuracy, loss, precision, recall, f1, cm, auc (+ features if embed_fn).
+
+    ``mesh``: optional data-parallel mesh (--devices) — the eval batch is
+    sharded over its 'data' axis, variables replicated; metrics are identical
+    to the single-device run."""
     os.makedirs(save_dir, exist_ok=True)
     for cls in class_names:
         os.makedirs(os.path.join(save_dir, cls), exist_ok=True)
 
-    @jax.jit
     def step(v, images_u8, labels):
         images = eval_preprocess(images_u8)
         logits = forward_eval(v, images)
@@ -92,6 +96,10 @@ def run_classification_test(
         loss = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
         probs = jnp.exp(logp)
         return loss, probs
+
+    from ..core.mesh import jit_eval_step
+
+    step = jit_eval_step(step, mesh, n_batch_inputs=2)
 
     timer = Timer()
     total = correct = 0

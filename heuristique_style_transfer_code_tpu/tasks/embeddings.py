@@ -17,14 +17,17 @@ def compute_embeddings_with_paths(
     variables,
     loader,
     samples,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """embed_fn(variables, images) -> embeddings. Returns
-    (embeddings (N, D), labels (N,), img_paths)."""
-    import jax
+    (embeddings (N, D), labels (N,), img_paths). ``mesh``: optional
+    data-parallel mesh (--devices) sharding the batch over 'data'."""
+    from ..core.mesh import jit_eval_step
 
-    @jax.jit
     def step(v, images_u8):
         return embed_fn(v, eval_preprocess(images_u8))
+
+    step = jit_eval_step(step, mesh, n_batch_inputs=1)
 
     all_emb, all_labels, img_paths = [], [], []
     for batch in loader:

@@ -88,6 +88,40 @@ class TestTestCLIs:
         assert os.path.exists(os.path.join(out, "confusion_matrix.png"))
         assert os.path.exists(os.path.join(out, "times_test.json"))
 
+    def test_classification_devices_flag_matches_single_device(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """--devices 8 shards the eval batch over the mesh; metrics must be
+        identical to the single-device run (VERDICT r1 #3)."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        outs = {}
+        for name, extra in (("single", []), ("mesh8", ["--devices", "8"])):
+            out = str(tmp_path / name)
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+                "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+                "--mode", "classification", "--save_dir", out,
+                "--batch_size", "4", "--compute_auc",
+            ] + extra)
+            with open(os.path.join(out, "metrics.txt")) as f:
+                outs[name] = f.read().splitlines()
+        # loss may differ in the last float digits (XLA reduction order
+        # changes under sharding); predictions/metrics must be identical
+        for a, b in zip(outs["single"], outs["mesh8"]):
+            if ":" in a and a.split(":")[0] in (
+                "Perte du test", "Score AUC"
+            ):
+                key_a, val_a = a.split(":", 1)
+                key_b, val_b = b.split(":", 1)
+                assert key_a == key_b
+                np.testing.assert_allclose(
+                    float(val_a), float(val_b), rtol=1e-5
+                )
+            else:
+                assert a == b, (a, b)
+        assert len(outs["single"]) == len(outs["mesh8"])
+
     def test_tsne_mode_and_embeddings_export(
         self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
     ):
