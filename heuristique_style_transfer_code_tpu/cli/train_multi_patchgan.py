@@ -48,7 +48,13 @@ def main(argv=None):
     seed = resolve_seed(hyperparameters, args.seed)
 
     dataset = ImageFolderIndex(os.path.join(args.data, "train"))
-    num_classes = cfg.num_classes or len(dataset.classes)
+    # the reference detects the class count from the dataset and overrides the
+    # config before the retrained_hyperparameters dump
+    # (train_best_Multi_PatchGAN.py:54-59)
+    num_classes = len(dataset.classes)
+    print(f"Nombre de classes détecté : {num_classes}")
+    cfg.num_classes = num_classes
+    hyperparameters["num_classes"] = num_classes
     writer = make_writer(args.tensorboard, args.save_dir)
     mesh = build_mesh(args.devices, cfg.batch_size)
     combos = [(None, None)]
@@ -82,6 +88,12 @@ def main(argv=None):
         save_fn=make_save_fn(args.checkpoint_format),
         key=jax.random.PRNGKey(seed),
         writer=writer,
+        # reference family-3 protocol: fixed split seed, an unconditional
+        # model_fold_<k> checkpoint per fold, retrained_performance.json
+        # (train_best_Multi_PatchGAN.py:63,119-130)
+        kfold_random_state=42,
+        save_every_fold=True,
+        performance_filename="retrained_performance.json",
     )
     # retrained hyperparameters round-trip (train_best_Multi_PatchGAN.py:125-126)
     cfg.save(os.path.join(args.save_dir, "retrained_hyperparameters.json"))

@@ -57,8 +57,18 @@ def run_kfold(
     verbose_batches: bool = True,
     save_fn: Optional[Callable] = None,
     mesh=None,
+    kfold_random_state: Optional[int] = None,
+    save_every_fold: bool = False,
+    performance_filename: Optional[str] = None,
 ) -> Dict:
-    """Runs the full CV protocol; returns training_info dict."""
+    """Runs the full CV protocol; returns training_info dict.
+
+    Family-3 artifact surface (train_best_Multi_PatchGAN.py:63,119-130):
+    ``kfold_random_state`` pins the split independently of the run seed (the
+    reference hard-codes 42 for this family), ``save_every_fold`` writes an
+    unconditional ``model_fold_<k>`` checkpoint per fold, and
+    ``performance_filename`` dumps the fold-results list (e.g.
+    retrained_performance.json)."""
     from sklearn.model_selection import KFold
 
     from ..utils.logging import StructuredLogger
@@ -68,7 +78,8 @@ def run_kfold(
     if key is None:
         key = jax.random.PRNGKey(seed)
 
-    kf = KFold(n_splits=k_folds, shuffle=True, random_state=seed)
+    split_seed = seed if kfold_random_state is None else kfold_random_state
+    kf = KFold(n_splits=k_folds, shuffle=True, random_state=split_seed)
     num_classes = len(dataset.classes)
 
     fold_results = []
@@ -140,6 +151,14 @@ def run_kfold(
             json.dump(fold_result, f, indent=4)
         print(f"Fold {fold} performance saved to {fold_perf_path}")
 
+        if save_every_fold:
+            fold_model_path = save_fn(
+                variables, hyperparameters, save_dir, f"model_fold_{fold}"
+            )
+            print(
+                f"Fold {fold}: Poids du modèle sauvegardés à {fold_model_path}"
+            )
+
         if result["val_loss"] < best_performance:
             best_performance = result["val_loss"]
             best_global_path = save_fn(
@@ -175,6 +194,12 @@ def run_kfold(
     )
     logger.event("average_results", **training_info["average_results"])
     logger.close()
+    if performance_filename:
+        # reference family-3 fold-results dump (train_best_Multi_PatchGAN.py:128-130)
+        with open(os.path.join(save_dir, performance_filename), "w") as f:
+            json.dump(
+                [{"fold": i, **r} for i, r in enumerate(fold_results)], f, indent=4
+            )
     save_training_info(training_info, save_dir, "training_info.json")
     save_training_info(best_model_results, save_dir, "best_model_results.json")
     if best_global_path:

@@ -71,6 +71,19 @@ class TestTrainCLIs:
         ])
         assert os.path.exists(os.path.join(save_dir, "best_global_model.npz"))
         assert os.path.exists(os.path.join(save_dir, "retrained_hyperparameters.json"))
+        # reference family-3 artifacts (train_best_Multi_PatchGAN.py:119-130):
+        # unconditional per-fold checkpoint + fold-results dump
+        for k in range(2):
+            assert os.path.exists(os.path.join(save_dir, f"model_fold_{k}.npz"))
+        with open(os.path.join(save_dir, "retrained_performance.json")) as f:
+            perf = json.load(f)
+        assert [p["fold"] for p in perf] == [0, 1]
+        assert set(perf[0]) == {
+            "fold", "val_loss", "val_accuracy", "val_precision", "val_recall", "val_f1",
+        }
+        # detected class count overrides the config in the retrained dump
+        with open(os.path.join(save_dir, "retrained_hyperparameters.json")) as f:
+            assert json.load(f)["num_classes"] == 4
 
 
 class TestTestCLIs:
