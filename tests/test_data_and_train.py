@@ -182,3 +182,146 @@ class TestCheckpointIO:
         assert back["blocks"][0]["norm"] is None
         np.testing.assert_array_equal(back["a"]["kernel"], tree["a"]["kernel"])
         np.testing.assert_array_equal(back["blocks"][0]["w"], tree["blocks"][0]["w"])
+
+
+class TestTrainingDynamicsParity:
+    """VERDICT r1 #6: 2 SGD steps in torch (reference train-loop semantics,
+    functions_RESNET50_Truncate.py:63-87) vs the JAX train step from the same
+    converted init on the same fixed batches — loss trajectory, updated BN
+    running stats, and updated weights must match."""
+
+    def test_two_sgd_steps_match_torch(self):
+        import sys
+
+        import torch
+        import torch.nn as nn
+
+        sys.path.insert(0, "/root/reference")
+        from Models.Models_RESNET50_TRUNCATE import Classifier, TruncatedMoCoV3
+
+        from tests.torch_ref import randomized_resnet50
+
+        from heuristique_style_transfer_code_tpu.checkpoint.pth_converter import (
+            convert_moco_checkpoint,
+            to_numpy_state_dict,
+        )
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            combined_apply,
+        )
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+        from heuristique_style_transfer_code_tpu.train.train_loop import (
+            make_train_step,
+        )
+
+        truncate, dim, lr = 6, 16, 0.05
+        torch.manual_seed(20)
+        moco = TruncatedMoCoV3(
+            randomized_resnet50(seed=21), truncate_after_layer=truncate,
+            dim=dim, device="cpu",
+        )
+        clf = Classifier(input_dim=dim, num_classes=4)
+        tree = convert_moco_checkpoint({
+            "moco_model_state_dict": to_numpy_state_dict(moco.state_dict()),
+            "classifier_state_dict": to_numpy_state_dict(clf.state_dict()),
+        })
+        # the converted tree holds views into the torch tensors; torch's
+        # in-place SGD updates would otherwise mutate the JAX init under us
+        tree = jax.tree_util.tree_map(np.copy, tree)
+
+        rng = np.random.RandomState(22)
+        batches = [rng.randn(8, 3, 96, 96).astype(np.float32) for _ in range(2)]
+        labels = [rng.randint(0, 4, size=8).astype(np.int64) for _ in range(2)]
+
+        # --- torch: reference train_model semantics (train mode, SGD m=0.9,
+        # CE mean loss, BN running-stat updates)
+        import itertools
+
+        moco.train()
+        clf.train()
+        criterion = nn.CrossEntropyLoss()
+        optimizer = torch.optim.SGD(
+            [p for p in itertools.chain(moco.parameters(), clf.parameters())
+             if p.requires_grad],
+            lr=lr, momentum=0.9,
+        )
+        torch_losses = []
+        for x, y in zip(batches, labels):
+            optimizer.zero_grad()
+            out = clf(moco(torch.from_numpy(x)))
+            loss = criterion(out, torch.from_numpy(y))
+            loss.backward()
+            optimizer.step()
+            torch_losses.append(float(loss))
+
+        # --- JAX: the actual engine train step (identity augmentation so both
+        # sides consume the identical float batch)
+        def forward_train(v, images):
+            logits, new_v = combined_apply(
+                v["moco"], v["classifier"], images, truncate, train=True
+            )
+            return logits, {"moco": new_v, "classifier": v["classifier"]}
+
+        optimizer_j = sgd_momentum(lr, tree)
+        step = make_train_step(
+            forward_train, optimizer_j, lambda img, c, k: img
+        )
+        variables = jax.tree_util.tree_map(jnp.asarray, tree)
+        opt_state = optimizer_j.init(variables)
+        jax_losses = []
+        key = jax.random.PRNGKey(0)
+        combos = jnp.zeros(8, dtype=jnp.int32)
+        for x, y in zip(batches, labels):
+            variables, opt_state, loss = step(
+                variables, opt_state, _jx_nchw(x), jnp.asarray(y.astype(np.int32)),
+                combos, key,
+            )
+            jax_losses.append(float(loss))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-4, atol=1e-5)
+
+        # updated BN running stats (first BN + a deep block BN)
+        torch_sd = to_numpy_state_dict(moco.state_dict())
+        got_bn1 = variables["moco"]["encoder"]["bn1"]
+        np.testing.assert_allclose(
+            np.asarray(got_bn1["mean"]), torch_sd["truncated_encoder.1.running_mean"],
+            rtol=1e-3, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_bn1["var"]), torch_sd["truncated_encoder.1.running_var"],
+            rtol=1e-3, atol=1e-5,
+        )
+        deep = variables["moco"]["encoder"]["layer2"][1]["bn3"]
+        np.testing.assert_allclose(
+            np.asarray(deep["mean"]),
+            torch_sd["truncated_encoder.5.1.bn3.running_mean"],
+            rtol=1e-3, atol=1e-5,
+        )
+
+        # updated weights: momentum + masked-SGD semantics
+        np.testing.assert_allclose(
+            np.asarray(variables["moco"]["fc"]["kernel"]),
+            np.transpose(torch_sd["fc.weight"]), rtol=2e-3, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(variables["classifier"]["fc"]["kernel"]),
+            np.transpose(to_numpy_state_dict(clf.state_dict())["fc.weight"]),
+            rtol=2e-3, atol=1e-4,
+        )
+        # conv1's weight grad is ill-conditioned in f32 (BN backward cancels
+        # the dominant components; torch's own f32 run differs from its f64
+        # run by 4.5% rel-Frobenius on this same 2-step update), so compare
+        # the update by relative norm with a noise-class bound — a semantic
+        # error (wrong momentum/BN/masking) would be O(1) here
+        got_conv1 = np.asarray(variables["moco"]["encoder"]["conv1"]["kernel"])
+        want_conv1 = np.transpose(
+            torch_sd["truncated_encoder.0.weight"], (2, 3, 1, 0)
+        )
+        init_conv1 = np.asarray(tree["moco"]["encoder"]["conv1"]["kernel"])
+        want_delta = want_conv1 - init_conv1
+        assert np.linalg.norm(want_delta) > 0  # torch did update it
+        rel = np.linalg.norm(got_conv1 - want_conv1) / np.linalg.norm(want_delta)
+        assert rel < 0.25, rel
+
+
+def _jx_nchw(x):
+    return jnp.asarray(x.transpose(0, 2, 3, 1))
