@@ -16,9 +16,14 @@ Three TPU numbers are measured:
   bench verifies predictions match the RGB path exactly): images/sec/chip —
   the HEADLINE metric. A real deployment buffers frames exactly like this.
 - device-resident batched forward: the chip's raw pipeline capacity with
-  input transfer excluded (reported for context; this environment reaches
-  the TPU through a network relay whose effective H2D bandwidth for
-  incompressible data is ~15 MB/s, so transfer dominates end-to-end).
+  input transfer excluded. Measured by the SLOPE of an on-chip lax.scan of
+  N forwards between N=4 and N=36 (one dispatch + one result fetch,
+  amortised): every per-step synchronisation through this environment's
+  network relay costs a ~30 ms RTT, so a step-at-a-time loop measures the
+  relay, not the chip (round-1 bug: 2035 "img/s" was pure RTT).
+- batch-1 latency decomposition: host downscale / H2D / on-chip compute /
+  relay RTT, plus a double-buffered batch-1 mode (depth 2) — reported even
+  though result fetches serialise on the relay, so it does not help here.
 
 Baseline: the reference-equivalent torch-CPU pipeline (PIL transform +
 torchvision-architecture ResNet50 truncation + heads), batch 1 as the
@@ -160,24 +165,126 @@ def bench_tpu() -> dict:
     yuv_fps = ITERS_BATCH * BATCH / pipelined(inferY, yuv_batches, ITERS_BATCH)
     bN_fps = yuv_fps if yuv_pred_match else rgb_fps
 
-    # ---- device-resident capacity (transfer excluded)
-    dev_batches = [jnp.asarray(b) for b in batches]
-    inferN(variables, dev_batches[0]).block_until_ready()
-    times = []
-    for i in range(ITERS_BATCH):
+    # ---- device-resident capacity (transfer excluded): scan-slope.
+    # t(N) = fetch_rtt + N * t_step, so t_step = (t(36) - t(4)) / 32 —
+    # immune to the relay RTT that a step-at-a-time loop measures instead.
+    from heuristique_style_transfer_code_tpu.ops.resize import normalize_imagenet
+
+    def make_scan(n_steps):
+        @jax.jit
+        def scan_infer(v, stack3):
+            def step(c, i):
+                b = jax.lax.dynamic_index_in_dim(stack3, i % 3, axis=0, keepdims=False)
+                x = normalize_imagenet(b.astype(jnp.float32) / 255.0)
+                x = x.astype(jnp.bfloat16)
+                logits = forward_eval(v, x)
+                return c, jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            _, out = jax.lax.scan(step, 0, jnp.arange(n_steps, dtype=jnp.int32))
+            return out
+        return scan_infer
+
+    stack3 = jnp.asarray(np.stack(batches))
+    scan_times = {}
+    for n in (4, 36):
+        fn = make_scan(n)
+        np.asarray(fn(variables, stack3))  # compile
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(fn(variables, stack3))
+            ts.append(time.perf_counter() - t0)
+        scan_times[n] = float(np.median(ts))
+    dev_step = (scan_times[36] - scan_times[4]) / 32
+    log(
+        f"[tpu] device-resident scan-slope: {dev_step*1e3:.2f} ms/step "
+        f"({BATCH*4.1e9/dev_step/1e12:.1f} TFLOP/s effective)"
+    )
+
+    # ---- batch-1 latency decomposition
+    # relay RTT floor: fetch of a fresh tiny computation
+    tiny = jnp.zeros((4,), jnp.float32)
+    np.asarray(tiny + 1)
+    ts = []
+    for _ in range(10):
         t0 = time.perf_counter()
-        inferN(variables, dev_batches[i % 3]).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    bD = np.asarray(times)
+        np.asarray(tiny + 1)
+        ts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(ts) * 1e3)
+
+    ts = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        downscale_frame(raw_frames[i % 16])
+        ts.append(time.perf_counter() - t0)
+    downscale_ms = float(np.median(ts) * 1e3)
+
+    @jax.jit
+    def checksum(x):
+        return jnp.sum(x, dtype=jnp.int32)
+
+    small = [downscale_frame(f) for f in raw_frames]
+    np.asarray(checksum(jax.device_put(small[0])))
+    ts = []
+    for i in range(15):
+        t0 = time.perf_counter()
+        np.asarray(checksum(jax.device_put(small[i % 16])))
+        ts.append(time.perf_counter() - t0)
+    h2d_ms = max(0.0, float(np.median(ts) * 1e3) - rtt_ms)
+
+    # batch-1 on-chip compute via the same scan-slope trick
+    def make_scan_b1(n_steps):
+        @jax.jit
+        def f(v, stack):
+            def step(c, i):
+                b = jax.lax.dynamic_index_in_dim(stack, i % 8, axis=0, keepdims=False)
+                x = normalize_imagenet(b.astype(jnp.float32) / 255.0)[None]
+                x = x.astype(jnp.bfloat16)
+                logits = forward_eval(v, x)
+                return c, jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
+            _, out = jax.lax.scan(step, 0, jnp.arange(n_steps, dtype=jnp.int32))
+            return out
+        return f
+
+    stack_b1 = jnp.asarray(np.stack(small[:8]))
+    t_b1 = {}
+    for n in (4, 36):
+        fn = make_scan_b1(n)
+        np.asarray(fn(variables, stack_b1))
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(fn(variables, stack_b1))
+            ts.append(time.perf_counter() - t0)
+        t_b1[n] = float(np.median(ts))
+    b1_compute_ms = max(0.0, (t_b1[36] - t_b1[4]) / 32 * 1e3)
+
+    # double-buffered batch-1 (depth 2): launch frame i+1 before fetching i
+    in_flight = []
+    n_frames = 40
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        x = jax.device_put(downscale_frame(raw_frames[i % 16]))
+        in_flight.append(infer1(variables, x))
+        if len(in_flight) >= 2:
+            np.asarray(in_flight.pop(0))
+    for o in in_flight:
+        np.asarray(o)
+    b1_pipelined_fps = n_frames / (time.perf_counter() - t0)
 
     return {
         "b1_p50_ms": float(np.percentile(b1, 50) * 1e3),
         "b1_fps": float(1.0 / b1.mean()),
+        "b1_downscale_ms": downscale_ms,
+        "b1_h2d_ms": h2d_ms,
+        "b1_device_compute_ms": b1_compute_ms,
+        "relay_rtt_ms": rtt_ms,
+        "b1_pipelined_fps": float(b1_pipelined_fps),
         "batched_fps": float(bN_fps),
         "rgb_streaming_fps": float(rgb_fps),
         "yuv_pred_match": yuv_pred_match,
         "yuv_max_prob_diff": float(max_prob_diff),
-        "device_resident_fps": float(BATCH / np.median(bD)),
+        "device_resident_fps": float(BATCH / dev_step),
+        "device_resident_tflops": float(BATCH * 4.1e9 / dev_step / 1e12),
         "probs_ok": bool(abs(float(probs.sum()) - 1.0) < 1e-2),
     }
 
@@ -276,9 +383,12 @@ def bench_torch_cpu() -> dict:
 def main():
     tpu = bench_tpu()
     log(
-        f"[tpu] batch-1: {tpu['b1_fps']:.1f} img/s (p50 {tpu['b1_p50_ms']:.1f} ms); "
+        f"[tpu] batch-1: {tpu['b1_fps']:.1f} img/s (p50 {tpu['b1_p50_ms']:.1f} ms; "
+        f"downscale {tpu['b1_downscale_ms']:.1f} + H2D {tpu['b1_h2d_ms']:.1f} + "
+        f"compute {tpu['b1_device_compute_ms']:.2f} + relay RTT {tpu['relay_rtt_ms']:.1f} ms); "
         f"batched({BATCH}): {tpu['batched_fps']:.1f} img/s; "
-        f"device-resident: {tpu['device_resident_fps']:.0f} img/s"
+        f"device-resident: {tpu['device_resident_fps']:.0f} img/s "
+        f"({tpu['device_resident_tflops']:.1f} TFLOP/s)"
     )
     try:
         cpu = bench_torch_cpu()
@@ -303,7 +413,13 @@ def main():
                 "vs_baseline": round(vs, 2) if vs else None,
                 "batch1_p50_frame_ms": round(tpu["b1_p50_ms"], 2),
                 "batch1_fps": round(tpu["b1_fps"], 2),
+                "batch1_downscale_ms": round(tpu["b1_downscale_ms"], 2),
+                "batch1_h2d_ms": round(tpu["b1_h2d_ms"], 2),
+                "batch1_device_compute_ms": round(tpu["b1_device_compute_ms"], 3),
+                "relay_rtt_ms": round(tpu["relay_rtt_ms"], 2),
+                "batch1_pipelined_fps": round(tpu["b1_pipelined_fps"], 2),
                 "device_resident_fps": round(tpu["device_resident_fps"], 1),
+                "device_resident_tflops": round(tpu["device_resident_tflops"], 2),
                 "rgb_streaming_fps": round(tpu["rgb_streaming_fps"], 1),
                 "yuv_argmax_matches_rgb": tpu["yuv_pred_match"],
                 "yuv_max_prob_diff": round(tpu["yuv_max_prob_diff"], 4),
@@ -320,7 +436,14 @@ def main():
                 "prob delta reported — async H2D overlapped with compute) "
                 "through this environment's network relay; "
                 "device_resident_fps is the chip's capacity with transfer "
-                "excluded",
+                "excluded, measured as the slope of an on-chip lax.scan of "
+                "N forwards (N=4 vs 36) so the relay's ~30 ms "
+                "per-synchronisation RTT (relay_rtt_ms) is amortised out — "
+                "the round-1 step-at-a-time number measured that RTT, not "
+                "the chip. batch-1 p50 decomposes as downscale + H2D + "
+                "device compute + relay RTT (RTT-bound); the double-buffered "
+                "batch-1 fps is reported even though relay result fetches "
+                "serialise, so depth-2 does not beat the closed loop here",
             }
         )
     )
