@@ -336,6 +336,88 @@ def bench_tpu() -> dict:
     }
 
 
+def bench_train() -> dict:
+    """On-chip training throughput (fwd + bwd + SGD + BN-stat merge +
+    on-device augmentation, bf16 activations — the --precision bf16 CLI
+    path), measured by scan-slope like the device-resident number."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from heuristique_style_transfer_code_tpu.data.augment import make_augment_fn
+    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+        combined_apply,
+    )
+    from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+    from heuristique_style_transfer_code_tpu.train.train_loop import (
+        _merge_bn_stats,
+        masked_cross_entropy,
+    )
+
+    batch, truncate = 128, 8
+    variables = _variables()
+    optimizer = sgd_momentum(0.01, variables)
+    augment = make_augment_fn(
+        [(None, None), ("horizontal_flip", "brightness")], crop=224
+    )
+
+    def one_step(v, o, images_u8, labels, combos, key):
+        images = augment(images_u8, combos, key).astype(jnp.bfloat16)
+
+        def loss_fn(vv):
+            logits, new_v = combined_apply(
+                vv["moco"], vv["classifier"], images, truncate, train=True
+            )
+            return (
+                masked_cross_entropy(logits, labels),
+                {"moco": new_v, "classifier": vv["classifier"]},
+            )
+
+        (loss, new_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+        updates, o = optimizer.update(grads, o, v)
+        v = optax.apply_updates(v, updates)
+        v = _merge_bn_stats(v, new_v)
+        return v, o, loss
+
+    rng = np.random.RandomState(7)
+    stack3 = jnp.asarray(rng.randint(0, 256, (3, batch, 256, 256, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.randint(0, 4, (batch,)).astype(np.int32))
+    combos = jnp.asarray((np.arange(batch) % 2).astype(np.int32))
+
+    def make_scan(n):
+        @jax.jit
+        def f(v, o, stack, key):
+            def step(carry, i):
+                v, o, k = carry
+                k, sub = jax.random.split(k)
+                b = jax.lax.dynamic_index_in_dim(stack, i % 3, axis=0, keepdims=False)
+                v, o, loss = one_step(v, o, b, labels, combos, sub)
+                return (v, o, k), loss
+            (_, _, _), losses = jax.lax.scan(
+                step, (v, o, key), jnp.arange(n, dtype=jnp.int32)
+            )
+            return losses
+        return f
+
+    o0 = optimizer.init(variables)
+    times = {}
+    for n in (2, 10):
+        fn = make_scan(n)
+        np.asarray(fn(variables, o0, stack3, jax.random.PRNGKey(1)))  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(variables, o0, stack3, jax.random.PRNGKey(1)))
+            ts.append(time.perf_counter() - t0)
+        times[n] = float(np.median(ts))
+    t_step = (times[10] - times[2]) / 8
+    return {
+        "train_fps": float(batch / t_step),
+        "train_step_ms": float(t_step * 1e3),
+        "train_batch": batch,
+    }
+
+
 def bench_style_transfer() -> dict:
     """Secondary metric: the namesake Gram-loss pixel-optimisation loop as a
     single compiled lax.while_loop, batched (vs the reference's per-step
@@ -451,6 +533,15 @@ def main():
     except Exception as e:
         log(f"[tpu] style-transfer bench skipped ({e})")
         st = {"img_iters_per_sec": None}
+    try:
+        tr = bench_train()
+        log(
+            f"[tpu] train (bf16, b{tr['train_batch']}): {tr['train_fps']:.0f} img/s "
+            f"({tr['train_step_ms']:.1f} ms/step)"
+        )
+    except Exception as e:
+        log(f"[tpu] train bench skipped ({e})")
+        tr = {"train_fps": None, "train_batch": None}
     vs = (tpu["batched_fps"] / baseline_fps) if baseline_fps else None
     print(
         json.dumps(
@@ -476,6 +567,10 @@ def main():
                     if st["img_iters_per_sec"]
                     else None
                 ),
+                "train_fps_bf16": (
+                    round(tr["train_fps"], 1) if tr["train_fps"] else None
+                ),
+                "train_batch": tr["train_batch"],
                 "batch_size": tpu["batch_used"],
                 "streaming_fps_b64": round(tpu["streaming_fps_b64"], 1),
                 "streaming_fps_b256": round(tpu["streaming_fps_b256"], 1),
