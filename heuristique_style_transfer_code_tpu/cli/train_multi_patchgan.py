@@ -34,6 +34,12 @@ def build_parser():
     parser.add_argument("--model_path", type=str, help="Weights (.npz or .pth); shape-filtered partial load")
     parser.add_argument("--config_path", type=str, required=True)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=1,
+        help="Train steps fused per device dispatch (lax.scan on-device): "
+        "same RNG/losses, ~1/K the host round trips — useful when the TPU "
+        "sits behind a network relay",
+    )
     add_tpu_args(parser)
     return parser
 
@@ -88,6 +94,8 @@ def main(argv=None):
         save_fn=make_save_fn(args.checkpoint_format),
         key=jax.random.PRNGKey(seed),
         writer=writer,
+        train_step_multi=setup.train_step_multi,
+        steps_per_dispatch=args.steps_per_dispatch,
         # reference family-3 protocol: fixed split seed, an unconditional
         # model_fold_<k> checkpoint per fold, retrained_performance.json
         # (train_best_Multi_PatchGAN.py:63,119-130)

@@ -45,6 +45,12 @@ def build_parser():
     parser.add_argument("--num_color_transforms", type=int, default=0)
     parser.add_argument("--num_geom_transforms", type=int, default=0)
     parser.add_argument("--geom_transforms", nargs="+", type=str, default=None)
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=1,
+        help="Train steps fused per device dispatch (lax.scan on-device): "
+        "same RNG/losses, ~1/K the host round trips — useful when the TPU "
+        "sits behind a network relay",
+    )
     add_tpu_args(parser)
     return parser
 
@@ -98,6 +104,8 @@ def main(argv=None):
         combos_per_sample=len(combos),
         key=jax.random.PRNGKey(seed),
         writer=writer,
+        train_step_multi=setup.train_step_multi,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     if writer:
         writer.close()

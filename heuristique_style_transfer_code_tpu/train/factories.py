@@ -19,7 +19,7 @@ from ..models.truncated_resnet50 import (
     truncated_moco_init,
 )
 from .optim import sgd_momentum
-from .train_loop import make_eval_step, make_train_step
+from .train_loop import make_eval_step, make_train_step, make_train_step_multi
 
 
 def _fresh_copy(tree):
@@ -51,12 +51,15 @@ class FamilySetup:
     jit, rebuilding the step closures would force a full recompile per fold —
     this wrapper shares one compiled train/eval step across all folds."""
 
-    def __init__(self, init_variables, optimizer, train_step, eval_step, forward_eval):
+    def __init__(self, init_variables, optimizer, train_step, eval_step,
+                 forward_eval, train_step_multi=None):
         self._init_variables = init_variables
         self._optimizer = optimizer
         self.train_step = train_step
         self.eval_step = eval_step
         self.forward_eval = forward_eval
+        # K-steps-per-dispatch variant (jit-lazy: costs nothing unless used)
+        self.train_step_multi = train_step_multi
 
     def init(self, key: jax.Array):
         variables = self._init_variables(key)
@@ -71,8 +74,12 @@ def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
     train_step = make_train_step(
         _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh
     )
+    train_step_multi = make_train_step_multi(
+        _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh
+    )
     eval_step = make_eval_step(_cast_inputs(forward_eval, compute_dtype), mesh=mesh)
-    return FamilySetup(init_variables, optimizer, train_step, eval_step, forward_eval)
+    return FamilySetup(init_variables, optimizer, train_step, eval_step,
+                       forward_eval, train_step_multi)
 
 
 def setup_truncated_resnet50(

@@ -60,6 +60,8 @@ def run_kfold(
     kfold_random_state: Optional[int] = None,
     save_every_fold: bool = False,
     performance_filename: Optional[str] = None,
+    train_step_multi: Optional[Callable] = None,
+    steps_per_dispatch: int = 1,
 ) -> Dict:
     """Runs the full CV protocol; returns training_info dict.
 
@@ -137,6 +139,8 @@ def run_kfold(
             writer=writer,
             verbose_batches=verbose_batches,
             mesh=mesh,
+            train_step_multi=train_step_multi,
+            steps_per_dispatch=steps_per_dispatch,
         )
         result = evaluate(
             eval_step, variables, val_loader, num_classes, fold=fold, writer=writer

@@ -81,6 +81,59 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_train_step_multi(
+    forward_train: Callable,
+    optimizer: optax.GradientTransformation,
+    augment_fn: Callable,
+    mesh: Optional[Mesh] = None,
+):
+    """K train steps per dispatch: inputs stacked on a leading steps axis and
+    scanned on-device, so per-dispatch host latency (a ~30 ms RTT when the
+    TPU sits behind a network relay) is amortised over K steps.
+
+    Semantics are identical to K single dispatches: ``keys`` is the (K, 2)
+    stack of the per-batch PRNG keys the host loop would have passed, so the
+    augmentation stream and losses match the one-step path bit for bit.
+
+    Returns jitted multi(variables, opt_state, images_u8 (K,B,H,W,3),
+    labels (K,B), combos (K,B), keys (K,2)) -> (variables, opt_state,
+    losses (K,)). jit specialises on K from the input shape.
+    """
+
+    def body(carry, xs):
+        variables, opt_state = carry
+        images_u8, labels, combos, key = xs
+        images = augment_fn(images_u8, combos, key)
+
+        def loss_fn(v):
+            logits, new_v = forward_train(v, images)
+            return masked_cross_entropy(logits, labels), new_v
+
+        (loss, new_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state = optimizer.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        if new_v is not None:
+            variables = _merge_bn_stats(variables, new_v)
+        return (variables, opt_state), loss
+
+    def multi(variables, opt_state, images_u8, labels, combos, keys):
+        (variables, opt_state), losses = jax.lax.scan(
+            body, (variables, opt_state), (images_u8, labels, combos, keys)
+        )
+        return variables, opt_state, losses
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(None, "data"))  # (steps, batch, ...)
+        return jax.jit(
+            multi,
+            in_shardings=(repl, repl, data, data, data, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+    return jax.jit(multi, donate_argnums=(0, 1))
+
+
 def make_eval_step(
     forward_eval: Callable,
     mesh: Optional[Mesh] = None,
@@ -146,24 +199,24 @@ def train_epochs(
     writer=None,
     verbose_batches: bool = True,
     mesh: Optional[Mesh] = None,
+    train_step_multi: Optional[Callable] = None,
+    steps_per_dispatch: int = 1,
 ):
     """Reference train loop semantics (functions_RESNET50_Truncate.py:63-87):
-    per-batch loss prints, per-epoch mean loss (+ optional TB scalar)."""
+    per-batch loss prints, per-epoch mean loss (+ optional TB scalar).
+
+    ``steps_per_dispatch`` > 1 (with ``train_step_multi``) stacks that many
+    batches per device dispatch and scans them on-device — same RNG stream
+    and losses, ~1/K the host/relay round trips. The tail chunk of an epoch
+    compiles once at its own (smaller) K."""
     n_batches = len(loader)
+    use_multi = train_step_multi is not None and steps_per_dispatch > 1
+    sharding = NamedSharding(mesh, P(None, "data")) if mesh is not None else None
     for epoch in range(num_epochs):
         running, seen = 0.0, 0
-        for batch_idx, batch in enumerate(device_prefetch(loader, mesh)):
-            key, sub = jax.random.split(key)
-            variables, opt_state, loss = train_step(
-                variables,
-                opt_state,
-                batch["image"],
-                batch["label"],
-                batch["combo"],
-                sub,
-            )
-            n = batch["n_valid"]
-            loss_f = float(loss)
+
+        def emit(batch_idx, loss_f, n):
+            nonlocal running, seen
             running += loss_f * n
             seen += n
             if verbose_batches:
@@ -171,11 +224,64 @@ def train_epochs(
                     f"Fold {fold}, Epoch [{epoch + 1}/{num_epochs}], "
                     f"Batch [{batch_idx + 1}/{n_batches}], Loss: {loss_f:.4f}"
                 )
+
+        if use_multi:
+            chunk = []
+            batch_idx = 0
+            for batch in loader:
+                key, sub = jax.random.split(key)
+                chunk.append((batch, sub))
+                if len(chunk) < steps_per_dispatch:
+                    continue
+                variables, opt_state, key, batch_idx = _dispatch_chunk(
+                    train_step_multi, variables, opt_state, chunk, key,
+                    batch_idx, emit, sharding,
+                )
+                chunk = []
+            if chunk:
+                variables, opt_state, key, batch_idx = _dispatch_chunk(
+                    train_step_multi, variables, opt_state, chunk, key,
+                    batch_idx, emit, sharding,
+                )
+        else:
+            for batch_idx, batch in enumerate(device_prefetch(loader, mesh)):
+                key, sub = jax.random.split(key)
+                variables, opt_state, loss = train_step(
+                    variables,
+                    opt_state,
+                    batch["image"],
+                    batch["label"],
+                    batch["combo"],
+                    sub,
+                )
+                emit(batch_idx, float(loss), batch["n_valid"])
         epoch_loss = running / max(seen, 1)
         log_fn(f"Fold {fold}, Epoch [{epoch + 1}/{num_epochs}], Loss: {epoch_loss:.4f}")
         if writer is not None:
             writer.add_scalar(f"Fold_{fold}/Train/Loss", epoch_loss, epoch)
     return variables, opt_state
+
+
+def _dispatch_chunk(train_step_multi, variables, opt_state, chunk, key,
+                    batch_idx, emit, sharding):
+    """Stack a chunk of host batches, ship once, scan on-device, emit the
+    per-batch losses with the same prints as the one-step path."""
+    batches = [b for b, _ in chunk]
+    keys = jnp.stack([k for _, k in chunk])
+    images = np.stack([b["image"] for b in batches])
+    labels = np.stack([b["label"] for b in batches])
+    combos = np.stack([b["combo"] for b in batches])
+    if sharding is not None:
+        images = jax.device_put(images, sharding)
+        labels = jax.device_put(labels, sharding)
+        combos = jax.device_put(combos, sharding)
+    variables, opt_state, losses = train_step_multi(
+        variables, opt_state, images, labels, combos, keys
+    )
+    for loss_f, b in zip(np.asarray(losses).tolist(), batches):
+        emit(batch_idx, loss_f, b["n_valid"])
+        batch_idx += 1
+    return variables, opt_state, key, batch_idx
 
 
 def evaluate(

@@ -325,3 +325,112 @@ class TestTrainingDynamicsParity:
 
 def _jx_nchw(x):
     return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+
+class TestMultiStepDispatch:
+    def test_multi_step_matches_single_steps(self):
+        """steps_per_dispatch: the scanned K-step dispatch must reproduce K
+        single dispatches exactly (same RNG stream, losses, weights)."""
+        from heuristique_style_transfer_code_tpu.data.augment import make_augment_fn
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+        from heuristique_style_transfer_code_tpu.train.train_loop import (
+            make_train_step,
+            make_train_step_multi,
+        )
+
+        truncate = 4
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        host_vars = jax.tree_util.tree_map(
+            np.asarray,
+            {
+                "moco": truncated_moco_init(k1, truncate, dim=16),
+                "classifier": classifier_init(k2, 16, 4),
+            },
+        )
+
+        def forward_train(v, images):
+            logits, new_v = combined_apply(
+                v["moco"], v["classifier"], images, truncate, train=True
+            )
+            return logits, {"moco": new_v, "classifier": v["classifier"]}
+
+        optimizer = sgd_momentum(0.01, host_vars)
+        augment = make_augment_fn([(None, None), ("horizontal_flip", None)], crop=64)
+
+        rng = np.random.RandomState(0)
+        images = rng.randint(0, 256, (4, 8, 96, 96, 3), dtype=np.uint8)
+        labels = (rng.randint(0, 4, (4, 8))).astype(np.int32)
+        combos = (np.arange(4 * 8).reshape(4, 8) % 2).astype(np.int32)
+        key0 = jax.random.PRNGKey(42)
+
+        # single dispatches (the host loop's key chain)
+        step1 = make_train_step(forward_train, optimizer, augment)
+        v = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        o = optimizer.init(v)
+        key = key0
+        losses1 = []
+        subs = []
+        for i in range(4):
+            key, sub = jax.random.split(key)
+            subs.append(sub)
+            v, o, loss = step1(v, o, images[i], labels[i], combos[i], sub)
+            losses1.append(float(loss))
+
+        # two dispatches of K=2 with the same per-batch keys
+        multi = make_train_step_multi(forward_train, optimizer, augment)
+        vm = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        om = optimizer.init(vm)
+        losses2 = []
+        for c in range(2):
+            ks = jnp.stack(subs[2 * c : 2 * c + 2])
+            vm, om, ls = multi(
+                vm, om, images[2 * c : 2 * c + 2], labels[2 * c : 2 * c + 2],
+                combos[2 * c : 2 * c + 2], ks,
+            )
+            losses2.extend(np.asarray(ls).tolist())
+
+        np.testing.assert_allclose(losses2, losses1, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(vm["classifier"]["fc"]["kernel"]),
+            np.asarray(v["classifier"]["fc"]["kernel"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(vm["moco"]["encoder"]["bn1"]["mean"]),
+            np.asarray(v["moco"]["encoder"]["bn1"]["mean"]),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    def test_train_cli_steps_per_dispatch_same_results(
+        self, tiny_imagefolder, tmp_path
+    ):
+        """End to end: --steps_per_dispatch 2 must reproduce the default
+        run's fold results (same seed => same splits, RNG, losses)."""
+        import json as _json
+
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import (
+            main,
+        )
+
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text(
+            '{"batch_size": 8, "lr": 0.01, "truncate_layer": 4, "seed": 0, "dim": 16}'
+        )
+        infos = {}
+        for name, extra in (("one", []), ("two", ["--steps_per_dispatch", "2"])):
+            out = str(tmp_path / name)
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", str(cfg),
+                "--epochs", "1", "--k_folds", "2", "--save_dir", out,
+                "--seed", "0",
+            ] + extra)
+            with open(os.path.join(out, "training_info.json")) as f:
+                infos[name] = _json.load(f)["fold_results"]
+        for a, b in zip(infos["one"], infos["two"]):
+            for k in ("val_loss", "val_accuracy", "val_f1"):
+                np.testing.assert_allclose(a[k], b[k], rtol=1e-5)
