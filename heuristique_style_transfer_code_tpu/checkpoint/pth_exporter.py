@@ -26,7 +26,6 @@ from typing import Any, Dict
 
 import numpy as np
 
-from ..nn.patch_discriminator import discriminator_layer_plan
 from ..nn.resnet import RESNET50_CHILDREN
 
 

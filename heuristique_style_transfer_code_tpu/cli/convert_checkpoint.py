@@ -81,9 +81,13 @@ def main(argv=None):
         n = count_params(tree)
         save_pth(export_checkpoint_tree(tree, args.family, config), args.output)
     else:
-        from ._common import load_checkpoint_tree
+        if args.input.endswith((".pth", ".pt")):
+            from ._common import load_checkpoint_tree
 
-        tree = load_checkpoint_tree(args.input, args.family, config)
+            tree = load_checkpoint_tree(args.input, args.family, config)
+        else:
+            # native -> native (npz <-> orbax re-pack)
+            tree = _load_native(args.input)
         n = count_params(tree)
         if target == "npz":
             from ..checkpoint.io import save_pytree_npz

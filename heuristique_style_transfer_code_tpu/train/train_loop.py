@@ -43,19 +43,19 @@ def masked_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
-def make_train_step(
+def make_train_step_body(
     forward_train: Callable,
     optimizer: optax.GradientTransformation,
     augment_fn: Callable,
-    mesh: Optional[Mesh] = None,
-):
-    """forward_train(variables, images) -> (logits, new_variables).
+) -> Callable:
+    """The single-step training computation shared by make_train_step,
+    make_train_step_multi, and bench.py's train measurement — one definition
+    so the measured program IS the shipped program.
 
-    Returns jitted step(variables, opt_state, images_u8, labels, combos, key)
-    -> (variables, opt_state, loss).
-    """
+    body(variables, opt_state, images_u8, labels, combos, key) ->
+    (variables, opt_state, loss)."""
 
-    def step(variables, opt_state, images_u8, labels, combos, key):
+    def body(variables, opt_state, images_u8, labels, combos, key):
         images = augment_fn(images_u8, combos, key)
 
         def loss_fn(v):
@@ -68,6 +68,22 @@ def make_train_step(
         if new_v is not None:
             variables = _merge_bn_stats(variables, new_v)
         return variables, opt_state, loss
+
+    return body
+
+
+def make_train_step(
+    forward_train: Callable,
+    optimizer: optax.GradientTransformation,
+    augment_fn: Callable,
+    mesh: Optional[Mesh] = None,
+):
+    """forward_train(variables, images) -> (logits, new_variables).
+
+    Returns jitted step(variables, opt_state, images_u8, labels, combos, key)
+    -> (variables, opt_state, loss).
+    """
+    step = make_train_step_body(forward_train, optimizer, augment_fn)
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
@@ -100,20 +116,14 @@ def make_train_step_multi(
     losses (K,)). jit specialises on K from the input shape.
     """
 
+    step = make_train_step_body(forward_train, optimizer, augment_fn)
+
     def body(carry, xs):
         variables, opt_state = carry
         images_u8, labels, combos, key = xs
-        images = augment_fn(images_u8, combos, key)
-
-        def loss_fn(v):
-            logits, new_v = forward_train(v, images)
-            return masked_cross_entropy(logits, labels), new_v
-
-        (loss, new_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
-        updates, opt_state = optimizer.update(grads, opt_state, variables)
-        variables = optax.apply_updates(variables, updates)
-        if new_v is not None:
-            variables = _merge_bn_stats(variables, new_v)
+        variables, opt_state, loss = step(
+            variables, opt_state, images_u8, labels, combos, key
+        )
         return (variables, opt_state), loss
 
     def multi(variables, opt_state, images_u8, labels, combos, keys):
@@ -233,14 +243,14 @@ def train_epochs(
                 chunk.append((batch, sub))
                 if len(chunk) < steps_per_dispatch:
                     continue
-                variables, opt_state, key, batch_idx = _dispatch_chunk(
-                    train_step_multi, variables, opt_state, chunk, key,
+                variables, opt_state, batch_idx = _dispatch_chunk(
+                    train_step_multi, variables, opt_state, chunk,
                     batch_idx, emit, sharding,
                 )
                 chunk = []
             if chunk:
-                variables, opt_state, key, batch_idx = _dispatch_chunk(
-                    train_step_multi, variables, opt_state, chunk, key,
+                variables, opt_state, batch_idx = _dispatch_chunk(
+                    train_step_multi, variables, opt_state, chunk,
                     batch_idx, emit, sharding,
                 )
         else:
@@ -262,10 +272,11 @@ def train_epochs(
     return variables, opt_state
 
 
-def _dispatch_chunk(train_step_multi, variables, opt_state, chunk, key,
+def _dispatch_chunk(train_step_multi, variables, opt_state, chunk,
                     batch_idx, emit, sharding):
-    """Stack a chunk of host batches, ship once, scan on-device, emit the
-    per-batch losses with the same prints as the one-step path."""
+    """Stack a chunk of host batches (each paired with its already-split
+    PRNG key), ship once, scan on-device, emit the per-batch losses with the
+    same prints as the one-step path."""
     batches = [b for b, _ in chunk]
     keys = jnp.stack([k for _, k in chunk])
     images = np.stack([b["image"] for b in batches])
@@ -281,7 +292,7 @@ def _dispatch_chunk(train_step_multi, variables, opt_state, chunk, key,
     for loss_f, b in zip(np.asarray(losses).tolist(), batches):
         emit(batch_idx, loss_f, b["n_valid"])
         batch_idx += 1
-    return variables, opt_state, key, batch_idx
+    return variables, opt_state, batch_idx
 
 
 def evaluate(
