@@ -201,3 +201,67 @@ class TestMeshSizes:
         import __graft_entry__ as g
 
         g.dryrun_multichip(2)
+
+
+class TestShardedMultiStep:
+    def test_multi_step_with_mesh_matches_unsharded(self):
+        """make_train_step_multi over the 4x2 mesh: stacked batches sharded
+        on axis 1, same losses as the unsharded multi dispatch."""
+        from heuristique_style_transfer_code_tpu.data.augment import make_augment_fn
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+        from heuristique_style_transfer_code_tpu.train.train_loop import (
+            make_train_step_multi,
+        )
+
+        truncate = 4
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        host_vars = jax.tree_util.tree_map(
+            np.asarray,
+            {
+                "moco": truncated_moco_init(k1, truncate, dim=16),
+                "classifier": classifier_init(k2, 16, 4),
+            },
+        )
+
+        def forward_train(v, images):
+            logits, new_v = combined_apply(
+                v["moco"], v["classifier"], images, truncate, train=True
+            )
+            return logits, {"moco": new_v, "classifier": v["classifier"]}
+
+        optimizer = sgd_momentum(0.01, host_vars)
+        augment = make_augment_fn([(None, None)], crop=64)
+
+        rng = np.random.RandomState(3)
+        images = rng.randint(0, 256, (2, 8, 96, 96, 3), dtype=np.uint8)
+        labels = (rng.randint(0, 4, (2, 8))).astype(np.int32)
+        combos = np.zeros((2, 8), dtype=np.int32)
+        keys = jnp.stack([jax.random.PRNGKey(5), jax.random.PRNGKey(6)])
+
+        multi1 = make_train_step_multi(forward_train, optimizer, augment)
+        v1 = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        v1, o1, losses1 = multi1(
+            v1, optimizer.init(v1), images, labels, combos, keys
+        )
+
+        from heuristique_style_transfer_code_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh(8)
+        multiN = make_train_step_multi(forward_train, optimizer, augment, mesh=mesh)
+        vN = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        vN, oN, lossesN = multiN(
+            vN, optimizer.init(vN), images, labels, combos, keys
+        )
+        np.testing.assert_allclose(
+            np.asarray(losses1), np.asarray(lossesN), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1["classifier"]["fc"]["kernel"]),
+            np.asarray(vN["classifier"]["fc"]["kernel"]),
+            rtol=1e-3, atol=1e-5,
+        )
