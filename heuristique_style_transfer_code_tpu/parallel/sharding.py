@@ -76,6 +76,46 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh_spatial(
+    n_devices: Optional[int] = None, spatial: Optional[int] = None
+) -> Mesh:
+    """(data, spatial) mesh for spatially-partitioned conv inference: the
+    batch is sharded over 'data' and each image's H axis over 'spatial'.
+    XLA/GSPMD inserts the conv halo exchanges automatically, so this scales
+    single-image latency for large inputs — the TPU-native alternative to
+    the reference's single-GPU big-image path. ``spatial`` defaults to 2 on
+    even device counts."""
+    devices = jax.devices()
+    n = min(n_devices or len(devices), len(devices))
+    if spatial is None:
+        spatial = 2 if n % 2 == 0 and n >= 2 else 1
+    assert n % spatial == 0
+    grid = np.asarray(devices[:n]).reshape(n // spatial, spatial)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def make_spatial_eval_step(forward_eval, mesh: Mesh, crop: int = 224):
+    """jit ``forward_eval(variables, images)`` with images sharded
+    (N over 'data', H over 'spatial'), variables replicated, logits sharded
+    over 'data'. Numerically identical to single-device (halo exchange is a
+    layout concern); uint8 input is preprocessed on-device like the
+    single-device eval step."""
+    from ..data.augment import eval_preprocess
+
+    def step(variables, images_u8):
+        return forward_eval(variables, eval_preprocess(images_u8, crop))
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(repl, NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))),
+        out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+    )
+
+
 def make_sharded_train_step(forward_train, optimizer, augment_fn, mesh: Mesh, variables):
     """Full training step jitted over the 2-D mesh: on-device augmentation ->
     forward -> CE -> grads -> SGD -> BN-stat merge, with batch inputs sharded

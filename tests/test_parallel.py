@@ -265,3 +265,47 @@ class TestShardedMultiStep:
             np.asarray(vN["classifier"]["fc"]["kernel"]),
             rtol=1e-3, atol=1e-5,
         )
+
+
+class TestSpatialPartitioning:
+    def test_spatial_eval_matches_single_device(self):
+        """SP: image H axis sharded over 'spatial' (GSPMD inserts the conv
+        halo exchanges); logits identical to single-device."""
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_spatial,
+            make_spatial_eval_step,
+        )
+
+        truncate = 5
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        variables = {
+            "moco": truncated_moco_init(k1, truncate, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+
+        def forward_eval(v, images):
+            logits, _ = combined_apply(v["moco"], v["classifier"], images, truncate)
+            return logits
+
+        rng = np.random.RandomState(0)
+        images_u8 = rng.randint(0, 256, (4, 256, 256, 3), dtype=np.uint8)
+
+        from heuristique_style_transfer_code_tpu.data.augment import eval_preprocess
+
+        ref = jax.jit(
+            lambda v, x: forward_eval(v, eval_preprocess(x, 224))
+        )(variables, jnp.asarray(images_u8))
+
+        mesh = make_mesh_spatial(8, spatial=4)
+        assert dict(mesh.shape) == {"data": 2, "spatial": 4}
+        step = make_spatial_eval_step(forward_eval, mesh)
+        out = step(variables, jnp.asarray(images_u8))
+        assert len(out.sharding.device_set) == 8
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
