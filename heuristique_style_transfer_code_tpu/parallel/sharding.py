@@ -79,6 +79,27 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 SPATIAL_AXIS = "spatial"
 
 
+def make_mesh_3d(n_devices: Optional[int] = None) -> Mesh:
+    """(data, model, spatial) mesh: model and spatial each take a factor of 2
+    when available (enough to exercise the TP collectives and the conv halo
+    exchanges without starving DP); axes degrade to size 1 otherwise."""
+    devices = jax.devices()
+    n = min(n_devices or len(devices), len(devices))
+    spatial = 2 if n % 2 == 0 and n >= 2 else 1
+    model = 2 if (n // spatial) % 2 == 0 and n // spatial >= 2 else 1
+    data = n // (spatial * model)
+    grid = np.asarray(devices[:n]).reshape(data, model, spatial)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch images: N over 'data', and — when the mesh has a 'spatial' axis —
+    H over 'spatial' (GSPMD inserts the conv halo exchanges)."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def make_mesh_spatial(
     n_devices: Optional[int] = None, spatial: Optional[int] = None
 ) -> Mesh:
@@ -117,38 +138,25 @@ def make_spatial_eval_step(forward_eval, mesh: Mesh, crop: int = 224):
 
 
 def make_sharded_train_step(forward_train, optimizer, augment_fn, mesh: Mesh, variables):
-    """Full training step jitted over the 2-D mesh: on-device augmentation ->
-    forward -> CE -> grads -> SGD -> BN-stat merge, with batch inputs sharded
-    over 'data', parameters laid out per ``variable_shardings``. XLA inserts
-    the grad all-reduce (data axis) and the head matmul collectives (model
-    axis) over ICI."""
-    import optax
-
-    from ..train.train_loop import _merge_bn_stats, masked_cross_entropy
+    """Full training step jitted over the mesh: on-device augmentation ->
+    forward -> CE -> grads -> SGD -> BN-stat merge, with the batch sharded
+    over 'data', parameters laid out per ``variable_shardings``, and — on a
+    3-D (data x model x spatial) mesh — each image's H axis sharded over
+    'spatial'. XLA inserts the grad all-reduce (data), the head matmul
+    collectives (model), and the conv halo exchanges (spatial) over ICI."""
+    from ..train.train_loop import make_train_step_body
 
     v_shard = variable_shardings(variables, mesh)
     repl = NamedSharding(mesh, P())
     data = batch_sharding(mesh)
 
-    def step(variables, opt_state, images_u8, labels, combos, key):
-        images = augment_fn(images_u8, combos, key)
-
-        def loss_fn(v):
-            logits, new_v = forward_train(v, images)
-            return masked_cross_entropy(logits, labels), new_v
-
-        (loss, new_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
-        updates, opt_state = optimizer.update(grads, opt_state, variables)
-        variables = optax.apply_updates(variables, updates)
-        if new_v is not None:
-            variables = _merge_bn_stats(variables, new_v)
-        return variables, opt_state, loss
+    step = make_train_step_body(forward_train, optimizer, augment_fn)
 
     # opt-state sharding mirrors the variables' (momentum per leaf); jit
     # infers it from the input layout (in_shardings=None passes through)
     return jax.jit(
         step,
-        in_shardings=(v_shard, None, data, data, data, repl),
+        in_shardings=(v_shard, None, image_sharding(mesh), data, data, repl),
         out_shardings=(v_shard, None, repl),
         donate_argnums=(0, 1),
     ), v_shard

@@ -175,7 +175,11 @@ class TestGraftEntry:
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "dryrun_multichip OK" in proc.stdout
-        assert "'data': 4" in proc.stdout and "'model': 2" in proc.stdout
+        assert (
+            "'data': 2" in proc.stdout
+            and "'model': 2" in proc.stdout
+            and "'spatial': 2" in proc.stdout
+        )
 
     def test_entry_compiles(self):
         import __graft_entry__ as g
@@ -309,3 +313,16 @@ class TestSpatialPartitioning:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
         )
+
+
+class TestMesh3D:
+    @pytest.mark.parametrize("n,want", [
+        (8, {"data": 2, "model": 2, "spatial": 2}),
+        (4, {"data": 1, "model": 2, "spatial": 2}),
+        (2, {"data": 1, "model": 1, "spatial": 2}),
+        (1, {"data": 1, "model": 1, "spatial": 1}),
+    ])
+    def test_mesh3d_factorisation(self, n, want):
+        from heuristique_style_transfer_code_tpu.parallel.sharding import make_mesh_3d
+
+        assert dict(make_mesh_3d(n).shape) == want
