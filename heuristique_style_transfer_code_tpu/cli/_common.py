@@ -117,6 +117,11 @@ def load_checkpoint_tree(model_path: str, family: str, config: dict):
                 norm=config.get("norm", "batch"),
             )
         raise ValueError(family)
+    if os.path.isdir(model_path):
+        # orbax checkpoint directory (what --checkpoint_format orbax saves)
+        from ..checkpoint.io import load_pytree_orbax
+
+        return load_pytree_orbax(model_path)
     from ..checkpoint.io import load_pytree_npz
 
     return load_pytree_npz(model_path)

@@ -135,6 +135,32 @@ class TestTestCLIs:
                 assert a == b, (a, b)
         assert len(outs["single"]) == len(outs["mesh8"])
 
+    def test_orbax_checkpoint_train_then_eval(self, tiny_imagefolder, cfg_file, tmp_path):
+        """--checkpoint_format orbax checkpoints must load back through the
+        eval CLI (directory-type model_path)."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import (
+            main as eval_main,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import (
+            main as train_main,
+        )
+
+        models = str(tmp_path / "models")
+        train_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--epochs", "1", "--k_folds", "2", "--save_dir", models,
+            "--seed", "0", "--checkpoint_format", "orbax",
+        ])
+        ckpt = os.path.join(models, "best_global_model.orbax")
+        assert os.path.isdir(ckpt)
+        out = str(tmp_path / "res")
+        eval_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", ckpt, "--mode", "classification",
+            "--save_dir", out, "--batch_size", "4",
+        ])
+        assert os.path.exists(os.path.join(out, "metrics.txt"))
+
     def test_tsne_mode_and_embeddings_export(
         self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
     ):

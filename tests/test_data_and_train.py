@@ -434,3 +434,51 @@ class TestMultiStepDispatch:
         for a, b in zip(infos["one"], infos["two"]):
             for k in ("val_loss", "val_accuracy", "val_f1"):
                 np.testing.assert_allclose(a[k], b[k], rtol=1e-5)
+
+
+class TestKfoldResume:
+    def test_best_model_results_resume_semantics(self, tiny_imagefolder, tmp_path):
+        """Re-running k-fold in the same save_dir only overwrites per-fold
+        best checkpoints that improved (reference train_best_RESNET50_Truncate
+        resume files, functions_RESNET50_Truncate.py:149-155)."""
+        from heuristique_style_transfer_code_tpu.config.schema import (
+            TruncatedResNetConfig,
+        )
+        from heuristique_style_transfer_code_tpu.train.factories import (
+            make_truncated_resnet50,
+        )
+        from heuristique_style_transfer_code_tpu.train.kfold import run_kfold
+
+        idx = ImageFolderIndex(str(tiny_imagefolder / "train"))
+        cfg = TruncatedResNetConfig(batch_size=8, lr=0.01, truncate_layer=4, dim=16, seed=0)
+        save_dir = str(tmp_path / "out")
+
+        def init_fn(key, fold):
+            v, o, ts, es, _ = make_truncated_resnet50(key, cfg, 4, [(None, None)])
+            return v, o, ts, es
+
+        kwargs = dict(
+            k_folds=2, seed=0, epochs=1, batch_size=8, save_dir=save_dir,
+            hyperparameters=cfg.to_dict(), init_fn=init_fn, verbose_batches=False,
+        )
+        run_kfold(idx, **kwargs)
+        with open(os.path.join(save_dir, "best_model_results.json")) as f:
+            results = json.load(f)
+        by_fold = {r["fold"]: r for r in results}
+
+        # doctor the file: fold 0 claims an unbeatable loss (must survive),
+        # fold 1 claims a terrible one (must be overwritten)
+        by_fold[0]["val_loss"] = 0.0
+        by_fold[1]["val_loss"] = 1e9
+        with open(os.path.join(save_dir, "best_model_results.json"), "w") as f:
+            json.dump(list(by_fold.values()), f)
+        mtime0 = os.path.getmtime(os.path.join(save_dir, "best_model_fold_0.npz"))
+
+        run_kfold(idx, **kwargs)
+        with open(os.path.join(save_dir, "best_model_results.json")) as f:
+            after = {r["fold"]: r for r in json.load(f)}
+        assert after[0]["val_loss"] == 0.0  # kept — not beaten
+        assert after[1]["val_loss"] < 1e9  # overwritten — improved
+        assert os.path.getmtime(
+            os.path.join(save_dir, "best_model_fold_0.npz")
+        ) == mtime0  # checkpoint untouched
