@@ -355,3 +355,28 @@ class TestTPUExtras:
             "--precision", "bf16",
         ])
         assert os.path.exists(os.path.join(out, "metrics.txt"))
+
+
+class TestCombinedFlags:
+    def test_train_devices_and_steps_per_dispatch(self, tiny_imagefolder, cfg_file, tmp_path):
+        """Data-parallel mesh + K-steps-per-dispatch together: the stacked
+        chunk is sharded P(None, 'data') and results match the plain run."""
+        import json as _json
+
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
+
+        infos = {}
+        for name, extra in (
+            ("plain", []),
+            ("combo", ["--devices", "4", "--steps_per_dispatch", "2"]),
+        ):
+            out = str(tmp_path / name)
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+                "--epochs", "1", "--k_folds", "2", "--save_dir", out, "--seed", "0",
+            ] + extra)
+            with open(os.path.join(out, "training_info.json")) as f:
+                infos[name] = _json.load(f)["fold_results"]
+        for a, b in zip(infos["plain"], infos["combo"]):
+            np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-4)
+            assert a["val_accuracy"] == b["val_accuracy"]
