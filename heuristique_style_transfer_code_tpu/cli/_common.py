@@ -48,9 +48,14 @@ def add_tpu_args(parser: argparse.ArgumentParser):
         help="Enable jax debug_nans (the reference leaves torch anomaly mode "
         "on globally; here it is opt-in)",
     )
+
+
+def add_train_tpu_args(parser: argparse.ArgumentParser):
+    """Train-only extras (kept off the eval CLIs so no flag parses without
+    effect)."""
     parser.add_argument(
         "--checkpoint_format", choices=["npz", "orbax"], default="npz",
-        help="Checkpoint backend for saved models (train CLIs)",
+        help="Checkpoint backend for saved models",
     )
 
 

@@ -15,6 +15,7 @@ from ..utils.logging import maybe_profile
 from ._common import (
     apply_debug_flags,
     add_tpu_args,
+    add_train_tpu_args,
     build_mesh,
     load_checkpoint_tree,
     make_writer,
@@ -41,6 +42,7 @@ def build_parser():
         "sits behind a network relay",
     )
     add_tpu_args(parser)
+    add_train_tpu_args(parser)
     return parser
 
 
