@@ -437,16 +437,28 @@ def bench_style_transfer() -> dict:
         feats, _, _ = resnet50_apply(enc, imgs, truncate=5)
         return [gram_matrix_nhwc(feats)]
 
-    b, n_it = 8, 100
+    b = 8
     target_img = jax.random.uniform(jax.random.PRNGKey(1), (b, 224, 224, 3))
     targets = gram_fn(target_img)
     noise0 = jax.random.normal(jax.random.PRNGKey(2), (b, 224, 224, 3))
-    opt = make_style_transfer_optimizer(gram_fn, 0.01, n_it, threshold=0.0)
-    jax.block_until_ready(opt(noise0, targets))  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(opt(noise0, targets))
-    dt = time.perf_counter() - t0
-    return {"img_iters_per_sec": float(n_it * b / dt)}
+
+    # slope over the iteration count, fetching only the tiny per-image loss
+    # (forces the whole while_loop but skips the 4.8 MB image D2H through the
+    # relay); block_until_ready is not a reliable wait here — see PERF.md
+    times = {}
+    for n_it in (50, 250):
+        opt = make_style_transfer_optimizer(gram_fn, 0.01, n_it, threshold=0.0)
+        _, _, loss = opt(noise0, targets)
+        np.asarray(loss)  # compile + force
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, loss = opt(noise0, targets)
+            np.asarray(loss)
+            ts.append(time.perf_counter() - t0)
+        times[n_it] = float(np.median(ts))
+    per_iter = (times[250] - times[50]) / 200
+    return {"img_iters_per_sec": float(b / per_iter)}
 
 
 def bench_torch_cpu() -> dict:

@@ -155,13 +155,14 @@ def main(argv=None):
             embed_fn, variables, loader, samples,
             mesh=resolve_eval_mesh(args.devices, loader.batch_size),
         )
-        # embeddings export (test_RESNET50_Truncate.py:161-165)
-        out_path = os.path.join(
-            args.save_dir,
-            os.path.basename(args.model_path)
-            .replace(".pth", "_embeddings.json")
-            .replace(".npz", "_embeddings.json"),
-        )
+        # embeddings export (test_RESNET50_Truncate.py:161-165); strip any
+        # checkpoint suffix (.pth/.npz/orbax dir) from the artifact name
+        base = os.path.basename(os.path.normpath(args.model_path))
+        for suffix in (".pth", ".pt", ".npz", ".orbax"):
+            if base.endswith(suffix):
+                base = base[: -len(suffix)]
+                break
+        out_path = os.path.join(args.save_dir, f"{base}_embeddings.json")
         os.makedirs(args.save_dir, exist_ok=True)
         with open(out_path, "w") as f:
             json.dump({"embeddings": emb.tolist(), "labels": labels.tolist()}, f)

@@ -21,13 +21,21 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def _axis_factor(n: int) -> int:
+    """Default non-data axis size: a factor of 2 when the (remaining) device
+    count allows it — enough parallelism to exercise the axis's collectives
+    without starving DP — else 1. The single factorisation policy shared by
+    every mesh factory here."""
+    return 2 if n % 2 == 0 and n >= 2 else 1
+
+
 def make_mesh_2d(n_devices: Optional[int] = None, model_parallel: Optional[int] = None) -> Mesh:
     """(data, model) mesh. model axis defaults to 2 when the device count is
     even (enough TP to exercise collectives without starving DP), else 1."""
     devices = jax.devices()
     n = min(n_devices or len(devices), len(devices))
     if model_parallel is None:
-        model_parallel = 2 if n % 2 == 0 and n >= 2 else 1
+        model_parallel = _axis_factor(n)
     assert n % model_parallel == 0
     grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
@@ -85,8 +93,8 @@ def make_mesh_3d(n_devices: Optional[int] = None) -> Mesh:
     exchanges without starving DP); axes degrade to size 1 otherwise."""
     devices = jax.devices()
     n = min(n_devices or len(devices), len(devices))
-    spatial = 2 if n % 2 == 0 and n >= 2 else 1
-    model = 2 if (n // spatial) % 2 == 0 and n // spatial >= 2 else 1
+    spatial = _axis_factor(n)
+    model = _axis_factor(n // spatial)
     data = n // (spatial * model)
     grid = np.asarray(devices[:n]).reshape(data, model, spatial)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS))
@@ -112,7 +120,7 @@ def make_mesh_spatial(
     devices = jax.devices()
     n = min(n_devices or len(devices), len(devices))
     if spatial is None:
-        spatial = 2 if n % 2 == 0 and n >= 2 else 1
+        spatial = _axis_factor(n)
     assert n % spatial == 0
     grid = np.asarray(devices[:n]).reshape(n // spatial, spatial)
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
@@ -132,7 +140,7 @@ def make_spatial_eval_step(forward_eval, mesh: Mesh, crop: int = 224):
     repl = NamedSharding(mesh, P())
     return jax.jit(
         step,
-        in_shardings=(repl, NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))),
+        in_shardings=(repl, image_sharding(mesh)),
         out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
     )
 
