@@ -1,4 +1,11 @@
-from .io import save_pytree_npz, load_pytree_npz, save_model_and_hyperparameters, load_hyperparameters
+from .io import (
+    load_hyperparameters,
+    load_pytree_npz,
+    load_pytree_orbax,
+    save_model_and_hyperparameters,
+    save_pytree_npz,
+    save_pytree_orbax,
+)
 from .pth_converter import (
     load_torch_state_dict,
     convert_resnet_children,
@@ -7,4 +14,12 @@ from .pth_converter import (
     convert_multi_patchgan_checkpoint,
     convert_multi_patchgan_test_checkpoint,
     shape_filtered_update,
+)
+from .pth_exporter import (
+    export_checkpoint_tree,
+    export_gram_attention_checkpoint,
+    export_moco_checkpoint,
+    export_multi_patchgan_checkpoint,
+    export_multi_patchgan_test_checkpoint,
+    save_pth,
 )

@@ -1,6 +1,10 @@
 from .sharding import (
-    make_mesh_2d,
-    variable_shardings,
     batch_sharding,
+    image_sharding,
+    make_mesh_2d,
+    make_mesh_3d,
+    make_mesh_spatial,
     make_sharded_train_step,
+    make_spatial_eval_step,
+    variable_shardings,
 )

@@ -1,3 +1,10 @@
 from .optim import sgd_momentum, adam, label_tree, BN_STAT_KEYS
-from .train_loop import make_train_step, make_eval_step, train_epochs, evaluate
+from .train_loop import (
+    evaluate,
+    make_eval_step,
+    make_train_step,
+    make_train_step_body,
+    make_train_step_multi,
+    train_epochs,
+)
 from .kfold import run_kfold
