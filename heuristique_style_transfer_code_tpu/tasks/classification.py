@@ -95,7 +95,9 @@ def run_classification_test(
         safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
         loss = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
         probs = jnp.exp(logp)
-        return loss, probs
+        # one output array -> one D2H fetch per batch (each fetch costs a
+        # full round trip when the device sits behind a network relay)
+        return jnp.concatenate([loss[:, None], probs], axis=1)
 
     from ..core.mesh import jit_eval_step
 
@@ -109,13 +111,14 @@ def run_classification_test(
 
     for bi, batch in enumerate(loader):
         timer.start()
-        loss, probs = step(variables, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]))
-        probs = np.asarray(probs)
+        packed = np.asarray(
+            step(variables, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]))
+        )
         timer.stop()
         n = batch["n_valid"]
         labels = batch["label"][:n]
-        probs = probs[:n]
-        loss = np.asarray(loss)[:n]
+        loss = packed[:n, 0]
+        probs = packed[:n, 1:]
 
         preds = probs.argmax(axis=1)
         max_probs = probs.max(axis=1)
