@@ -17,12 +17,29 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
+from ..native import get_decoder, is_jpeg
+
 STAGING_SIZE = 256  # shorter-side resize target AND staged canvas size
 
 
 def load_image_staged(path: str, staging: int = STAGING_SIZE) -> np.ndarray:
     """Decode -> PIL bilinear resize (shorter side = staging) -> center crop
-    (staging, staging) -> uint8 HWC."""
+    (staging, staging) -> uint8 HWC.
+
+    JPEG files take the native C++ path when available (bit-identical output,
+    but GIL-free so loader threads decode in parallel — see native/); anything
+    else, or any native-path failure, falls back to PIL below."""
+    dec = get_decoder()
+    if dec is not None:
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            data = b""
+        if is_jpeg(data):
+            arr = dec.decode_staged(data, staging)
+            if arr is not None:
+                return arr
     with Image.open(path) as im:
         im = im.convert("RGB")
         w, h = im.size
