@@ -9,3 +9,4 @@ from .tsne import perform_tsne, plot_tsne_interactive
 from .clustering import run_clustering
 from .gradcam import gradcam_moco, generate_heatmap_overlays
 from .camera import run_camera, make_camera_infer_fn, list_available_cameras
+from .serving import BatchingInferenceServer

@@ -1,0 +1,230 @@
+"""Multi-stream batched inference serving.
+
+Production counterpart of the reference's single-stream camera loop
+(functions/functions_RESNET50_Truncate.py:253-379): many concurrent clients
+(cameras, RPC handlers) submit frames and get a Future back; a dispatcher
+thread packs requests into fixed-shape batches for the jitted TPU program.
+
+TPU-first design decisions:
+- **One static batch shape.** The batcher always dispatches (B, 224, 224, 3):
+  a deadline flush pads the tail with the batch's own first frame (never
+  zeros — compressible transfers and degenerate BN inputs both lie) and only
+  the real requests' futures are resolved. No recompiles, ever.
+- **Deadline-based dynamic batching.** A batch goes out when it is full OR
+  the oldest queued request has waited ``max_delay_ms`` — the standard
+  latency/throughput dial.
+- **Pipelined dispatch.** Up to ``max_in_flight`` batches are in flight
+  before the dispatcher blocks on a result fetch, so host->device transfer
+  and device compute overlap exactly like the camera ``pipeline_depth``
+  path. A dedicated fetch thread resolves futures in FIFO order (device
+  result fetches serialise anyway — PERF.md).
+
+The server is transport-agnostic: ``submit`` is the whole client API, so an
+HTTP/gRPC front end is a thin loop around it.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from .camera import downscale_frame, make_camera_infer_fn
+
+
+class BatchingInferenceServer:
+    """Dynamic-batching inference server over a jitted batch forward.
+
+    Parameters
+    ----------
+    forward_eval : fn(variables, images_f (B,224,224,3)) -> logits — same
+        contract as the camera/eval paths.
+    variables : model pytree (device-resident after the first dispatch).
+    batch_size : static device batch B.
+    max_delay_ms : flush deadline for a partially filled batch.
+    max_in_flight : batches in flight before the dispatcher applies
+        backpressure (blocks until the oldest fetch completes).
+    compute_dtype : e.g. jnp.bfloat16 for the MXU-native path.
+    """
+
+    def __init__(
+        self,
+        forward_eval: Callable,
+        variables,
+        *,
+        batch_size: int = 64,
+        max_delay_ms: float = 10.0,
+        max_in_flight: int = 3,
+        max_queue: int = 1024,
+        compute_dtype=None,
+        crop: int = 224,
+    ):
+        self._infer = make_camera_infer_fn(
+            forward_eval, compute_dtype=compute_dtype, batch=batch_size,
+            host_downscale=True,
+        )
+        self._variables = variables
+        self.batch_size = int(batch_size)
+        self.max_delay = max_delay_ms / 1e3
+        self.max_in_flight = int(max_in_flight)
+        self.crop = int(crop)
+        self._requests: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._in_flight: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._batches = 0
+        self._images = 0
+        self._occupancy_sum = 0.0
+        self._started = None
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
+
+    # ---- client API ----------------------------------------------------
+
+    def start(self) -> "BatchingInferenceServer":
+        self._started = time.perf_counter()
+        self._dispatcher.start()
+        self._fetcher.start()
+        return self
+
+    def submit(self, frame: np.ndarray) -> Future:
+        """Submit one RGB uint8 frame; returns a Future resolving to the
+        probability vector (np.ndarray). Frames larger than (crop, crop) are
+        host-downscaled here, in the *caller's* thread, so N client threads
+        spread the preprocessing cost (and the native/cv2 work is GIL-free)."""
+        if self._stop.is_set():
+            raise RuntimeError("server is stopped")
+        frame = np.asarray(frame)
+        if frame.shape[:2] != (self.crop, self.crop):
+            frame = downscale_frame(frame, crop=self.crop)
+        fut: Future = Future()
+        self._requests.put((frame, fut, time.perf_counter()))
+        return fut
+
+    def stop(self, drain: bool = True):
+        """Stop the server. With ``drain`` (default) everything already
+        submitted is processed first; otherwise pending futures are
+        cancelled."""
+        if drain:
+            self._requests.put(None)  # sentinel: dispatcher exits after queue
+            self._dispatcher.join()
+            self._in_flight.put(None)
+            self._fetcher.join()
+            self._stop.set()
+            # anything submitted after the sentinel raced the shutdown
+            try:
+                while True:
+                    item = self._requests.get_nowait()
+                    if item is not None:
+                        item[1].cancel()
+            except queue.Empty:
+                pass
+        else:
+            self._stop.set()
+            self._requests.put(None)
+            self._dispatcher.join()
+            self._in_flight.put(None)
+            self._fetcher.join()
+            try:
+                while True:
+                    item = self._requests.get_nowait()
+                    if item is not None:
+                        item[1].cancel()
+            except queue.Empty:
+                pass
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop(drain=exc[0] is None)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            elapsed = (
+                time.perf_counter() - self._started if self._started else 0.0
+            )
+            return {
+                "batches": self._batches,
+                "images": self._images,
+                "mean_batch_occupancy": (
+                    self._occupancy_sum / self._batches if self._batches else 0.0
+                ),
+                "throughput_imgs_per_sec": (
+                    self._images / elapsed if elapsed > 0 else 0.0
+                ),
+            }
+
+    # ---- internals -----------------------------------------------------
+
+    def _collect_batch(self) -> Optional[tuple]:
+        """Block for the first request, then fill up to batch_size or until
+        the FIRST request is max_delay old. Returns (frames, futures) or
+        None on shutdown sentinel."""
+        item = self._requests.get()
+        if item is None:
+            return None
+        frames: List[np.ndarray] = [item[0]]
+        futures: List[Future] = [item[1]]
+        deadline = item[2] + self.max_delay
+        while len(frames) < self.batch_size:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                item = self._requests.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                self._requests.put(None)  # re-post for the outer loop
+                break
+            frames.append(item[0])
+            futures.append(item[1])
+        return frames, futures
+
+    def _dispatch_loop(self):
+        import jax
+
+        while not self._stop.is_set():
+            batch = self._collect_batch()
+            if batch is None:
+                break
+            frames, futures = batch
+            n = len(frames)
+            if n < self.batch_size:
+                # pad with the first real frame: static shape, non-degenerate
+                # data, and compressed-transport-proof (distinct per batch)
+                frames = frames + [frames[0]] * (self.batch_size - n)
+            arr = np.stack(frames)
+            try:
+                device_arr = jax.device_put(arr)  # async H2D
+                out = self._infer(self._variables, device_arr)
+            except Exception as e:  # compile/dispatch error: fail the batch
+                for f in futures:
+                    f.set_exception(e)
+                continue
+            self._in_flight.put((out, futures, n))
+            while self._in_flight.qsize() > self.max_in_flight:
+                time.sleep(0.0005)  # backpressure: let the fetcher drain
+
+    def _fetch_loop(self):
+        while True:
+            item = self._in_flight.get()
+            if item is None:
+                break
+            out, futures, n = item
+            try:
+                probs = np.asarray(out)  # the one D2H fetch per batch
+            except Exception as e:
+                for f in futures:
+                    f.set_exception(e)
+                continue
+            for i, f in enumerate(futures):
+                f.set_result(probs[i])
+            with self._stats_lock:
+                self._batches += 1
+                self._images += n
+                self._occupancy_sum += n / self.batch_size

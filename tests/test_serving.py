@@ -1,0 +1,147 @@
+"""BatchingInferenceServer: dynamic batching, deadline flush, correctness."""
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heuristique_style_transfer_code_tpu.tasks.camera import make_camera_infer_fn
+from heuristique_style_transfer_code_tpu.tasks.serving import (
+    BatchingInferenceServer,
+)
+
+CROP = 32
+CLASSES = 4
+
+
+def _variables():
+    rng = np.random.RandomState(0)
+    return {
+        "w": jnp.asarray(rng.randn(CROP * CROP * 3, CLASSES).astype(np.float32) * 0.01),
+        "b": jnp.asarray(rng.randn(CLASSES).astype(np.float32)),
+    }
+
+
+def _forward(variables, images):
+    flat = images.reshape(images.shape[0], -1)
+    return flat @ variables["w"] + variables["b"]
+
+
+def _frames(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (CROP, CROP, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def _reference_probs(variables, frames):
+    infer = make_camera_infer_fn(_forward, batch=len(frames), host_downscale=True)
+    return np.asarray(infer(variables, jnp.asarray(np.stack(frames))))
+
+
+class TestBatching:
+    def test_full_batches_from_many_threads(self):
+        variables = _variables()
+        frames = _frames(32, seed=1)
+        ref = _reference_probs(variables, frames)
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=8, max_delay_ms=50, crop=CROP
+        )
+        with server:
+            futs = [None] * len(frames)
+
+            def client(lo, hi):
+                for i in range(lo, hi):
+                    futs[i] = server.submit(frames[i])
+
+            threads = [
+                threading.Thread(target=client, args=(k * 8, (k + 1) * 8))
+                for k in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            results = [f.result(timeout=30) for f in futs]
+        for i, p in enumerate(results):
+            np.testing.assert_allclose(p, ref[i], rtol=1e-5, atol=1e-6)
+        st = server.stats()
+        assert st["images"] == 32
+        assert st["batches"] >= 4
+
+    def test_deadline_flush_partial_batch(self):
+        variables = _variables()
+        frames = _frames(3, seed=2)
+        ref = _reference_probs(variables, frames)
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=16, max_delay_ms=30, crop=CROP
+        )
+        with server:
+            # warm the jit so the deadline measurement isn't compile time
+            server.submit(frames[0]).result(timeout=60)
+            t0 = time.perf_counter()
+            futs = [server.submit(f) for f in frames]
+            results = [f.result(timeout=30) for f in futs]
+            waited = time.perf_counter() - t0
+        for i, p in enumerate(results):
+            np.testing.assert_allclose(p, ref[i], rtol=1e-5, atol=1e-6)
+        assert waited < 5.0  # flushed by deadline, not stuck waiting for 16
+        st = server.stats()
+        assert st["images"] == 4
+        assert st["mean_batch_occupancy"] < 1.0
+
+    def test_padding_does_not_change_results(self):
+        """A frame served in a padded partial batch must equal the same frame
+        served in a full batch."""
+        variables = _variables()
+        frame = _frames(1, seed=3)[0]
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=8, max_delay_ms=10, crop=CROP
+        )
+        with server:
+            solo = server.submit(frame).result(timeout=60)  # padded batch of 1
+            futs = [server.submit(f) for f in _frames(7, seed=4)] + [
+                server.submit(frame)
+            ]
+            full = futs[-1].result(timeout=30)
+        np.testing.assert_allclose(solo, full, rtol=1e-5, atol=1e-6)
+
+    def test_large_frame_downscaled_in_submit(self):
+        variables = {
+            "w": jnp.zeros((224 * 224 * 3, CLASSES), jnp.float32),
+            "b": jnp.zeros((CLASSES,), jnp.float32),
+        }
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=2, max_delay_ms=10, crop=224
+        )
+        rng = np.random.RandomState(5)
+        with server:
+            p = server.submit(
+                rng.randint(0, 256, (480, 640, 3), dtype=np.uint8)
+            ).result(timeout=120)
+        assert p.shape == (CLASSES,)
+        np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+
+    def test_drain_processes_everything(self):
+        variables = _variables()
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=4, max_delay_ms=1000, crop=CROP
+        ).start()
+        futs = [server.submit(f) for f in _frames(6, seed=6)]
+        server.stop(drain=True)  # must flush the 2-frame tail despite the delay
+        for f in futs:
+            assert f.result(timeout=5).shape == (CLASSES,)
+        with pytest.raises(RuntimeError):
+            server.submit(_frames(1)[0])
+
+    def test_dispatch_error_propagates(self):
+        def bad_forward(variables, images):
+            raise ValueError("boom")
+
+        server = BatchingInferenceServer(
+            bad_forward, _variables(), batch_size=2, max_delay_ms=5, crop=CROP
+        )
+        with server:
+            fut = server.submit(_frames(1, seed=7)[0])
+            with pytest.raises(ValueError, match="boom"):
+                fut.result(timeout=30)
