@@ -64,6 +64,14 @@ class HostLoader:
     of the epoch order rather than repeating one image, so train-mode
     BatchNorm statistics are computed over varied real data instead of 31
     copies of the last sample.
+
+    Multi-host: pass ``process_index``/``process_count`` and every host draws
+    a disjoint stride of the SAME global per-epoch permutation (seeded by
+    ``seed + epoch``, so hosts agree without communicating). The global order
+    is first padded (cycling from its start) to a multiple of
+    ``process_count * batch_size`` so every host runs the *same number of
+    steps per epoch* — mandatory under pjit collectives — and the padding
+    entries carry label -1 like intra-batch pads.
     """
 
     def __init__(
@@ -77,6 +85,8 @@ class HostLoader:
         staging: int = STAGING_SIZE,
         drop_last: bool = False,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.samples = list(samples)
         self.combo_ids = list(combo_ids) if combo_ids is not None else [0] * len(self.samples)
@@ -88,29 +98,52 @@ class HostLoader:
         self.staging = staging
         self.drop_last = drop_last
         self.prefetch = prefetch
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
-    def __len__(self):
+    def _local_n(self) -> int:
+        """Per-host sample count after global padding (see class docstring)."""
         n = len(self.samples)
-        if self.drop_last:
+        if self.process_count == 1:
+            return n
+        chunk = self.process_count * self.batch_size
+        return -(-n // chunk) * chunk // self.process_count
+
+    def __len__(self):
+        n = self._local_n()
+        if self.drop_last and self.process_count == 1:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _order(self) -> np.ndarray:
-        idx = np.arange(len(self.samples))
+    def _order(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(local indices, validity mask) for this epoch and this host."""
+        n = len(self.samples)
+        idx = np.arange(n)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self._epoch)
             rng.shuffle(idx)
-        return idx
+        valid = np.ones(n, dtype=bool)
+        if self.process_count > 1:
+            total = self._local_n() * self.process_count
+            if total > n:  # pad by cycling from the start of the global order
+                pad = idx[np.arange(total - n) % n]
+                idx = np.concatenate([idx, pad])
+                valid = np.concatenate([valid, np.zeros(total - n, dtype=bool)])
+            idx = idx[self.process_index :: self.process_count]
+            valid = valid[self.process_index :: self.process_count]
+        return idx, valid
 
     def __iter__(self) -> Iterator[dict]:
-        order = self._order()
+        order, order_valid = self._order()
         self._epoch += 1
         bs = self.batch_size
-        batches: List[np.ndarray] = [
-            order[i : i + bs] for i in range(0, len(order), bs)
+        batches: List[Tuple[np.ndarray, np.ndarray]] = [
+            (order[i : i + bs], order_valid[i : i + bs])
+            for i in range(0, len(order), bs)
         ]
-        if self.drop_last and batches and len(batches[-1]) < bs:
+        if self.drop_last and batches and len(batches[-1][0]) < bs:
             batches.pop()
 
         # two pools: decode workers + batch assemblers (separate pools so an
@@ -118,11 +151,12 @@ class HostLoader:
         decode_pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
         batch_pool = cf.ThreadPoolExecutor(max_workers=max(1, self.prefetch))
 
-        def make_batch(idxs: np.ndarray) -> dict:
+        def make_batch(idxs: np.ndarray, valid: np.ndarray) -> dict:
             n = len(idxs)
             if n < bs:  # pad by cycling distinct samples from the epoch order
-                pad = order[np.arange(bs - n) % len(order)]
-                idxs = np.concatenate([idxs, pad])
+                pad_pos = np.arange(bs - n) % len(order)
+                idxs = np.concatenate([idxs, order[pad_pos]])
+                valid = np.concatenate([valid, np.zeros(bs - n, dtype=bool)])
             imgs = np.empty((bs, self.staging, self.staging, 3), dtype=np.uint8)
             decoded = list(
                 decode_pool.map(
@@ -134,7 +168,7 @@ class HostLoader:
             labels = np.full((bs,), -1, dtype=np.int32)
             combos = np.zeros((bs,), dtype=np.int32)
             for j, i in enumerate(idxs):
-                if j < n:
+                if valid[j]:
                     labels[j] = self.samples[i][1]
                 combos[j] = self.combo_ids[i]
             return {
@@ -142,13 +176,13 @@ class HostLoader:
                 "label": labels,
                 "combo": combos,
                 "indices": np.asarray(idxs),
-                "n_valid": n,
+                "n_valid": int(valid.sum()),
             }
 
         pending = []
         try:
-            for idxs in batches:
-                pending.append(batch_pool.submit(make_batch, idxs))
+            for idxs, valid in batches:
+                pending.append(batch_pool.submit(make_batch, idxs, valid))
                 if len(pending) >= self.prefetch:
                     yield pending.pop(0).result()
             while pending:
