@@ -1,3 +1,8 @@
+from .multihost import (
+    global_batch_dict,
+    initialize_distributed,
+    make_global_batch,
+)
 from .sharding import (
     batch_sharding,
     image_sharding,
