@@ -12,6 +12,7 @@ with a thread-pool prefetcher feeding fixed-shape device batches.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -37,7 +38,8 @@ def load_image_staged(path: str, staging: int = STAGING_SIZE) -> np.ndarray:
         except OSError:
             data = b""
         if is_jpeg(data):
-            arr = dec.decode_staged(data, staging)
+            fast = os.environ.get("HST_NATIVE_DECODE_FAST") == "1"
+            arr = dec.decode_staged(data, staging, fast=fast)
             if arr is not None:
                 return arr
     with Image.open(path) as im:

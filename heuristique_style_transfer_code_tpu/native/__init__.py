@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_ABI = 1  # keep in sync with hst_abi_version() in decoder.cpp
+_ABI = 2  # keep in sync with hst_abi_version() in decoder.cpp
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "decoder.cpp")
 
 _lock = threading.Lock()
@@ -83,7 +83,7 @@ class NativeJpegDecoder:
         lib.hst_decode_resize_crop.argtypes = [
             ctypes.c_char_p, ctypes.c_ulong,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ]
         lib.hst_abi_version.restype = ctypes.c_int
         if lib.hst_abi_version() != _ABI:
@@ -99,10 +99,17 @@ class NativeJpegDecoder:
             return None
         return w.value, h.value
 
-    def decode_staged(self, data: bytes, staging: int = 256) -> Optional[np.ndarray]:
+    def decode_staged(
+        self, data: bytes, staging: int = 256, fast: bool = False
+    ) -> Optional[np.ndarray]:
         """JPEG bytes -> (staging, staging, 3) uint8, bit-identical to
         data/loader.py::load_image_staged. None => caller falls back to PIL
-        (corrupt file, CMYK, etc.)."""
+        (corrupt file, CMYK, etc.).
+
+        ``fast``: decode at the coarsest 1/2^k DCT scaling whose shorter side
+        still covers ``staging`` (libjpeg scale_denom), then resample. Much
+        cheaper for large photos, but NOT bit-identical to PIL — strictly
+        opt-in (HST_NATIVE_DECODE_FAST=1 at the loader level)."""
         dims = self.jpeg_dims(data)
         if dims is None:
             return None
@@ -118,9 +125,13 @@ class NativeJpegDecoder:
         left = int(round((tw - staging) / 2.0)) if tw > staging else 0
         ch = min(staging, th)
         cw = min(staging, tw)
+        denom = 1
+        if fast:
+            while denom < 8 and min(-(-h // (denom * 2)), -(-w // (denom * 2))) >= staging:
+                denom *= 2
         out = np.empty((ch, cw, 3), dtype=np.uint8)
         rc = self._lib.hst_decode_resize_crop(
-            data, len(data), tw, th, left, top, cw, ch,
+            data, len(data), tw, th, left, top, cw, ch, denom,
             out.ctypes.data_as(ctypes.c_void_p),
         )
         if rc != 0:

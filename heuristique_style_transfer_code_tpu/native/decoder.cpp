@@ -283,10 +283,14 @@ void set_mem_source(j_decompress_ptr cinfo, MemSource *src,
     cinfo->src = &src->pub;
 }
 
-// Decode to interleaved RGB. Returns 0 on success; fills (*outp, *wp, *hp).
+// Decode to interleaved RGB. Returns 0 on success; fills (*outp, *wp, *hp)
+// with the (possibly DCT-scaled) output dims. scale_denom in {1,2,4,8}:
+// values > 1 decode at 1/denom resolution inside the IDCT (libjpeg
+// scale_num/scale_denom) — much cheaper for large photos, NOT bit-identical
+// to a full decode + resize (callers opt in explicitly).
 // Error codes: 2 = libjpeg error, 3 = unsupported colorspace, 1 = alloc.
-int decode_rgb(const uint8_t *data, unsigned long size, uint8_t **outp,
-               int *wp, int *hp) {
+int decode_rgb(const uint8_t *data, unsigned long size, int scale_denom,
+               uint8_t **outp, int *wp, int *hp) {
     jpeg_decompress_struct cinfo;
     ErrorMgr jerr;
     MemSource src;
@@ -311,6 +315,10 @@ int decode_rgb(const uint8_t *data, unsigned long size, uint8_t **outp,
         return 3;
     }
     cinfo.out_color_space = JCS_RGB;
+    if (scale_denom > 1) {
+        cinfo.scale_num = 1;
+        cinfo.scale_denom = (unsigned int)scale_denom;
+    }
     // defaults match Pillow: ISLOW IDCT, fancy upsampling on.
     jpeg_start_decompress(&cinfo);
     int w = (int)cinfo.output_width;
@@ -364,18 +372,24 @@ int hst_jpeg_dims(const uint8_t *data, unsigned long size, int *wp, int *hp) {
 // Decode -> resample to (tw, th) -> crop [top:top+ch, left:left+cw] into
 // caller-allocated out (ch*cw*3 bytes). Crop offsets are computed by the
 // Python caller (banker's rounding parity with load_image_staged).
+// scale_denom = 1 is the bit-parity path; 2/4/8 decode at reduced IDCT
+// resolution first (fast mode, approximate).
 // Returns 0 success / 1 alloc / 2 jpeg error / 3 unsupported colorspace /
 // 4 bad crop bounds.
 int hst_decode_resize_crop(const uint8_t *data, unsigned long size, int tw,
                            int th, int left, int top, int cw, int ch,
-                           uint8_t *out) {
+                           int scale_denom, uint8_t *out) {
     if (tw <= 0 || th <= 0 || cw <= 0 || ch <= 0 || left < 0 || top < 0 ||
         left + cw > tw || top + ch > th) {
         return 4;
     }
+    if (scale_denom != 1 && scale_denom != 2 && scale_denom != 4 &&
+        scale_denom != 8) {
+        return 4;
+    }
     uint8_t *rgb;
     int w, h;
-    int rc = decode_rgb(data, size, &rgb, &w, &h);
+    int rc = decode_rgb(data, size, scale_denom, &rgb, &w, &h);
     if (rc) return rc;
 
     uint8_t *resized;
@@ -392,6 +406,6 @@ int hst_decode_resize_crop(const uint8_t *data, unsigned long size, int tw,
 }
 
 // Version/ABI tag so the Python side can cache-bust rebuilt binaries.
-int hst_abi_version(void) { return 1; }
+int hst_abi_version(void) { return 2; }
 
 }  // extern "C"

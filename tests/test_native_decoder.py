@@ -124,6 +124,46 @@ class TestBitParity:
         assert nat.shape == (128, 128, 3)
 
 
+class TestFastMode:
+    def test_fast_close_to_exact_and_cheaper_dims(self, decoder):
+        # smooth large photo: fast (DCT-scaled) decode must stay visually
+        # equivalent to the exact path; the contract is approximate
+        y, x = np.mgrid[0:1500, 0:2000]
+        arr = np.stack(
+            [(x * 255 // 2000), (y * 255 // 1500), ((x + y) % 256)], -1
+        ).astype(np.uint8)
+        data = _jpeg_bytes(arr, quality=90)
+        exact = decoder.decode_staged(data, 256)
+        fast = decoder.decode_staged(data, 256, fast=True)
+        assert fast.shape == exact.shape == (256, 256, 3)
+        d = np.abs(exact.astype(int) - fast.astype(int))
+        assert d.mean() < 3.0
+        assert np.percentile(d, 99) <= 25
+
+    def test_fast_on_small_image_is_exact(self, decoder, tmp_path):
+        # no DCT scale fits (shorter side already ~staging): denom stays 1
+        rng = np.random.RandomState(8)
+        data = _jpeg_bytes(rng.randint(0, 256, (300, 400, 3), dtype=np.uint8))
+        fast = decoder.decode_staged(data, 256, fast=True)
+        pil = _pil_staged(data, tmp_path)
+        np.testing.assert_array_equal(fast, pil)
+
+    def test_loader_fast_env(self, decoder, tmp_path):
+        rng = np.random.RandomState(9)
+        p = str(tmp_path / "big.jpg")
+        Image.fromarray(
+            rng.randint(0, 256, (1200, 1600, 3), dtype=np.uint8)
+        ).save(p, quality=90)
+        os.environ["HST_NATIVE_DECODE"] = "1"
+        os.environ["HST_NATIVE_DECODE_FAST"] = "1"
+        try:
+            out = load_image_staged(p)
+        finally:
+            os.environ.pop("HST_NATIVE_DECODE_FAST", None)
+            os.environ.pop("HST_NATIVE_DECODE", None)
+        assert out.shape == (STAGING_SIZE, STAGING_SIZE, 3)
+
+
 class TestFallbacks:
     def test_cmyk_falls_back_to_none(self, decoder):
         buf = io.BytesIO()
