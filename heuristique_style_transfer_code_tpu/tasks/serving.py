@@ -99,7 +99,9 @@ class BatchingInferenceServer:
             raise RuntimeError("server is stopped")
         frame = np.asarray(frame)
         if frame.shape[:2] != (self.crop, self.crop):
-            frame = downscale_frame(frame, crop=self.crop)
+            # keep the canonical resize:crop ratio (256:224) for any crop
+            shorter = max(self.crop, round(self.crop * 256 / 224))
+            frame = downscale_frame(frame, crop=self.crop, shorter=shorter)
         fut: Future = Future()
         self._requests.put((frame, fut, time.perf_counter()))
         return fut
@@ -207,7 +209,7 @@ class BatchingInferenceServer:
                     f.set_exception(e)
                 continue
             self._in_flight.put((out, futures, n))
-            while self._in_flight.qsize() > self.max_in_flight:
+            while self._in_flight.qsize() >= self.max_in_flight:
                 time.sleep(0.0005)  # backpressure: let the fetcher drain
 
     def _fetch_loop(self):
