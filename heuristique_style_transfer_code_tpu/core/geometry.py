@@ -1,0 +1,39 @@
+"""Canonical host-side resize/crop geometry (pure Python, no jax/numpy).
+
+One definition of the reference transform's integer arithmetic
+(torchvision ``Resize(shorter)`` target + ``center_crop`` offsets,
+train_best_RESNET50_Truncate.py:126-132), shared by every consumer —
+the PIL staging loader, the native C++ decoder's Python driver, and the
+on-device resize — so the bit-parity contract between them cannot drift.
+
+Note both `round` calls are Python's banker's rounding; changing either to
+floor/ceil breaks parity with torchvision/PIL.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+
+def resize_target(h: int, w: int, shorter: int) -> Tuple[int, int]:
+    """torchvision Resize(int): scale the shorter side to ``shorter``,
+    keep aspect ratio. Returns (target_h, target_w)."""
+    if h <= w:
+        return shorter, max(1, round(w * shorter / h))
+    return max(1, round(h * shorter / w)), shorter
+
+
+def center_crop_offsets(h: int, w: int, size: int) -> Tuple[int, int]:
+    """torchvision F.center_crop offset rule: round((in - out) / 2),
+    clamped at 0. Returns (top, left)."""
+    top = int(round((h - size) / 2.0)) if h > size else 0
+    left = int(round((w - size) / 2.0)) if w > size else 0
+    return top, left
+
+
+def staging_geometry(w: int, h: int, staging: int) -> Tuple[int, int, int, int]:
+    """Full staged-decode plan for an (w, h) source: resize so the shorter
+    side is ``staging``, center-crop (staging, staging).
+    Returns (target_w, target_h, left, top)."""
+    th, tw = resize_target(h, w, staging)
+    top, left = center_crop_offsets(th, tw, staging)
+    return tw, th, left, top

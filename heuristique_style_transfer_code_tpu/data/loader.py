@@ -18,6 +18,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
+from ..core.geometry import staging_geometry
 from ..native import get_decoder, is_jpeg
 
 STAGING_SIZE = 256  # shorter-side resize target AND staged canvas size
@@ -45,14 +46,9 @@ def load_image_staged(path: str, staging: int = STAGING_SIZE) -> np.ndarray:
     with Image.open(path) as im:
         im = im.convert("RGB")
         w, h = im.size
-        if h <= w:
-            th, tw = staging, max(1, round(w * staging / h))
-        else:
-            th, tw = max(1, round(h * staging / w)), staging
+        tw, th, left, top = staging_geometry(w, h, staging)
         im = im.resize((tw, th), Image.BILINEAR)
         arr = np.asarray(im, dtype=np.uint8)
-    top = int(round((th - staging) / 2.0)) if th > staging else 0
-    left = int(round((tw - staging) / 2.0)) if tw > staging else 0
     return arr[top : top + staging, left : left + staging]
 
 

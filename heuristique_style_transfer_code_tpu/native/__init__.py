@@ -21,7 +21,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_ABI = 2  # keep in sync with hst_abi_version() in decoder.cpp
+from ..core.geometry import staging_geometry
+
+_ABI = 3  # keep in sync with hst_abi_version() in decoder.cpp
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "decoder.cpp")
 
 _lock = threading.Lock()
@@ -116,13 +118,8 @@ class NativeJpegDecoder:
         w, h = dims
         if w <= 0 or h <= 0:
             return None
-        # Same arithmetic as load_image_staged — Python round (banker's).
-        if h <= w:
-            th, tw = staging, max(1, round(w * staging / h))
-        else:
-            th, tw = max(1, round(h * staging / w)), staging
-        top = int(round((th - staging) / 2.0)) if th > staging else 0
-        left = int(round((tw - staging) / 2.0)) if tw > staging else 0
+        # the one shared definition of the staged-decode arithmetic
+        tw, th, left, top = staging_geometry(w, h, staging)
         ch = min(staging, th)
         cw = min(staging, tw)
         denom = 1

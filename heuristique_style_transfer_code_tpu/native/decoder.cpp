@@ -235,7 +235,12 @@ void error_exit(j_common_ptr cinfo) {
     longjmp(err->setjmp_buffer, 1);
 }
 
-void emit_message(j_common_ptr, int) {}  // silence warnings
+// Silence console output but still COUNT corruption warnings (msg_level -1,
+// e.g. JWRN_JPEG_EOF on truncated files) — decode_rgb fails on any warning
+// so damaged files fall back to PIL, which surfaces them like the old path.
+void emit_message(j_common_ptr cinfo, int msg_level) {
+    if (msg_level < 0) cinfo->err->num_warnings++;
+}
 
 // Memory source manager (portable: jpeg_mem_src is not in every 62 ABI).
 struct MemSource {
@@ -294,7 +299,8 @@ int decode_rgb(const uint8_t *data, unsigned long size, int scale_denom,
     jpeg_decompress_struct cinfo;
     ErrorMgr jerr;
     MemSource src;
-    uint8_t *buf = nullptr;
+    // volatile: read after longjmp (setjmp rule; libjpeg example.c does the same)
+    uint8_t *volatile buf = nullptr;
 
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = error_exit;
@@ -337,7 +343,12 @@ int decode_rgb(const uint8_t *data, unsigned long size, int scale_denom,
         jpeg_read_scanlines(&cinfo, &row, 1);
     }
     jpeg_finish_decompress(&cinfo);
+    long warnings = cinfo.err->num_warnings;
     jpeg_destroy_decompress(&cinfo);
+    if (warnings > 0) {  // truncated/corrupt scan data: let PIL decide
+        free(buf);
+        return 2;
+    }
     *outp = buf;
     *wp = w;
     *hp = h;
@@ -406,6 +417,6 @@ int hst_decode_resize_crop(const uint8_t *data, unsigned long size, int tw,
 }
 
 // Version/ABI tag so the Python side can cache-bust rebuilt binaries.
-int hst_abi_version(void) { return 2; }
+int hst_abi_version(void) { return 3; }
 
 }  // extern "C"

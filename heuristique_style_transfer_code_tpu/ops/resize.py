@@ -51,11 +51,7 @@ def resize_matrix(in_size: int, out_size: int) -> jax.Array:
     return jnp.asarray(_resize_matrix_np(in_size, out_size))
 
 
-def resize_target(h: int, w: int, shorter: int) -> Tuple[int, int]:
-    """torchvision Resize(int): scale shorter side to ``shorter``, keep AR."""
-    if h <= w:
-        return shorter, max(1, round(w * shorter / h))
-    return max(1, round(h * shorter / w)), shorter
+from ..core.geometry import resize_target  # noqa: E402  (canonical definition)
 
 
 def resize_image(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
@@ -78,9 +74,10 @@ def resize_shorter_side(img: jax.Array, shorter: int = 256) -> jax.Array:
 
 def center_crop(img: jax.Array, size: int = 224) -> jax.Array:
     """torchvision F.center_crop offset rule: round((in - out) / 2)."""
+    from ..core.geometry import center_crop_offsets
+
     h, w = img.shape[-3], img.shape[-2]
-    top = int(round((h - size) / 2.0)) if h > size else 0
-    left = int(round((w - size) / 2.0)) if w > size else 0
+    top, left = center_crop_offsets(h, w, size)
     return img[..., top : top + size, left : left + size, :]
 
 

@@ -25,7 +25,7 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import NamedSharding
 
 _initialized = False
 
@@ -36,38 +36,40 @@ def initialize_distributed(
     process_id: Optional[int] = None,
 ) -> int:
     """Initialize jax.distributed once; returns this process's index.
-    With no args, relies on the TPU-pod auto-detection; a no-op (returning 0)
-    in single-process runs where no coordinator is configured."""
+
+    With explicit args this MUST run before any other JAX call (the
+    coordination service has to start before the backend initialises), so
+    ``jax.distributed.initialize`` is invoked FIRST — no jax.process_count()
+    probe, which would itself initialise the backend. With no args it is a
+    no-op returning the current process index (single-process runs, or
+    TPU-pod environments where the launcher already called initialize)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if not _initialized and (
+        coordinator_address is not None or num_processes is not None
+    ):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
         _initialized = True
-        return jax.process_index()
-    if coordinator_address is None and num_processes is None:
-        return jax.process_index()  # single process, nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
-    _initialized = True
     return jax.process_index()
 
 
-def make_global_batch(
-    mesh: Mesh, local: np.ndarray, sharding: NamedSharding
-) -> jax.Array:
-    """Host-local (B_local, ...) numpy -> global jax.Array sharded per
-    ``sharding`` over ``mesh``. B_global = B_local * process_count; each
-    host contributes exactly its addressable shards."""
+def make_global_batch(local: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Host-local (B_local, ...) numpy -> global jax.Array laid out per
+    ``sharding`` (the mesh is carried by the sharding itself).
+    B_global = B_local * process_count; each host contributes exactly its
+    addressable shards."""
     return jax.make_array_from_process_local_data(sharding, local)
 
 
-def global_batch_dict(mesh: Mesh, batch: dict, image_sharding, batch_sharding) -> dict:
+def global_batch_dict(batch: dict, image_sharding, batch_sharding) -> dict:
     """Assemble a HostLoader batch dict into global arrays: images laid out
     per ``image_sharding`` (N over data [, H over spatial]), labels/combos
     per ``batch_sharding``."""
     return {
-        "image": make_global_batch(mesh, batch["image"], image_sharding),
-        "label": make_global_batch(mesh, batch["label"], batch_sharding),
-        "combo": make_global_batch(mesh, batch["combo"], batch_sharding),
+        "image": make_global_batch(batch["image"], image_sharding),
+        "label": make_global_batch(batch["label"], batch_sharding),
+        "combo": make_global_batch(batch["combo"], batch_sharding),
     }

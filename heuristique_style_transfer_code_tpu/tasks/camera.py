@@ -121,14 +121,12 @@ def downscale_frame(rgb: np.ndarray, crop: int = 224, shorter: int = 256) -> np.
     6x smaller device transfer."""
     import cv2
 
+    from ..core.geometry import center_crop_offsets, resize_target
+
     h, w = rgb.shape[:2]
-    if h <= w:
-        th, tw = shorter, max(1, round(w * shorter / h))
-    else:
-        th, tw = max(1, round(h * shorter / w)), shorter
+    th, tw = resize_target(h, w, shorter)
     resized = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_AREA)
-    top = int(round((th - crop) / 2.0)) if th > crop else 0
-    left = int(round((tw - crop) / 2.0)) if tw > crop else 0
+    top, left = center_crop_offsets(th, tw, crop)
     return resized[top : top + crop, left : left + crop]
 
 

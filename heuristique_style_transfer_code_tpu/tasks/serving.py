@@ -72,7 +72,8 @@ class BatchingInferenceServer:
         self.max_in_flight = int(max_in_flight)
         self.crop = int(crop)
         self._requests: "queue.Queue" = queue.Queue(maxsize=max_queue)
-        self._in_flight: "queue.Queue" = queue.Queue()
+        # bounded: put() blocking IS the dispatcher's backpressure
+        self._in_flight: "queue.Queue" = queue.Queue(maxsize=self.max_in_flight)
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self._batches = 0
@@ -110,33 +111,21 @@ class BatchingInferenceServer:
         """Stop the server. With ``drain`` (default) everything already
         submitted is processed first; otherwise pending futures are
         cancelled."""
-        if drain:
-            self._requests.put(None)  # sentinel: dispatcher exits after queue
-            self._dispatcher.join()
-            self._in_flight.put(None)
-            self._fetcher.join()
+        if not drain:
             self._stop.set()
-            # anything submitted after the sentinel raced the shutdown
-            try:
-                while True:
-                    item = self._requests.get_nowait()
-                    if item is not None:
-                        item[1].cancel()
-            except queue.Empty:
-                pass
-        else:
-            self._stop.set()
-            self._requests.put(None)
-            self._dispatcher.join()
-            self._in_flight.put(None)
-            self._fetcher.join()
-            try:
-                while True:
-                    item = self._requests.get_nowait()
-                    if item is not None:
-                        item[1].cancel()
-            except queue.Empty:
-                pass
+        self._requests.put(None)  # sentinel: dispatcher exits after queue
+        self._dispatcher.join()
+        self._in_flight.put(None)
+        self._fetcher.join()
+        self._stop.set()
+        # non-drain leftovers, or anything submitted after the sentinel
+        try:
+            while True:
+                item = self._requests.get_nowait()
+                if item is not None:
+                    item[1].cancel()
+        except queue.Empty:
+            pass
 
     def __enter__(self):
         return self.start()
@@ -164,8 +153,11 @@ class BatchingInferenceServer:
 
     def _collect_batch(self) -> Optional[tuple]:
         """Block for the first request, then fill up to batch_size or until
-        the FIRST request is max_delay old. Returns (frames, futures) or
-        None on shutdown sentinel."""
+        the FIRST request is max_delay old — but an expired deadline still
+        drains everything already queued (up to batch_size), so a backlog
+        (e.g. requests piled up behind the first jit compile) goes out as
+        full batches, not one padded singleton per dispatch. Returns
+        (frames, futures) or None on shutdown sentinel."""
         item = self._requests.get()
         if item is None:
             return None
@@ -174,10 +166,11 @@ class BatchingInferenceServer:
         deadline = item[2] + self.max_delay
         while len(frames) < self.batch_size:
             timeout = deadline - time.perf_counter()
-            if timeout <= 0:
-                break
             try:
-                item = self._requests.get(timeout=timeout)
+                if timeout <= 0:  # deadline passed: take only what's ready
+                    item = self._requests.get_nowait()
+                else:
+                    item = self._requests.get(timeout=timeout)
             except queue.Empty:
                 break
             if item is None:
@@ -186,6 +179,17 @@ class BatchingInferenceServer:
             frames.append(item[0])
             futures.append(item[1])
         return frames, futures
+
+    @staticmethod
+    def _resolve(fut: Future, value=None, exc: Optional[Exception] = None):
+        """set_result/set_exception tolerant of client-side fut.cancel()."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(value)
+        except Exception:  # cancelled (InvalidStateError): client gave up
+            pass
 
     def _dispatch_loop(self):
         import jax
@@ -206,11 +210,9 @@ class BatchingInferenceServer:
                 out = self._infer(self._variables, device_arr)
             except Exception as e:  # compile/dispatch error: fail the batch
                 for f in futures:
-                    f.set_exception(e)
+                    self._resolve(f, exc=e)
                 continue
-            self._in_flight.put((out, futures, n))
-            while self._in_flight.qsize() >= self.max_in_flight:
-                time.sleep(0.0005)  # backpressure: let the fetcher drain
+            self._in_flight.put((out, futures, n))  # blocks = backpressure
 
     def _fetch_loop(self):
         while True:
@@ -222,10 +224,10 @@ class BatchingInferenceServer:
                 probs = np.asarray(out)  # the one D2H fetch per batch
             except Exception as e:
                 for f in futures:
-                    f.set_exception(e)
+                    self._resolve(f, exc=e)
                 continue
             for i, f in enumerate(futures):
-                f.set_result(probs[i])
+                self._resolve(f, probs[i])
             with self._stats_lock:
                 self._batches += 1
                 self._images += n

@@ -116,9 +116,7 @@ class TestGlobalBatchAssembly:
         mesh = make_mesh_2d(8, model_parallel=2)
         loader = HostLoader(samples, batch_size=8, num_workers=2)
         batch = next(iter(loader))
-        g = global_batch_dict(
-            mesh, batch, image_sharding(mesh), batch_sharding(mesh)
-        )
+        g = global_batch_dict(batch, image_sharding(mesh), batch_sharding(mesh))
         assert g["image"].shape == batch["image"].shape  # pc=1: global==local
         assert g["label"].sharding.is_equivalent_to(batch_sharding(mesh), 1)
         np.testing.assert_array_equal(np.asarray(g["image"]), batch["image"])

@@ -173,6 +173,15 @@ class TestFallbacks:
     def test_corrupt_data(self, decoder):
         assert decoder.decode_staged(b"\xff\xd8\xff\xe0 garbage") is None
 
+    def test_truncated_jpeg_falls_back(self, decoder):
+        """A valid header + partial scan data decodes 'successfully' in
+        libjpeg (gray fill) — the native path must reject it (warning count)
+        so PIL gets to apply its own truncation policy."""
+        rng = np.random.RandomState(10)
+        data = _jpeg_bytes(rng.randint(0, 256, (480, 640, 3), dtype=np.uint8))
+        truncated = data[: len(data) // 2]
+        assert decoder.decode_staged(truncated) is None
+
     def test_is_jpeg_sniff(self):
         assert is_jpeg(b"\xff\xd8\xff\xe0abc")
         assert not is_jpeg(b"\x89PNG\r\n")

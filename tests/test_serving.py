@@ -134,6 +134,38 @@ class TestBatching:
         with pytest.raises(RuntimeError):
             server.submit(_frames(1)[0])
 
+    def test_backlog_drains_as_full_batches(self):
+        """Requests piled up behind a slow first dispatch (e.g. jit compile)
+        must go out as full batches even though their deadline has passed —
+        not one padded singleton per dispatch."""
+        variables = _variables()
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=8, max_delay_ms=1, crop=CROP
+        )
+        with server:
+            # fill the queue while the first (compiling) batch is in flight
+            futs = [server.submit(f) for f in _frames(25, seed=10)]
+            for f in futs:
+                f.result(timeout=60)
+        st = server.stats()
+        assert st["images"] == 25
+        # 25 requests: the tail may be padded, but the backlog must pack —
+        # anywhere near 25 batches means the drain is broken
+        assert st["batches"] <= 6
+
+    def test_cancelled_future_does_not_kill_server(self):
+        variables = _variables()
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=4, max_delay_ms=5, crop=CROP
+        )
+        with server:
+            doomed = server.submit(_frames(1, seed=11)[0])
+            doomed.cancel()  # client gives up immediately
+            # the server must survive and keep answering
+            ok = [server.submit(f) for f in _frames(8, seed=12)]
+            for f in ok:
+                assert f.result(timeout=60).shape == (CLASSES,)
+
     def test_dispatch_error_propagates(self):
         def bad_forward(variables, images):
             raise ValueError("boom")
