@@ -1,0 +1,110 @@
+"""Minimal HTTP front end over BatchingInferenceServer (stdlib only).
+
+POST /predict with an image body (JPEG/PNG — anything PIL decodes; raw
+uint8 HxWx3 also accepted via the X-Raw-Shape header) returns JSON
+``{"probs": [...], "class": "<name>", "prob": p}``. GET /stats returns the
+batcher's counters, GET /healthz returns 200 once the server is up.
+
+The HTTP layer is deliberately thin: each request thread decodes its own
+image (GIL-free on the native JPEG path) and blocks on the Future from
+``BatchingInferenceServer.submit`` — the batcher packs concurrent requests
+into full device batches exactly as it does for camera streams.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+from .serving import BatchingInferenceServer
+
+
+def _decode_image(body: bytes, raw_shape: Optional[str]) -> np.ndarray:
+    if raw_shape:
+        h, w, c = (int(x) for x in raw_shape.split(","))
+        arr = np.frombuffer(body, dtype=np.uint8)
+        if arr.size != h * w * c:
+            raise ValueError("X-Raw-Shape does not match body size")
+        return arr.reshape(h, w, c)
+    from PIL import Image
+
+    from ..native import get_decoder, is_jpeg
+
+    dec = get_decoder()
+    if dec is not None and is_jpeg(body):
+        out = dec.decode_staged(body, 256)
+        if out is not None:
+            return out
+    with Image.open(io.BytesIO(body)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def make_http_server(
+    batcher: BatchingInferenceServer,
+    class_names: List[str],
+    host: str = "127.0.0.1",
+    port: int = 0,
+    timeout_s: float = 30.0,
+) -> ThreadingHTTPServer:
+    """Build (not start) a ThreadingHTTPServer bound to (host, port).
+    port=0 picks a free port (read it back from ``server.server_address``)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/stats":
+                self._json(200, batcher.stats())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                frame = _decode_image(body, self.headers.get("X-Raw-Shape"))
+                probs = batcher.submit(frame).result(timeout=timeout_s)
+                idx = int(np.argmax(probs))
+                self._json(
+                    200,
+                    {
+                        "probs": [float(p) for p in probs],
+                        "class": class_names[idx] if idx < len(class_names) else str(idx),
+                        "prob": float(probs[idx]),
+                    },
+                )
+            except Exception as e:
+                self._json(400, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_http(
+    batcher: BatchingInferenceServer,
+    class_names: List[str],
+    host: str = "127.0.0.1",
+    port: int = 8000,
+) -> ThreadingHTTPServer:
+    """Start the HTTP server on a daemon thread; returns the server (call
+    ``.shutdown()`` to stop)."""
+    srv = make_http_server(batcher, class_names, host, port)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

@@ -166,6 +166,62 @@ class TestBatching:
             for f in ok:
                 assert f.result(timeout=60).shape == (CLASSES,)
 
+    def test_http_front_end(self):
+        import http.client
+        import io as _io
+        import json as _json
+
+        from PIL import Image
+
+        from heuristique_style_transfer_code_tpu.tasks.serving_http import (
+            make_http_server,
+        )
+
+        variables = _variables()
+        rng = np.random.RandomState(13)
+        frame = rng.randint(0, 256, (CROP, CROP, 3), dtype=np.uint8)
+        with BatchingInferenceServer(
+            _forward, variables, batch_size=4, max_delay_ms=5, crop=CROP
+        ) as batcher:
+            srv = make_http_server(batcher, ["fog", "rain", "snow", "sun"])
+            t = __import__("threading").Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            try:
+                host, port = srv.server_address
+                conn = http.client.HTTPConnection(host, port, timeout=60)
+                conn.request("GET", "/healthz")
+                assert conn.getresponse().status == 200
+                # raw-shape path
+                conn.request(
+                    "POST", "/predict", body=frame.tobytes(),
+                    headers={"X-Raw-Shape": f"{CROP},{CROP},3"},
+                )
+                r = conn.getresponse()
+                assert r.status == 200
+                out = _json.loads(r.read())
+                assert out["class"] in ["fog", "rain", "snow", "sun"]
+                np.testing.assert_allclose(sum(out["probs"]), 1.0, rtol=1e-4)
+                ref = _reference_probs(variables, [frame])[0]
+                np.testing.assert_allclose(out["probs"], ref, rtol=1e-4, atol=1e-5)
+                # encoded-image path (PNG via PIL)
+                buf = _io.BytesIO()
+                Image.fromarray(frame).save(buf, format="PNG")
+                conn.request("POST", "/predict", body=buf.getvalue())
+                r = conn.getresponse()
+                assert r.status == 200
+                out2 = _json.loads(r.read())
+                np.testing.assert_allclose(out2["probs"], ref, rtol=1e-4, atol=1e-5)
+                conn.request("GET", "/stats")
+                stats = _json.loads(conn.getresponse().read())
+                assert stats["images"] >= 2
+                # malformed body -> 400, server stays alive
+                conn.request("POST", "/predict", body=b"not an image")
+                assert conn.getresponse().status == 400
+                conn.request("GET", "/healthz")
+                assert conn.getresponse().status == 200
+            finally:
+                srv.shutdown()
+
     def test_dispatch_error_propagates(self):
         def bad_forward(variables, images):
             raise ValueError("boom")
