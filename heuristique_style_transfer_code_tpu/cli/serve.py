@@ -1,0 +1,152 @@
+"""Serve a trained checkpoint over HTTP with dynamic batching.
+
+TPU-native addition (the reference has only the single-stream camera loop,
+functions/functions_RESNET50_Truncate.py:253-379): concurrent clients POST
+images to /predict; the batcher packs them into one static-shape device
+batch per dispatch.
+
+    python -m heuristique_style_transfer_code_tpu.cli.serve \\
+        --family truncated_resnet50 --config_path cfg.json \\
+        --model_path models/best_global_model.npz --port 8000 \\
+        --batch_size 64 --max_delay_ms 10 --precision bf16
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+from ._common import (
+    add_tpu_args,
+    apply_debug_flags,
+    cast_forward,
+    count_params,
+    load_checkpoint_tree,
+    resolve_class_names,
+    resolve_compute_dtype,
+    start_profile,
+)
+
+FAMILIES = ["truncated_resnet50", "gram_attention", "multi_patchgan"]
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="HTTP inference server with dynamic batching"
+    )
+    parser.add_argument("--family", choices=FAMILIES, default="truncated_resnet50")
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--classes", nargs="+", type=str)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000,
+                        help="0 picks a free port (printed at startup)")
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--max_delay_ms", type=float, default=10.0)
+    parser.add_argument("--max_in_flight", type=int, default=3)
+    parser.add_argument("--afficher_params", action="store_true")
+    parser.add_argument("--max_seconds", type=float, default=None,
+                        help="Exit after this many seconds (smoke tests)")
+    add_tpu_args(parser)
+    return parser
+
+
+def _build_forward(family: str, config_path: str, model_path: str):
+    """Returns (forward_eval, variables, config_dict, crop)."""
+    if family == "truncated_resnet50":
+        from ..config.schema import TruncatedResNetConfig
+        from ..models.truncated_resnet50 import combined_apply
+
+        cfg = TruncatedResNetConfig.from_json(config_path)
+        variables = load_checkpoint_tree(model_path, family, cfg.to_dict())
+        t = cfg.truncate_layer
+
+        def forward_eval(v, images):
+            logits, _ = combined_apply(v["moco"], v["classifier"], images, t)
+            return logits
+
+        return forward_eval, variables, cfg.to_dict()
+    if family == "gram_attention":
+        from ..config.schema import GramAttentionConfig
+        from ..models.gram_attention import gram_attention_apply
+
+        cfg = GramAttentionConfig.from_json(config_path)
+        config = cfg.to_dict()
+        num_classes = int(config.get("num_classes", 4))
+        t, s = cfg.truncate_layer, cfg.gram_matrix_size
+        variables = load_checkpoint_tree(model_path, family, config)
+
+        def forward_eval(v, images):
+            _, logits, _ = gram_attention_apply(
+                v, images, t, s, num_classes, train=False
+            )
+            return logits
+
+        return forward_eval, variables, config
+    # multi_patchgan
+    from ..config.schema import MultiPatchGANConfig
+    from ..models.multi_patchgan import multiscale_apply
+
+    cfg = MultiPatchGANConfig.from_json(config_path)
+    config = cfg.to_dict()
+    variables = load_checkpoint_tree(model_path, family, config)
+    norm = cfg.norm
+
+    def forward_eval(v, images):
+        logits, _ = multiscale_apply(v, images, norm=norm, train=False)
+        return logits
+
+    return forward_eval, variables, config
+
+
+def start(args):
+    """Build the batcher + HTTP server and start both (returns (srv, batcher);
+    used by main() and callable programmatically/from tests)."""
+    from ..tasks.serving import BatchingInferenceServer
+    from ..tasks.serving_http import make_http_server
+
+    forward_eval, variables, config = _build_forward(
+        args.family, args.config_path, args.model_path
+    )
+    class_names = resolve_class_names(args.classes, config, None)
+    if args.afficher_params:
+        print(f"Nombre total de paramètres du modèle : {count_params(variables)}")
+    forward_eval = cast_forward(forward_eval, resolve_compute_dtype(args.precision))
+    start_profile(args.profile_dir)
+
+    batcher = BatchingInferenceServer(
+        forward_eval,
+        variables,
+        batch_size=args.batch_size,
+        max_delay_ms=args.max_delay_ms,
+        max_in_flight=args.max_in_flight,
+    ).start()
+    srv = make_http_server(batcher, class_names, args.host, args.port)
+    import threading
+
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    print(f"Serving {args.family} on http://{host}:{port} "
+          f"(batch {args.batch_size}, deadline {args.max_delay_ms} ms)")
+    return srv, batcher
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
+    srv, batcher = start(args)
+    try:
+        t0 = time.time()
+        while args.max_seconds is None or time.time() - t0 < args.max_seconds:
+            time.sleep(0.2)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        batcher.stop(drain=True)
+        stats = batcher.stats()
+        print(f"Stats: {stats['images']} images in {stats['batches']} batches "
+              f"(mean occupancy {stats['mean_batch_occupancy']:.2f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,3 +10,4 @@ from .clustering import run_clustering
 from .gradcam import gradcam_moco, generate_heatmap_overlays
 from .camera import run_camera, make_camera_infer_fn, list_available_cameras
 from .serving import BatchingInferenceServer
+from .serving_http import make_http_server, serve_http
