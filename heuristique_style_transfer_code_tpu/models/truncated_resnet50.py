@@ -79,3 +79,22 @@ def combined_apply(
     if train:
         return logits, new_moco
     return logits, None
+
+
+def prepare_combined_int8(moco_params, truncate: int, calibration_batches):
+    """PTQ the encoder (truncate must be in [4, 8]); the avgpool + MoCo fc +
+    classifier heads are tiny and stay in float. Returns the quantised
+    encoder tree for ``combined_apply_int8``."""
+    from ..nn.resnet_int8 import prepare_int8_resnet
+
+    return prepare_int8_resnet(moco_params["encoder"], calibration_batches, truncate)
+
+
+def combined_apply_int8(q_encoder, moco_params, clf_params, x: jax.Array):
+    """int8 inference forward: quantised encoder + float heads. Same
+    signature contract as the eval-mode combined_apply (returns (logits, None))."""
+    from ..nn.resnet_int8 import resnet50_apply_int8
+
+    feats = resnet50_apply_int8(q_encoder, x)
+    emb = linear(moco_params["fc"], global_avg_pool(feats))
+    return linear(clf_params["fc"], emb), None

@@ -88,10 +88,15 @@ def max_pool2d(
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    # init must be a Python literal so XLA pattern-matches the max-pool
-    # (select-and-scatter) for reverse-mode autodiff
-    neg_inf = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(
-        jnp.iinfo(x.dtype).min
+    # init must be a scalar literal so XLA pattern-matches the max-pool
+    # (select-and-scatter) for reverse-mode autodiff; integer operands need
+    # a same-dtype numpy scalar (a Python int would arrive as int32)
+    import numpy as _np
+
+    neg_inf = (
+        -float("inf")
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else _np.asarray(jnp.iinfo(x.dtype).min, dtype=x.dtype)[()]
     )
     return lax.reduce_window(
         x,

@@ -1,0 +1,130 @@
+"""int8 PTQ inference path: folding exactness, quantised accuracy vs f32."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+    classifier_init,
+    combined_apply,
+    combined_apply_int8,
+    prepare_combined_int8,
+    truncated_moco_init,
+)
+from heuristique_style_transfer_code_tpu.nn.resnet import resnet50_apply
+from heuristique_style_transfer_code_tpu.nn.resnet_int8 import (
+    calibrate_activation_scales,
+    fold_conv_bn,
+    quantize_resnet50,
+    resnet50_apply_int8,
+)
+
+TRUNCATE = 5  # stem + layer1: cheap on CPU but covers stem/blocks/downsample
+
+
+def _vars(seed=0, truncate=TRUNCATE):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {
+        "moco": truncated_moco_init(k1, truncate, dim=16),
+        "classifier": classifier_init(k2, 16, 4),
+    }
+
+
+def _calib_batches(seed=1, n=2, b=4, hw=64):
+    rng = np.random.RandomState(seed)
+    # ImageNet-normalised-ish inputs (zero-mean, ~unit scale)
+    return [rng.randn(b, hw, hw, 3).astype(np.float32) for _ in range(n)]
+
+
+class TestFolding:
+    def test_fold_conv_bn_exact(self):
+        from heuristique_style_transfer_code_tpu.ops.conv import conv2d
+        from heuristique_style_transfer_code_tpu.ops.norm import batch_norm
+
+        rng = np.random.RandomState(0)
+        conv = {"kernel": jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)}
+        bn = {
+            "scale": jnp.asarray(rng.rand(16).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(16).astype(np.float32)),
+            "mean": jnp.asarray(rng.randn(16).astype(np.float32)),
+            "var": jnp.asarray(rng.rand(16).astype(np.float32) + 0.2),
+        }
+        x = jnp.asarray(rng.randn(2, 10, 10, 8).astype(np.float32))
+        want = batch_norm(bn, conv2d(conv, x, padding=1), train=False)
+        k, b = fold_conv_bn(conv, bn)
+        got = conv2d({"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}, x, padding=1)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-4, atol=2e-5)
+
+
+class TestInt8Forward:
+    @pytest.fixture(scope="class")
+    def quantized(self):
+        variables = _vars()
+        enc = variables["moco"]["encoder"]
+        batches = _calib_batches()
+        scales = calibrate_activation_scales(enc, batches, TRUNCATE)
+        q = quantize_resnet50(enc, scales, TRUNCATE)
+        return variables, enc, q, batches
+
+    def test_features_close_to_f32(self, quantized):
+        variables, enc, q, batches = quantized
+        x = jnp.asarray(batches[0])
+        f32_feats, _, _ = resnet50_apply(enc, x, truncate=TRUNCATE, train=False)
+        i8_feats = resnet50_apply_int8(q, x)
+        assert i8_feats.shape == f32_feats.shape
+        a = np.asarray(f32_feats).reshape(x.shape[0], -1)
+        b = np.asarray(i8_feats).reshape(x.shape[0], -1)
+        cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+        assert cos.min() > 0.99, cos
+
+    def test_intermediates_are_int8(self, quantized):
+        """Every inter-conv tensor in the compiled program must be int8 —
+        that's the entire point (HBM traffic)."""
+        _, _, q, batches = quantized
+        x = jnp.asarray(batches[0])
+        text = jax.jit(lambda x: resnet50_apply_int8(q, x)).lower(x).as_text()
+        assert ("s8[" in text) or ("i8>" in text) or ("xi8" in text), text[:2000]
+        assert ("convolution" in text) or ("conv" in text)
+
+    def test_out_of_range_inputs_still_sane(self, quantized):
+        # inputs 3x the calibration range: clipping must not produce NaN/inf
+        _, _, q, _ = quantized
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 3)
+        out = np.asarray(resnet50_apply_int8(q, x))
+        assert np.isfinite(out).all()
+
+    def test_combined_argmax_agreement(self, quantized):
+        variables, enc, q, batches = quantized
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(16, 64, 64, 3).astype(np.float32))
+        logits_f32, _ = combined_apply(
+            variables["moco"], variables["classifier"], x, TRUNCATE
+        )
+        logits_i8, _ = combined_apply_int8(
+            q, variables["moco"], variables["classifier"], x
+        )
+        a = np.asarray(logits_f32).argmax(1)
+        b = np.asarray(logits_i8).argmax(1)
+        # random-init logits are nearly degenerate; still expect strong
+        # agreement from a 0.99-cosine feature match
+        assert (a == b).mean() >= 0.75
+        np.testing.assert_allclose(
+            np.asarray(logits_i8), np.asarray(logits_f32), atol=0.15
+        )
+
+    def test_prepare_helper(self, quantized):
+        variables, _, _, batches = quantized
+        q = prepare_combined_int8(variables["moco"], TRUNCATE, batches)
+        x = jnp.asarray(batches[0])
+        out, aux = combined_apply_int8(q, variables["moco"], variables["classifier"], x)
+        assert aux is None and out.shape == (x.shape[0], 4)
+
+    def test_truncate_bounds(self):
+        variables = _vars()
+        with pytest.raises(ValueError):
+            quantize_resnet50(
+                variables["moco"]["encoder"],
+                {"input": 1.0, "stem": 1.0},
+                truncate=9,
+            )
