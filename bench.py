@@ -233,9 +233,12 @@ def bench_tpu() -> dict:
 
     stack3 = jnp.asarray(np.stack(batches))
     scan_times = {}
+    bf16_probs4 = None
     for n in (4, 36):
         fn = make_scan(n)
-        np.asarray(fn(variables, stack3))  # compile
+        out = np.asarray(fn(variables, stack3))  # compile
+        if n == 4:
+            bf16_probs4 = out
         ts = []
         for _ in range(4):
             t0 = time.perf_counter()
@@ -247,6 +250,62 @@ def bench_tpu() -> dict:
         f"[tpu] device-resident scan-slope: {dev_step*1e3:.2f} ms/step "
         f"({BATCH*4.1e9/dev_step/1e12:.1f} TFLOP/s effective)"
     )
+
+    # ---- int8 PTQ pipeline (opt-in path): same scan-slope, plus an argmax
+    # agreement check vs the bf16 path over the staged batches
+    int8_fps, int8_agree = None, None
+    try:
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            combined_apply_int8,
+            prepare_combined_int8,
+        )
+
+        def _norm(b_u8):
+            return normalize_imagenet(b_u8.astype(jnp.float32) / 255.0)
+
+        cal = [_norm(jnp.asarray(b)) for b in batches[:2]]
+        q_enc = prepare_combined_int8(variables["moco"], 8, cal)
+
+        def make_scan_int8(n_steps):
+            @jax.jit
+            def f(v, stack3):
+                def step(c, i):
+                    b = jax.lax.dynamic_index_in_dim(
+                        stack3, i % 3, axis=0, keepdims=False
+                    )
+                    logits, _ = combined_apply_int8(
+                        q_enc, v["moco"], v["classifier"], _norm(b)
+                    )
+                    return c, jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                _, out = jax.lax.scan(step, 0, jnp.arange(n_steps, dtype=jnp.int32))
+                return out
+            return f
+
+        t_i8 = {}
+        i8_probs4 = None
+        for n in (4, 36):
+            fn = make_scan_int8(n)
+            out = np.asarray(fn(variables, stack3))
+            if n == 4:
+                i8_probs4 = out
+            ts = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                np.asarray(fn(variables, stack3))
+                ts.append(time.perf_counter() - t0)
+            t_i8[n] = float(np.median(ts))
+        i8_step = (t_i8[36] - t_i8[4]) / 32
+        int8_fps = float(BATCH / i8_step)
+        int8_agree = bool(
+            (bf16_probs4.argmax(-1) == i8_probs4.argmax(-1)).all()
+        )
+        log(
+            f"[tpu] int8 device-resident: {i8_step*1e3:.2f} ms/step "
+            f"({int8_fps:.0f} img/s, {int8_fps/ (BATCH/dev_step):.2f}x bf16), "
+            f"argmax match: {int8_agree}"
+        )
+    except Exception as e:
+        log(f"[tpu] int8 probe skipped ({e})")
 
     # ---- batch-1 latency decomposition
     # relay RTT floor: fetch of a fresh tiny computation
@@ -340,6 +399,8 @@ def bench_tpu() -> dict:
         "yuv_max_prob_diff": float(max_prob_diff),
         "device_resident_fps": float(BATCH / dev_step),
         "device_resident_tflops": float(BATCH * 4.1e9 / dev_step / 1e12),
+        "device_resident_fps_int8": int8_fps,
+        "int8_argmax_matches_bf16": int8_agree,
         "probs_ok": bool(abs(float(probs.sum()) - 1.0) < 1e-2),
     }
 
@@ -571,6 +632,12 @@ def main():
                 "batch1_pipelined_fps": round(tpu["b1_pipelined_fps"], 2),
                 "device_resident_fps": round(tpu["device_resident_fps"], 1),
                 "device_resident_tflops": round(tpu["device_resident_tflops"], 2),
+                "device_resident_fps_int8": (
+                    round(tpu["device_resident_fps_int8"], 1)
+                    if tpu["device_resident_fps_int8"]
+                    else None
+                ),
+                "int8_argmax_matches_bf16": tpu["int8_argmax_matches_bf16"],
                 "rgb_streaming_fps": round(tpu["rgb_streaming_fps"], 1),
                 "yuv_argmax_matches_rgb": tpu["yuv_pred_match"],
                 "yuv_match_b64": tpu["yuv_match_b64"],

@@ -27,10 +27,12 @@ def _honor_jax_platforms_env():
 _honor_jax_platforms_env()
 
 
-def add_tpu_args(parser: argparse.ArgumentParser):
+def add_tpu_args(parser: argparse.ArgumentParser, precisions=("float32", "bf16")):
     parser.add_argument(
-        "--precision", choices=["float32", "bf16"], default="float32",
-        help="Compute precision policy (bf16 engages the MXU's native type)",
+        "--precision", choices=list(precisions), default="float32",
+        help="Compute precision policy (bf16 engages the MXU's native type; "
+        "int8, where offered, runs the post-training-quantised encoder "
+        "calibrated on the first test batches)",
     )
     parser.add_argument(
         "--devices", type=int, default=None,
@@ -133,7 +135,10 @@ def load_checkpoint_tree(model_path: str, family: str, config: dict):
 
 
 def resolve_compute_dtype(precision: Optional[str]):
-    """--precision flag -> compute dtype (None = float32 passthrough)."""
+    """--precision flag -> compute dtype (None = float32 passthrough).
+    'int8' returns None: the quantised path handles dtypes itself."""
+    if precision == "int8":
+        return None
     import jax.numpy as jnp
 
     from ..core.dtypes import resolve_policy

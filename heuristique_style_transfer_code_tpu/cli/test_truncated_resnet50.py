@@ -64,7 +64,7 @@ def build_parser():
     parser.add_argument("--compute_auc", action="store_true")
     parser.add_argument("--classes", nargs="+", type=str)
     parser.add_argument("--afficher_params", action="store_true")
-    add_tpu_args(parser)
+    add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
     return parser
 
 
@@ -114,6 +114,44 @@ def main(argv=None):
         idx = ImageFolderIndex(os.path.join(args.data, "test"))
         samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
         return idx, samples, HostLoader(samples, args.batch_size, shuffle=False)
+
+    if args.precision == "int8":
+        # PTQ the encoder, calibrated on the first test batches (needs the
+        # dataset: camera mode stays bf16/f32 — use the API for int8 there)
+        if args.mode == "camera":
+            raise ValueError(
+                "--precision int8 nécessite un dataset de calibration; "
+                "utilisez bf16 pour le mode camera (ou l'API "
+                "prepare_combined_int8)"
+            )
+        import jax.numpy as jnp
+
+        from ..data.augment import eval_preprocess
+        from ..models.truncated_resnet50 import (
+            combined_apply_int8,
+            prepare_combined_int8,
+        )
+        from ..nn.resnet_int8 import resnet50_apply_int8
+        from ..ops.linear import linear
+        from ..ops.pooling import global_avg_pool
+
+        _, _, cal_loader = make_loader()
+        cal = []
+        for bi, b in enumerate(cal_loader):
+            cal.append(eval_preprocess(jnp.asarray(b["image"])))
+            if bi >= 1:
+                break
+        q_enc = prepare_combined_int8(variables["moco"], truncate, cal)
+
+        def forward_eval(v, images):  # noqa: F811 — quantised replacement
+            logits, _ = combined_apply_int8(
+                q_enc, v["moco"], v["classifier"], images.astype(jnp.float32)
+            )
+            return logits
+
+        def embed_fn(v, images):  # noqa: F811
+            feats = resnet50_apply_int8(q_enc, images.astype(jnp.float32))
+            return linear(v["moco"]["fc"], global_avg_pool(feats))
 
     if args.mode in ("classification", "inference"):
         from ..tasks.classification import run_classification_test

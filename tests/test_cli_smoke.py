@@ -101,6 +101,32 @@ class TestTestCLIs:
         assert os.path.exists(os.path.join(out, "confusion_matrix.png"))
         assert os.path.exists(os.path.join(out, "times_test.json"))
 
+    def test_classification_precision_int8(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """--precision int8 (PTQ encoder, calibrated on the first test
+        batches) must produce the reference artifact surface and near-f32
+        metrics on the tiny dataset."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        outs = {}
+        for name, extra in (("f32", []), ("int8", ["--precision", "int8"])):
+            out = str(tmp_path / name)
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+                "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+                "--mode", "classification", "--save_dir", out, "--batch_size", "4",
+            ] + extra)
+            with open(os.path.join(out, "metrics.txt")) as f:
+                outs[name] = dict(
+                    line.split(":", 1) for line in f.read().splitlines() if ":" in line
+                )
+        # quantisation noise must not move the headline metrics on this set
+        assert outs["int8"]["Précision du test"] == outs["f32"]["Précision du test"]
+        loss_a = float(outs["f32"]["Perte du test"])
+        loss_b = float(outs["int8"]["Perte du test"])
+        assert abs(loss_a - loss_b) < 0.02
+
     def test_classification_devices_flag_matches_single_device(
         self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
     ):
