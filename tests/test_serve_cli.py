@@ -30,6 +30,46 @@ def f1_checkpoint(tmp_path_factory):
     return cfg, ckpt
 
 
+def test_build_forward_family2_and_3(tmp_path):
+    """The serve CLI must assemble a working eval forward for every family."""
+    from heuristique_style_transfer_code_tpu.checkpoint.io import save_pytree_npz
+    from heuristique_style_transfer_code_tpu.cli.serve import _build_forward
+    from heuristique_style_transfer_code_tpu.models.gram_attention import (
+        gram_attention_init,
+    )
+    from heuristique_style_transfer_code_tpu.models.multi_patchgan import (
+        multiscale_init,
+    )
+
+    import jax.numpy as jnp
+
+    # family 2
+    cfg2 = str(tmp_path / "f2.json")
+    with open(cfg2, "w") as f:
+        json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                   "gram_matrix_size": 4, "num_classes": 4, "seed": 0}, f)
+    ck2 = str(tmp_path / "f2.npz")
+    save_pytree_npz(gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4), ck2)
+    fwd, variables, _ = _build_forward("gram_attention", cfg2, ck2)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    assert fwd(variables, x).shape == (2, 4)
+
+    # family 3
+    cfg3 = str(tmp_path / "f3.json")
+    patch_sizes = {"small": 10, "medium": 16, "large": 20}
+    with open(cfg3, "w") as f:
+        json.dump({"batch_size": 4, "lr": 0.01, "seed": 0, "num_classes": 4,
+                   "patch_sizes": patch_sizes, "ndf": 16, "norm": "instance"}, f)
+    ck3 = str(tmp_path / "f3.npz")
+    save_pytree_npz(
+        multiscale_init(jax.random.PRNGKey(1), patch_sizes, ndf=16,
+                        num_classes=4, norm="instance"),
+        ck3,
+    )
+    fwd3, v3, _ = _build_forward("multi_patchgan", cfg3, ck3)
+    assert fwd3(v3, x).shape == (2, 4)
+
+
 def test_serve_cli_round_trip(f1_checkpoint):
     from heuristique_style_transfer_code_tpu.cli.serve import build_parser, start
 
