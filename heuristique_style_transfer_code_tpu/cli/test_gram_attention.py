@@ -14,7 +14,6 @@ from ..models.gram_attention import gram_attention_apply
 from ._common import (
     apply_debug_flags,
     add_tpu_args,
-    cast_forward,
     resolve_compute_dtype,
     start_profile,
     count_params,
@@ -51,7 +50,7 @@ def build_parser():
                         help="Run the full resize pipeline on-device instead of "
                         "host-downscaling frames before transfer (prefer when "
                         "the TPU is directly attached)")
-    add_tpu_args(parser)
+    add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
     return parser
 
 
@@ -102,17 +101,53 @@ def main(argv=None):
     samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
     loader = HostLoader(samples, cfg.batch_size, shuffle=False)
 
+    dtype = resolve_compute_dtype(args.precision)
+
+    if args.precision == "int8":
+        # PTQ encoder calibrated on the first test batches; grams/attention/
+        # classifier stay float. Gradient-based modes keep the float path.
+        if args.mode not in ("classification", "tsne", "tsne_interactive"):
+            raise ValueError(
+                "--precision int8 est disponible pour les modes "
+                "classification/tsne uniquement"
+            )
+        import jax.numpy as jnp
+
+        from ..data.augment import eval_preprocess
+        from ..models.gram_attention import (
+            gram_attention_apply_int8,
+            prepare_gram_attention_int8,
+        )
+
+        cal = []
+        for bi, b in enumerate(loader):
+            cal.append(eval_preprocess(jnp.asarray(b["image"])))
+            if bi >= 1:
+                break
+        q_enc = prepare_gram_attention_int8(variables, truncate, cal)
+
+        def apply_eval(v, images):
+            emb, logits, _ = gram_attention_apply_int8(
+                q_enc, v, images.astype(jnp.float32), s, num_classes
+            )
+            return emb, logits
+
+    else:
+
+        def apply_eval(v, images):
+            if dtype is not None:
+                images = images.astype(dtype)
+            emb, logits, _ = gram_attention_apply(
+                v, images, truncate, s, num_classes
+            )
+            return emb, logits
+
     def forward_eval(v, images):
-        _, logits, _ = gram_attention_apply(v, images, truncate, s, num_classes)
-        return logits
+        return apply_eval(v, images)[1]
 
     def embed_fn(v, images):
-        emb, _, _ = gram_attention_apply(v, images, truncate, s, num_classes)
-        return emb
+        return apply_eval(v, images)[0]
 
-    dtype = resolve_compute_dtype(args.precision)
-    forward_eval = cast_forward(forward_eval, dtype)
-    embed_fn = cast_forward(embed_fn, dtype)
     start_profile(args.profile_dir)
 
     if args.mode == "classification":
@@ -125,7 +160,7 @@ def main(argv=None):
 
         def step(v, images_u8):
             images = eval_preprocess(images_u8)
-            emb, logits, _ = gram_attention_apply(v, images, truncate, s, num_classes)
+            emb, logits = apply_eval(v, images)
             return emb, jnp.argmax(logits, axis=-1)
 
         step = jit_eval_step(

@@ -116,13 +116,13 @@ def main(argv=None):
         return idx, samples, HostLoader(samples, args.batch_size, shuffle=False)
 
     if args.precision == "int8":
-        # PTQ the encoder, calibrated on the first test batches (needs the
-        # dataset: camera mode stays bf16/f32 — use the API for int8 there)
-        if args.mode == "camera":
+        # PTQ the encoder, calibrated on the first test batches. Camera mode
+        # works too when --data provides the calibration set.
+        if args.mode == "camera" and not args.data:
             raise ValueError(
-                "--precision int8 nécessite un dataset de calibration; "
-                "utilisez bf16 pour le mode camera (ou l'API "
-                "prepare_combined_int8)"
+                "--precision int8 nécessite un dataset de calibration "
+                "(--data); utilisez bf16 pour le mode camera sans dataset "
+                "(ou l'API prepare_combined_int8)"
             )
         import jax.numpy as jnp
 

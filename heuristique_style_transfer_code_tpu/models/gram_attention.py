@@ -74,3 +74,38 @@ def gram_attention_apply(
     emb = jnp.mean(att, axis=0)  # (N, S^2)
     logits = linear(params["classifier"], emb)
     return emb, logits, new_params
+
+
+def prepare_gram_attention_int8(params, truncate: int, calibration_batches):
+    """PTQ the encoder (truncate in [4, 8]); grams/attention/classifier stay
+    float. Returns the quantised encoder for gram_attention_apply_int8."""
+    from ..nn.resnet_int8 import prepare_int8_resnet
+
+    return prepare_int8_resnet(params["encoder"], calibration_batches,
+                               min(truncate, 8))
+
+
+def gram_attention_apply_int8(
+    q_encoder,
+    params: Dict[str, Any],
+    x: jax.Array,
+    gram_matrix_size: int,
+    num_classes: int,
+) -> Tuple[jax.Array, jax.Array, None]:
+    """int8 inference forward: quantised encoder, per-stage pooled Grams from
+    the dequantised stage outputs, float attention + classifier. Same return
+    contract as the eval-mode gram_attention_apply."""
+    from ..nn.resnet_int8 import resnet50_apply_int8
+
+    s = gram_matrix_size
+    _, grams = resnet50_apply_int8(
+        q_encoder, x, collect_grams=True, gram_pool_size=s
+    )
+    if not grams:
+        z = jnp.zeros((x.shape[0], num_classes), dtype=x.dtype)
+        return jnp.zeros((x.shape[0], s * s), dtype=x.dtype), z, None
+    seq = jnp.stack([g.reshape(g.shape[0], s * s) for g in grams], axis=0)
+    att = multihead_attention(params["attention"], seq, num_heads=1)
+    emb = jnp.mean(att, axis=0)
+    logits = linear(params["classifier"], emb)
+    return emb, logits, None

@@ -223,10 +223,21 @@ def _requant(y_f32, s: float):
     return jnp.clip(jnp.round(y_f32 / s), -127, 127).astype(jnp.int8)
 
 
-def resnet50_apply_int8(q: Dict[str, Any], x: jax.Array) -> jax.Array:
+def resnet50_apply_int8(
+    q: Dict[str, Any],
+    x: jax.Array,
+    collect_grams: bool = False,
+    gram_pool_size: Optional[int] = None,
+) -> Any:
     """x: normalised f32 NHWC -> f32 features after child ``truncate``.
-    Jit-compatible; every inter-conv tensor stored as int8."""
+    Jit-compatible; every inter-conv tensor stored as int8.
+
+    ``collect_grams``/``gram_pool_size``: mirror resnet50_apply — one
+    (pooled) Gram per executed stage, computed on the dequantised stage
+    output (the scalar dequant fuses into the Gram matmul). Returns
+    (features, grams) when collecting."""
     truncate = q["truncate"]
+    grams: List[jax.Array] = []
     xq = _requant(x.astype(jnp.float32), q["s_input"])
     h = _conv_i8(xq, q["stem"], q["s_input"], stride=2, padding=3)
     h = _requant(jax.nn.relu(h), q["s_stem"])
@@ -250,4 +261,15 @@ def resnet50_apply_int8(q: Dict[str, Any], x: jax.Array) -> jax.Array:
                 identity = h.astype(jnp.float32) * s
             h = _requant(jax.nn.relu(y + identity), qb["s_out"])
             s = qb["s_out"]
-    return h.astype(jnp.float32) * s
+        if collect_grams:
+            from ..ops.gram import gram_matrix_nhwc, pooled_gram_nhwc
+
+            hf = h.astype(jnp.float32) * s
+            if gram_pool_size is not None:
+                grams.append(pooled_gram_nhwc(hf, gram_pool_size))
+            else:
+                grams.append(gram_matrix_nhwc(hf))
+    feats = h.astype(jnp.float32) * s
+    if collect_grams:
+        return feats, grams
+    return feats

@@ -266,6 +266,19 @@ class TestTestCLIs:
         st_dirs = [d for d in os.listdir(out) if d.startswith("style_transfer_")]
         assert st_dirs
 
+        # int8 PTQ path: same artifact, predictions near the f32 run
+        out_i8 = str(tmp_path / "res_i8")
+        test_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
+            "--model_path", ckpt, "--mode", "classification",
+            "--save_dir", out_i8, "--precision", "int8",
+        ])
+        with open(os.path.join(out, "classification_results.json")) as f:
+            ref = json.load(f)
+        with open(os.path.join(out_i8, "classification_results.json")) as f:
+            got = json.load(f)
+        assert abs(float(got["f1_score"]) - float(ref["f1_score"])) <= 0.25
+
     def test_multi_patchgan_classification(self, tiny_imagefolder, cfg_file, tmp_path):
         from heuristique_style_transfer_code_tpu.cli.train_multi_patchgan import (
             main as train_main,

@@ -120,6 +120,32 @@ class TestInt8Forward:
         out, aux = combined_apply_int8(q, variables["moco"], variables["classifier"], x)
         assert aux is None and out.shape == (x.shape[0], 4)
 
+    def test_gram_attention_int8_close_to_f32(self):
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_apply,
+            gram_attention_apply_int8,
+            gram_attention_init,
+            prepare_gram_attention_int8,
+        )
+
+        t, s, nc = 5, 4, 4
+        params = gram_attention_init(jax.random.PRNGKey(2), t, nc, s)
+        batches = _calib_batches(seed=5)
+        q = prepare_gram_attention_int8(params, t, batches)
+        x = jnp.asarray(batches[0])
+        emb_f, log_f, _ = gram_attention_apply(params, x, t, s, nc)
+        emb_q, log_q, aux = gram_attention_apply_int8(q, params, x, s, nc)
+        assert aux is None
+        assert emb_q.shape == emb_f.shape and log_q.shape == log_f.shape
+        a, b = np.asarray(emb_f), np.asarray(emb_q)
+        cos = (a * b).sum(1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-12
+        )
+        assert cos.min() > 0.98, cos
+        np.testing.assert_allclose(
+            np.asarray(log_q), np.asarray(log_f), atol=0.2
+        )
+
     def test_truncate_bounds(self):
         variables = _vars()
         with pytest.raises(ValueError):
