@@ -109,7 +109,7 @@ def main(argv=None):
         if args.mode not in ("classification", "tsne", "tsne_interactive"):
             raise ValueError(
                 "--precision int8 est disponible pour les modes "
-                "classification/tsne uniquement"
+                "classification/tsne/tsne_interactive uniquement"
             )
         import jax.numpy as jnp
 
@@ -125,6 +125,9 @@ def main(argv=None):
             if bi >= 1:
                 break
         q_enc = prepare_gram_attention_int8(variables, truncate, cal)
+        # the quantised encoder rides as jit constants; drop the unused f32
+        # encoder so it is never shipped through the jit boundary
+        variables = {k: v for k, v in variables.items() if k != "encoder"}
 
         def apply_eval(v, images):
             emb, logits, _ = gram_attention_apply_int8(

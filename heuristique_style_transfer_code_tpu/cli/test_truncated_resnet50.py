@@ -108,12 +108,18 @@ def main(argv=None):
     embed_fn = cast_forward(embed_fn, dtype)
     start_profile(args.profile_dir)
 
+    _loader_cache = []
+
     def make_loader():
         if not args.data:
             raise ValueError("Le chemin du dataset doit être spécifié pour ce mode")
-        idx = ImageFolderIndex(os.path.join(args.data, "test"))
-        samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
-        return idx, samples, HostLoader(samples, args.batch_size, shuffle=False)
+        if not _loader_cache:
+            idx = ImageFolderIndex(os.path.join(args.data, "test"))
+            samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
+            _loader_cache.append(
+                (idx, samples, HostLoader(samples, args.batch_size, shuffle=False))
+            )
+        return _loader_cache[0]
 
     if args.precision == "int8":
         # PTQ the encoder, calibrated on the first test batches. Camera mode
@@ -142,6 +148,14 @@ def main(argv=None):
             if bi >= 1:
                 break
         q_enc = prepare_combined_int8(variables["moco"], truncate, cal)
+        if not (args.visualize_gradcam or args.save_gradcam_images):
+            # the quantised encoder rides as jit constants; drop the unused
+            # f32 encoder from the tree shipped through the jit boundary
+            # (Grad-CAM still needs the float encoder when requested)
+            variables = {
+                "moco": {"fc": variables["moco"]["fc"]},
+                "classifier": variables["classifier"],
+            }
 
         def forward_eval(v, images):  # noqa: F811 — quantised replacement
             logits, _ = combined_apply_int8(

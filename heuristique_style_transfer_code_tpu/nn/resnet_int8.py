@@ -64,10 +64,6 @@ def _quantize_kernel(k: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 # ---- calibration --------------------------------------------------------
 
 
-def _stage_stride(name: str) -> int:
-    return {n: s for n, _, _, s in _STAGES}[name]
-
-
 def calibrate_activation_scales(
     params: Dict[str, Any], batches: Iterable[jax.Array], truncate: int
 ) -> Dict[str, Any]:
