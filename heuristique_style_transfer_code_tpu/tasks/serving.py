@@ -48,6 +48,12 @@ class BatchingInferenceServer:
     max_in_flight : batches in flight before the dispatcher applies
         backpressure (blocks until the oldest fetch completes).
     compute_dtype : e.g. jnp.bfloat16 for the MXU-native path.
+    transport : "rgb" ships (crop, crop, 3) uint8 frames; "yuv420" converts
+        each frame to planar I420 in the submitting client's thread (cv2,
+        GIL-free) and ships 1.5 bytes/px — half the host->device bytes, the
+        decisive factor when the link (not the chip) bounds throughput. The
+        device side fuses the YUV->RGB conversion into the forward; the
+        camera bench argmax-verifies this path against RGB.
     """
 
     def __init__(
@@ -61,11 +67,22 @@ class BatchingInferenceServer:
         max_queue: int = 1024,
         compute_dtype=None,
         crop: int = 224,
+        transport: str = "rgb",
     ):
-        self._infer = make_camera_infer_fn(
-            forward_eval, compute_dtype=compute_dtype, batch=batch_size,
-            host_downscale=True,
-        )
+        if transport not in ("rgb", "yuv420"):
+            raise ValueError("transport must be 'rgb' or 'yuv420'")
+        self.transport = transport
+        if transport == "yuv420":
+            from .camera import make_camera_infer_fn_yuv
+
+            self._infer = make_camera_infer_fn_yuv(
+                forward_eval, crop, compute_dtype=compute_dtype, batch=batch_size
+            )
+        else:
+            self._infer = make_camera_infer_fn(
+                forward_eval, compute_dtype=compute_dtype, batch=batch_size,
+                host_downscale=True,
+            )
         self._variables = variables
         self.batch_size = int(batch_size)
         self.max_delay = max_delay_ms / 1e3
@@ -103,6 +120,10 @@ class BatchingInferenceServer:
             # keep the canonical resize:crop ratio (256:224) for any crop
             shorter = max(self.crop, round(self.crop * 256 / 224))
             frame = downscale_frame(frame, crop=self.crop, shorter=shorter)
+        if self.transport == "yuv420":
+            from .camera import rgb_to_yuv420
+
+            frame = rgb_to_yuv420(frame)  # caller-thread, GIL-free cv2
         fut: Future = Future()
         self._requests.put((frame, fut, time.perf_counter()))
         return fut

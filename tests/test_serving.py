@@ -134,6 +134,32 @@ class TestBatching:
         with pytest.raises(RuntimeError):
             server.submit(_frames(1)[0])
 
+    def test_yuv420_transport_matches_direct_yuv_path(self):
+        pytest.importorskip("cv2")
+        from heuristique_style_transfer_code_tpu.tasks.camera import (
+            make_camera_infer_fn_yuv,
+            rgb_to_yuv420,
+        )
+
+        variables = _variables()
+        frames = _frames(6, seed=20)
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=4, max_delay_ms=10, crop=CROP,
+            transport="yuv420",
+        )
+        with server:
+            futs = [server.submit(f) for f in frames]
+            got = [f.result(timeout=60) for f in futs]
+        inferY = make_camera_infer_fn_yuv(_forward, CROP, batch=len(frames))
+        ref = np.asarray(
+            inferY(
+                variables,
+                jnp.asarray(np.stack([rgb_to_yuv420(f) for f in frames])),
+            )
+        )
+        for i, p in enumerate(got):
+            np.testing.assert_allclose(p, ref[i], rtol=1e-5, atol=1e-6)
+
     def test_backlog_drains_as_full_batches(self):
         """Requests piled up behind a slow first dispatch (e.g. jit compile)
         must go out as full batches even though their deadline has passed —
