@@ -48,10 +48,15 @@ def build_parser():
         help="Host->device frame format; yuv420 halves transfer bytes "
         "(measured 2.2x serving throughput behind a bandwidth-bound link)",
     )
+    parser.add_argument(
+        "--calib_data", type=str, default=None,
+        help="ImageFolder root whose test/ split calibrates the int8 "
+        "encoder (required with --precision int8)",
+    )
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--max_seconds", type=float, default=None,
                         help="Exit after this many seconds (smoke tests)")
-    add_tpu_args(parser)
+    add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
     return parser
 
 
@@ -115,7 +120,47 @@ def start(args):
     class_names = resolve_class_names(args.classes, config, None)
     if args.afficher_params:
         print(f"Nombre total de paramètres du modèle : {count_params(variables)}")
-    forward_eval = cast_forward(forward_eval, resolve_compute_dtype(args.precision))
+    if args.precision == "int8":
+        if args.family != "truncated_resnet50":
+            raise ValueError("--precision int8 is served for the "
+                             "truncated_resnet50 family")
+        if not args.calib_data:
+            raise ValueError("--precision int8 requires --calib_data")
+        import os as _os
+
+        import jax.numpy as jnp
+
+        from ..data.augment import eval_preprocess
+        from ..data.imagefolder import ImageFolderIndex
+        from ..data.loader import HostLoader
+        from ..models.truncated_resnet50 import (
+            combined_apply_int8,
+            prepare_combined_int8,
+        )
+
+        idx = ImageFolderIndex(_os.path.join(args.calib_data, "test"))
+        cal_loader = HostLoader(idx.samples, min(args.batch_size, 32), shuffle=False)
+        cal = []
+        for bi, b in enumerate(cal_loader):
+            cal.append(eval_preprocess(jnp.asarray(b["image"])))
+            if bi >= 1:
+                break
+        truncate = int(config.get("truncate_layer", 8))
+        q_enc = prepare_combined_int8(variables["moco"], truncate, cal)
+        heads = {"moco": {"fc": variables["moco"]["fc"]},
+                 "classifier": variables["classifier"]}
+        variables = heads
+
+        def forward_eval(v, images):  # noqa: F811 — quantised replacement
+            logits, _ = combined_apply_int8(
+                q_enc, v["moco"], v["classifier"], images.astype(jnp.float32)
+            )
+            return logits
+
+    else:
+        forward_eval = cast_forward(
+            forward_eval, resolve_compute_dtype(args.precision)
+        )
     start_profile(args.profile_dir)
 
     batcher = BatchingInferenceServer(

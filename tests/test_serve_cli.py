@@ -70,6 +70,45 @@ def test_build_forward_family2_and_3(tmp_path):
     assert fwd3(v3, x).shape == (2, 4)
 
 
+def test_serve_cli_int8_round_trip(f1_checkpoint, tmp_path):
+    from PIL import Image
+
+    from heuristique_style_transfer_code_tpu.cli.serve import build_parser, start
+
+    cfg, ckpt = f1_checkpoint
+    rng = np.random.RandomState(1)
+    for ci, cls in enumerate(["fog", "rain"]):
+        d = tmp_path / "test" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+            ).save(str(d / f"{i}.png"))
+
+    args = build_parser().parse_args([
+        "--family", "truncated_resnet50", "--config_path", cfg,
+        "--model_path", ckpt, "--port", "0", "--batch_size", "2",
+        "--max_delay_ms", "5", "--precision", "int8",
+        "--calib_data", str(tmp_path),
+    ])
+    srv, batcher = start(args)
+    try:
+        host, port = srv.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        frame = rng.randint(0, 256, (224, 224, 3), dtype=np.uint8)
+        conn.request(
+            "POST", "/predict", body=frame.tobytes(),
+            headers={"X-Raw-Shape": "224,224,3"},
+        )
+        r = conn.getresponse()
+        assert r.status == 200
+        out = json.loads(r.read())
+        np.testing.assert_allclose(sum(out["probs"]), 1.0, rtol=1e-4)
+    finally:
+        srv.shutdown()
+        batcher.stop(drain=True)
+
+
 def test_serve_cli_round_trip(f1_checkpoint):
     from heuristique_style_transfer_code_tpu.cli.serve import build_parser, start
 
