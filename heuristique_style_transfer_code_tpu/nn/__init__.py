@@ -6,6 +6,12 @@ from .resnet import (
     truncated_feature_channels,
     RESNET50_CHILDREN,
 )
+from .resnet_int8 import (
+    calibrate_activation_scales,
+    prepare_int8_resnet,
+    quantize_resnet50,
+    resnet50_apply_int8,
+)
 from .patch_discriminator import (
     discriminator_layer_plan,
     patch_discriminator_init,

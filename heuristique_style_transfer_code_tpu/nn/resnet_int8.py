@@ -199,6 +199,43 @@ def prepare_int8_resnet(
     return quantize_resnet50(params, scales, truncate)
 
 
+# ---- persistence --------------------------------------------------------
+
+
+def save_quantized(q: Dict[str, Any], path: str) -> None:
+    """Persist a quantised tree (atomic npz) so serving cold-starts skip
+    calibration."""
+    from ..checkpoint.io import save_pytree_npz
+
+    save_pytree_npz(q, path)
+
+
+def load_quantized(path: str) -> Dict[str, Any]:
+    """Inverse of save_quantized: int8/f32 leaves back to device arrays,
+    activation scales and the truncate index back to Python scalars (they
+    participate in Python control flow / are baked as jit constants)."""
+    from ..checkpoint.io import load_pytree_npz
+
+    tree = load_pytree_npz(path, as_jax=False)
+
+    def restore(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k.startswith("s_"):
+                    out[k] = float(np.asarray(v))
+                elif k == "truncate":
+                    out[k] = int(np.asarray(v))
+                else:
+                    out[k] = restore(v)
+            return out
+        if isinstance(node, list):
+            return [restore(v) for v in node]
+        return jnp.asarray(node)
+
+    return restore(tree)
+
+
 # ---- int8 forward -------------------------------------------------------
 
 

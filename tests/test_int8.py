@@ -146,6 +146,24 @@ class TestInt8Forward:
             np.asarray(log_q), np.asarray(log_f), atol=0.2
         )
 
+    def test_save_load_quantized_roundtrip(self, quantized, tmp_path):
+        from heuristique_style_transfer_code_tpu.nn.resnet_int8 import (
+            load_quantized,
+            save_quantized,
+        )
+
+        _, _, q, batches = quantized
+        p = str(tmp_path / "q.npz")
+        save_quantized(q, p)
+        q2 = load_quantized(p)
+        assert isinstance(q2["s_input"], float)
+        assert isinstance(q2["truncate"], int)
+        x = jnp.asarray(batches[0])
+        np.testing.assert_array_equal(
+            np.asarray(resnet50_apply_int8(q, x)),
+            np.asarray(resnet50_apply_int8(q2, x)),
+        )
+
     def test_truncate_bounds(self):
         variables = _vars()
         with pytest.raises(ValueError):
