@@ -56,6 +56,9 @@ def build_parser():
     parser.add_argument("--test_data", type=str)
     parser.add_argument("--list_cameras", action="store_true")
     parser.add_argument("--camera_index", type=str, default="0")
+    parser.add_argument("--transport", choices=["rgb", "yuv420"], default="rgb",
+                        help="Camera-mode frame transport; yuv420 halves the "
+                        "host->device bytes (needs host downscale)")
     parser.add_argument("--device_preprocess", action="store_true",
                         help="Run the full resize pipeline on-device instead of "
                         "host-downscaling frames before transfer (prefer when "
@@ -251,6 +254,7 @@ def main(argv=None):
             prob_threshold=args.prob_threshold, measure_time=args.measure_time,
             kalman_filter=args.kalman_filter, camera_index=cam_index,
             host_downscale=not args.device_preprocess,
+            transport=args.transport,
         )
     else:
         raise ValueError(f"Mode non reconnu: {args.mode}")

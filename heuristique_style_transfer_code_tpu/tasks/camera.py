@@ -176,6 +176,7 @@ def run_camera(
     display: Optional[bool] = None,
     host_downscale: bool = True,
     pipeline_depth: int = 1,
+    transport: str = "rgb",
     log_fn=print,
 ) -> dict:
     """camera_index may be an int (device) or a path (video file). Returns a
@@ -183,8 +184,18 @@ def run_camera(
 
     ``pipeline_depth`` > 1 keeps that many frames in flight (async dispatch)
     so transfer overlaps compute — only used headless (no display), since the
-    overlay must be drawn with each frame's own prediction."""
+    overlay must be drawn with each frame's own prediction.
+
+    ``transport="yuv420"`` ships each (downscaled) frame as planar I420 —
+    half the host->device bytes, the bottleneck on bandwidth-bound links;
+    the device fuses YUV->RGB into the forward (argmax-verified vs RGB by
+    the bench). Requires ``host_downscale``."""
     import cv2
+
+    if transport not in ("rgb", "yuv420"):
+        raise ValueError("transport must be 'rgb' or 'yuv420'")
+    if transport == "yuv420" and not host_downscale:
+        raise ValueError("transport='yuv420' requires host_downscale")
 
     cap = cv2.VideoCapture(camera_index)
     if not cap.isOpened():
@@ -260,14 +271,20 @@ def run_camera(
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         if host_downscale:
             rgb = downscale_frame(rgb)
+        ship = rgb_to_yuv420(rgb) if transport == "yuv420" else rgb
         if infer is None:
-            infer = make_camera_infer_fn(forward_eval, host_downscale=host_downscale)
+            if transport == "yuv420":
+                infer = make_camera_infer_fn_yuv(forward_eval, rgb.shape[0])
+            else:
+                infer = make_camera_infer_fn(
+                    forward_eval, host_downscale=host_downscale
+                )
             # warm the compile outside the timed region (first frame only)
-            np.asarray(infer(variables, jnp.asarray(rgb)))
+            np.asarray(infer(variables, jnp.asarray(ship)))
             start = time.perf_counter()
 
         if pipelined:
-            in_flight.append((start, infer(variables, jax.device_put(rgb))))
+            in_flight.append((start, infer(variables, jax.device_put(ship))))
             frames += 1
             if len(in_flight) >= pipeline_depth:
                 s, fut = in_flight.pop(0)
@@ -276,7 +293,7 @@ def run_camera(
                 break
             continue
 
-        probs = np.asarray(infer(variables, jnp.asarray(rgb)))
+        probs = np.asarray(infer(variables, jnp.asarray(ship)))
         label, prob = finish(probs, start)
         frames += 1
 

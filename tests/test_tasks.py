@@ -267,6 +267,14 @@ class TestCamera:
         assert os.path.exists(os.path.join(str(tmp_path), "times_camera.json"))
         assert summary["fps"] > 0
 
+        # yuv420 transport: same loop, half the shipped bytes
+        summary_yuv = run_camera(
+            forward_eval, variables, ["fog", "rain", "snow", "sun"],
+            save_dir=str(tmp_path), camera_index=video_path,
+            max_frames=5, display=False, transport="yuv420", pipeline_depth=2,
+        )
+        assert summary_yuv["frames"] == 5
+
 
 class TestCameraRecording:
     def test_save_video_headless(self, tmp_path, family1):
