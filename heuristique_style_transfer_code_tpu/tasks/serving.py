@@ -68,9 +68,18 @@ class BatchingInferenceServer:
         compute_dtype=None,
         crop: int = 224,
         transport: str = "rgb",
+        mesh=None,
     ):
+        """``mesh``: a jax Mesh — each batch is placed batch-sharded over its
+        'data' axis, so one server saturates several chips (jit respects the
+        input sharding; numerics identical to single-device, tested)."""
         if transport not in ("rgb", "yuv420"):
             raise ValueError("transport must be 'rgb' or 'yuv420'")
+        self._sharding = None
+        if mesh is not None:
+            from ..parallel.sharding import batch_sharding
+
+            self._sharding = batch_sharding(mesh)  # shard the batch axis only
         self.transport = transport
         if transport == "yuv420":
             from .camera import make_camera_infer_fn_yuv
@@ -227,7 +236,7 @@ class BatchingInferenceServer:
                 frames = frames + [frames[0]] * (self.batch_size - n)
             arr = np.stack(frames)
             try:
-                device_arr = jax.device_put(arr)  # async H2D
+                device_arr = jax.device_put(arr, self._sharding)  # async H2D
                 out = self._infer(self._variables, device_arr)
             except Exception as e:  # compile/dispatch error: fail the batch
                 for f in futures:

@@ -248,6 +248,25 @@ class TestBatching:
             finally:
                 srv.shutdown()
 
+    def test_mesh_sharded_serving_matches_single_device(self):
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_2d,
+        )
+
+        variables = _variables()
+        frames = _frames(16, seed=21)
+        ref = _reference_probs(variables, frames)
+        mesh = make_mesh_2d(8, model_parallel=1)
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=8, max_delay_ms=20, crop=CROP,
+            mesh=mesh,
+        )
+        with server:
+            futs = [server.submit(f) for f in frames]
+            got = [f.result(timeout=60) for f in futs]
+        for i, p in enumerate(got):
+            np.testing.assert_allclose(p, ref[i], rtol=1e-5, atol=1e-6)
+
     def test_dispatch_error_propagates(self):
         def bad_forward(variables, images):
             raise ValueError("boom")
