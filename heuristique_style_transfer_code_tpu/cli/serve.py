@@ -23,6 +23,7 @@ from ._common import (
     load_checkpoint_tree,
     resolve_class_names,
     resolve_compute_dtype,
+    resolve_eval_mesh,
     start_profile,
 )
 
@@ -170,6 +171,7 @@ def start(args):
         max_delay_ms=args.max_delay_ms,
         max_in_flight=args.max_in_flight,
         transport=args.transport,
+        mesh=resolve_eval_mesh(args.devices, args.batch_size),
     ).start()
     srv = make_http_server(batcher, class_names, args.host, args.port)
     import threading
