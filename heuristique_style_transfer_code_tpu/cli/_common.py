@@ -59,6 +59,12 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "--checkpoint_format", choices=["npz", "orbax"], default="npz",
         help="Checkpoint backend for saved models",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Continue an interrupted run from its last completed epoch "
+        "(bit-identical to an uninterrupted run; uses the in-progress "
+        "checkpoint the trainer writes every epoch in --save_dir)",
+    )
 
 
 def resolve_class_names(

@@ -121,6 +121,7 @@ def main(argv=None):
         writer=writer,
         train_step_multi=setup.train_step_multi,
         steps_per_dispatch=args.steps_per_dispatch,
+        resume=args.resume,
     )
     if writer:
         writer.close()

@@ -98,6 +98,7 @@ def main(argv=None):
         writer=writer,
         train_step_multi=setup.train_step_multi,
         steps_per_dispatch=args.steps_per_dispatch,
+        resume=args.resume,
         # reference family-3 protocol: fixed split seed, an unconditional
         # model_fold_<k> checkpoint per fold, retrained_performance.json
         # (train_best_Multi_PatchGAN.py:63,119-130)

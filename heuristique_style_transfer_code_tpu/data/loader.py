@@ -101,6 +101,12 @@ class HostLoader:
         self.process_count = process_count
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Seek the per-epoch shuffle stream (resume support): the next
+        ``__iter__`` produces exactly the order a fresh loader would have
+        produced on its ``epoch``-th iteration."""
+        self._epoch = int(epoch)
+
     def _local_n(self) -> int:
         """Per-host sample count after global padding (see class docstring)."""
         n = len(self.samples)

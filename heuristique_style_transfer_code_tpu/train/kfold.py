@@ -38,6 +38,44 @@ def save_training_info(info, save_dir: str, filename: str):
     print(f"Training information saved to {path}")
 
 
+_INPROGRESS_STATE = "_inprogress_state.npz"
+_INPROGRESS_META = "_inprogress_meta.json"
+
+
+def _save_inprogress(save_dir, variables, opt_state, key, meta):
+    """Atomic epoch-granular checkpoint: variables + flattened optimiser
+    leaves + the evolved PRNG key, plus a meta JSON locating the position."""
+    from ..checkpoint.io import save_pytree_npz
+
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(opt_state)]
+    save_pytree_npz(
+        {"variables": variables, "opt_leaves": leaves, "key": np.asarray(key)},
+        os.path.join(save_dir, _INPROGRESS_STATE),
+    )
+    tmp = os.path.join(save_dir, _INPROGRESS_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=4)
+    os.replace(tmp, os.path.join(save_dir, _INPROGRESS_META))
+
+
+def _load_inprogress(save_dir, opt_template):
+    """Inverse of _save_inprogress; the optimiser state's (NamedTuple)
+    structure is rebuilt from a freshly initialised template."""
+    from ..checkpoint.io import load_pytree_npz
+
+    tree = load_pytree_npz(os.path.join(save_dir, _INPROGRESS_STATE))
+    treedef = jax.tree_util.tree_structure(opt_template)
+    opt_state = jax.tree_util.tree_unflatten(treedef, tree["opt_leaves"])
+    return tree["variables"], opt_state, tree["key"]
+
+
+def _clear_inprogress(save_dir):
+    for name in (_INPROGRESS_STATE, _INPROGRESS_META):
+        p = os.path.join(save_dir, name)
+        if os.path.exists(p):
+            os.unlink(p)
+
+
 def run_kfold(
     dataset: ImageFolderIndex,
     *,
@@ -62,6 +100,8 @@ def run_kfold(
     performance_filename: Optional[str] = None,
     train_step_multi: Optional[Callable] = None,
     steps_per_dispatch: int = 1,
+    resume: bool = False,
+    _interrupt_after=None,
 ) -> Dict:
     """Runs the full CV protocol; returns training_info dict.
 
@@ -70,7 +110,15 @@ def run_kfold(
     reference hard-codes 42 for this family), ``save_every_fold`` writes an
     unconditional ``model_fold_<k>`` checkpoint per fold, and
     ``performance_filename`` dumps the fold-results list (e.g.
-    retrained_performance.json)."""
+    retrained_performance.json).
+
+    Elastic resume (beyond the reference's fold-level best-results file):
+    every epoch ends with an atomic in-progress checkpoint (variables,
+    optimiser state, evolved PRNG key, position). With ``resume=True`` an
+    interrupted run continues from the last completed epoch and is
+    BIT-IDENTICAL to an uninterrupted run (tested); the in-progress files
+    are removed on successful completion. ``_interrupt_after=(fold, epoch)``
+    is a test seam that raises right after that epoch's checkpoint."""
     from sklearn.model_selection import KFold
 
     from ..utils.logging import StructuredLogger
@@ -89,6 +137,17 @@ def run_kfold(
     best_performance = float("inf")
     best_global_path = None
 
+    resume_meta = load_training_info(save_dir, _INPROGRESS_META) if resume else None
+    if resume_meta is not None:
+        fold_results = list(resume_meta["fold_results"])
+        best_global_path = resume_meta.get("best_global_path")
+        if fold_results:
+            best_performance = min(r["val_loss"] for r in fold_results)
+        print(
+            f"Resuming from fold {resume_meta['fold']}, "
+            f"epoch {resume_meta['epochs_done']}"
+        )
+
     training_info = load_training_info(save_dir, "training_info.json") or {
         "num_classes": num_classes,
         "class_names": dataset.classes,
@@ -98,11 +157,20 @@ def run_kfold(
         "num_folds": k_folds,
         "fold_results": [],
     }
+    if resume_meta is not None:
+        training_info["fold_results"] = [
+            {"fold": i, **r} for i, r in enumerate(fold_results)
+        ]
 
     if save_fn is None:
         save_fn = save_model_and_hyperparameters
 
     for fold, (train_idx, val_idx) in enumerate(kf.split(np.arange(len(dataset)))):
+        # advance the per-fold key stream even when skipping (resume):
+        # a resumed run must consume the same splits as an uninterrupted one
+        key, init_key, train_key = jax.random.split(key, 3)
+        if resume_meta is not None and fold < resume_meta["fold"]:
+            continue  # fold fully done; its results were restored above
         print(f"FOLD {fold}")
         # augmentation product expansion: each train sample x each combo
         train_samples, combo_ids = [], []
@@ -125,8 +193,34 @@ def run_kfold(
             num_workers=num_workers,
         )
 
-        key, init_key, train_key = jax.random.split(key, 3)
         variables, opt_state, train_step, eval_step = init_fn(init_key, fold)
+
+        start_epoch = 0
+        if (
+            resume_meta is not None
+            and fold == resume_meta["fold"]
+            and resume_meta["epochs_done"] > 0
+        ):
+            variables, opt_state, train_key = _load_inprogress(save_dir, opt_state)
+            start_epoch = resume_meta["epochs_done"]
+            train_loader.set_epoch(start_epoch)
+
+        def on_epoch_end(epoch, v, o, k, _fold=fold):
+            _save_inprogress(
+                save_dir, v, o, k,
+                {
+                    "fold": _fold,
+                    "epochs_done": epoch + 1,
+                    "fold_results": fold_results,
+                    "best_global_path": best_global_path,
+                },
+            )
+            if _interrupt_after is not None and (_fold, epoch) == tuple(
+                _interrupt_after
+            ):
+                raise RuntimeError(
+                    f"interrupted after fold {_fold} epoch {epoch} (test seam)"
+                )
 
         variables, opt_state = train_epochs(
             train_step,
@@ -141,6 +235,8 @@ def run_kfold(
             mesh=mesh,
             train_step_multi=train_step_multi,
             steps_per_dispatch=steps_per_dispatch,
+            start_epoch=start_epoch,
+            on_epoch_end=on_epoch_end,
         )
         result = evaluate(
             eval_step, variables, val_loader, num_classes, fold=fold, writer=writer
@@ -179,6 +275,21 @@ def run_kfold(
                 {"fold": fold, "model_path": model_path, **result}
             )
 
+        # fold complete: a crash from here resumes at the next fold
+        tmp = os.path.join(save_dir, _INPROGRESS_META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "fold": fold + 1,
+                    "epochs_done": 0,
+                    "fold_results": fold_results,
+                    "best_global_path": best_global_path,
+                },
+                f,
+                indent=4,
+            )
+        os.replace(tmp, os.path.join(save_dir, _INPROGRESS_META))
+
     keys = ("val_loss", "val_accuracy", "val_precision", "val_recall", "val_f1")
     avg = {f"avg_{k.replace('val_', '') if k != 'val_loss' else 'val_loss'}":
            float(np.mean([r[k] for r in fold_results])) for k in keys}
@@ -206,6 +317,7 @@ def run_kfold(
             )
     save_training_info(training_info, save_dir, "training_info.json")
     save_training_info(best_model_results, save_dir, "best_model_results.json")
+    _clear_inprogress(save_dir)
     if best_global_path:
         print(
             f"Best global model saved at {best_global_path} "

@@ -211,6 +211,8 @@ def train_epochs(
     mesh: Optional[Mesh] = None,
     train_step_multi: Optional[Callable] = None,
     steps_per_dispatch: int = 1,
+    start_epoch: int = 0,
+    on_epoch_end: Optional[Callable] = None,
 ):
     """Reference train loop semantics (functions_RESNET50_Truncate.py:63-87):
     per-batch loss prints, per-epoch mean loss (+ optional TB scalar).
@@ -218,11 +220,18 @@ def train_epochs(
     ``steps_per_dispatch`` > 1 (with ``train_step_multi``) stacks that many
     batches per device dispatch and scans them on-device — same RNG stream
     and losses, ~1/K the host/relay round trips. The tail chunk of an epoch
-    compiles once at its own (smaller) K."""
+    compiles once at its own (smaller) K.
+
+    Resume support: ``start_epoch`` skips already-completed epochs (the
+    caller restores variables/opt_state/key from the checkpoint and seeks
+    the loader with ``set_epoch``); ``on_epoch_end(epoch, variables,
+    opt_state, key)`` fires after every epoch — the key passed is exactly
+    the state the next epoch continues from, so a resumed run is
+    bit-identical to an uninterrupted one."""
     n_batches = len(loader)
     use_multi = train_step_multi is not None and steps_per_dispatch > 1
     sharding = NamedSharding(mesh, P(None, "data")) if mesh is not None else None
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         running, seen = 0.0, 0
 
         def emit(batch_idx, loss_f, n):
@@ -269,6 +278,8 @@ def train_epochs(
         log_fn(f"Fold {fold}, Epoch [{epoch + 1}/{num_epochs}], Loss: {epoch_loss:.4f}")
         if writer is not None:
             writer.add_scalar(f"Fold_{fold}/Train/Loss", epoch_loss, epoch)
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, variables, opt_state, key)
     return variables, opt_state
 
 

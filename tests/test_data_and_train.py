@@ -184,6 +184,91 @@ class TestCheckpointIO:
         np.testing.assert_array_equal(back["blocks"][0]["w"], tree["blocks"][0]["w"])
 
 
+class TestEpochResume:
+    def test_interrupt_and_resume_bit_identical(self, tmp_path):
+        """Kill a k-fold run mid-fold (after an epoch checkpoint), resume it,
+        and require the final model + training_info to be BIT-identical to an
+        uninterrupted run. This pins the whole resume chain: PRNG key
+        evolution, loader epoch seeking, optimiser-state round trip."""
+        import json
+
+        import pytest
+
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.data.imagefolder import (
+            ImageFolderIndex,
+        )
+        from heuristique_style_transfer_code_tpu.train.kfold import run_kfold
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+        from heuristique_style_transfer_code_tpu.train.train_loop import (
+            make_eval_step,
+            make_train_step,
+        )
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        root = tmp_path / "data" / "train"
+        for ci, cls in enumerate(["a", "b"]):
+            d = root / cls
+            d.mkdir(parents=True)
+            for i in range(6):
+                Image.fromarray(
+                    rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+                ).save(str(d / f"{i}.png"))
+        dataset = ImageFolderIndex(str(root))
+
+        def tiny_forward(v, images):
+            flat = images.reshape(images.shape[0], -1)
+            logits = flat @ v["w"] + v["b"]
+            return logits, v
+
+        def init_fn(key, fold):
+            k1, k2 = jax.random.split(key)
+            dim = 32 * 32 * 3
+            variables = {
+                "w": jax.random.normal(k1, (dim, 2), jnp.float32) * 0.01,
+                "b": jnp.zeros((2,), jnp.float32),
+            }
+            opt = sgd_momentum(0.05, variables)
+
+            from heuristique_style_transfer_code_tpu.data.augment import (
+                make_augment_fn,
+            )
+
+            augment = make_augment_fn([(None, None)], crop=32)
+            train_step = make_train_step(tiny_forward, opt, augment)
+            eval_step = make_eval_step(lambda v, x: tiny_forward(v, x)[0], crop=32)
+            return variables, opt.init(variables), train_step, eval_step
+
+        common = dict(
+            k_folds=2, seed=7, epochs=3, batch_size=4,
+            hyperparameters={"lr": 0.05}, init_fn=init_fn,
+            verbose_batches=False, num_workers=2,
+        )
+
+        straight_dir = str(tmp_path / "straight")
+        info_a = run_kfold(dataset, save_dir=straight_dir, **common)
+
+        resumed_dir = str(tmp_path / "resumed")
+        with pytest.raises(RuntimeError, match="test seam"):
+            run_kfold(
+                dataset, save_dir=resumed_dir, _interrupt_after=(0, 1), **common
+            )
+        assert os.path.exists(os.path.join(resumed_dir, "_inprogress_meta.json"))
+        info_b = run_kfold(dataset, save_dir=resumed_dir, resume=True, **common)
+
+        assert info_a["fold_results"] == info_b["fold_results"]
+        a = load_pytree_npz(os.path.join(straight_dir, "best_global_model.npz"))
+        b = load_pytree_npz(os.path.join(resumed_dir, "best_global_model.npz"))
+        for ka in a:
+            np.testing.assert_array_equal(np.asarray(a[ka]), np.asarray(b[ka]))
+        # in-progress files cleaned up after success
+        assert not os.path.exists(os.path.join(resumed_dir, "_inprogress_meta.json"))
+        assert not os.path.exists(os.path.join(resumed_dir, "_inprogress_state.npz"))
+
+
 class TestTrainingDynamicsParity:
     """VERDICT r1 #6: 2 SGD steps in torch (reference train-loop semantics,
     functions_RESNET50_Truncate.py:63-87) vs the JAX train step from the same
