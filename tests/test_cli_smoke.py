@@ -130,6 +130,31 @@ class TestTestCLIs:
         loss_b = float(outs["int8"]["Perte du test"])
         assert abs(loss_a - loss_b) < 0.02
 
+    def test_classification_int8_with_devices_matches_single_device(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """--precision int8 combined with --devices 8: the quantised forward
+        under the sharded eval step must reproduce the single-device int8
+        predictions exactly."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        outs = {}
+        for name, extra in (("one", []), ("mesh8", ["--devices", "8"])):
+            out = str(tmp_path / name)
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+                "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+                "--mode", "classification", "--save_dir", out, "--batch_size", "4",
+                "--precision", "int8",
+            ] + extra)
+            with open(os.path.join(out, "metrics.txt")) as f:
+                outs[name] = f.read().splitlines()
+        # identical predictions => identical accuracy/precision/recall/F1/matrix
+        for a, b in zip(outs["one"], outs["mesh8"]):
+            if a.split(":")[0] in ("Perte du test",):
+                continue  # reduction order may differ in the last digits
+            assert a == b, (a, b)
+
     def test_classification_devices_flag_matches_single_device(
         self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
     ):

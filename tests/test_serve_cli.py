@@ -110,13 +110,15 @@ def test_serve_cli_int8_round_trip(f1_checkpoint, tmp_path):
 
 
 def test_serve_cli_round_trip(f1_checkpoint):
+    pytest = __import__("pytest")
+    pytest.importorskip("cv2")
     from heuristique_style_transfer_code_tpu.cli.serve import build_parser, start
 
     cfg, ckpt = f1_checkpoint
     args = build_parser().parse_args([
         "--family", "truncated_resnet50", "--config_path", cfg,
         "--model_path", ckpt, "--port", "0", "--batch_size", "2",
-        "--max_delay_ms", "5",
+        "--max_delay_ms", "5", "--transport", "yuv420", "--devices", "8",
     ])
     srv, batcher = start(args)
     try:
