@@ -193,6 +193,77 @@ def make_save_fn(checkpoint_format: str):
     return save_model_and_hyperparameters
 
 
+def collect_calibration_batches(loader, n: int = 2):
+    """First ``n`` loader batches through the canonical on-device preprocess
+    — the exact tensors the quantised encoder will consume."""
+    import jax.numpy as jnp
+
+    from ..data.augment import eval_preprocess
+
+    cal = []
+    for bi, b in enumerate(loader):
+        cal.append(eval_preprocess(jnp.asarray(b["image"])))
+        if bi >= n - 1:
+            break
+    return cal
+
+
+def build_int8_family1(
+    variables,
+    truncate: int,
+    cal_batches=None,
+    keep_encoder: bool = False,
+    quantized_path: Optional[str] = None,
+):
+    """Shared family-1 int8 setup (eval + serve CLIs): PTQ the encoder
+    (loading a persisted quantised tree from ``quantized_path`` when
+    present, else calibrating on ``cal_batches`` and saving there if given),
+    strip the unused f32 encoder from the tree shipped through the jit
+    boundary (unless ``keep_encoder`` — Grad-CAM still needs it), and return
+    (forward_eval, embed_fn, variables')."""
+    import jax.numpy as jnp
+
+    from ..models.truncated_resnet50 import (
+        combined_apply_int8,
+        prepare_combined_int8,
+    )
+    from ..nn.resnet_int8 import load_quantized, resnet50_apply_int8, save_quantized
+    from ..ops.linear import linear
+    from ..ops.pooling import global_avg_pool
+
+    if quantized_path and os.path.exists(quantized_path):
+        q_enc = load_quantized(quantized_path)
+    else:
+        if cal_batches is None:
+            raise ValueError(
+                "int8 needs calibration batches (or an existing quantized_path)"
+            )
+        q_enc = prepare_combined_int8(variables["moco"], truncate, cal_batches)
+        if quantized_path:
+            save_quantized(q_enc, quantized_path)
+            print(f"Quantised encoder saved to {quantized_path}")
+
+    if keep_encoder:
+        heads = variables
+    else:
+        heads = {
+            "moco": {"fc": variables["moco"]["fc"]},
+            "classifier": variables["classifier"],
+        }
+
+    def forward_eval(v, images):
+        logits, _ = combined_apply_int8(
+            q_enc, v["moco"], v["classifier"], images.astype(jnp.float32)
+        )
+        return logits
+
+    def embed_fn(v, images):
+        feats = resnet50_apply_int8(q_enc, images.astype(jnp.float32))
+        return linear(v["moco"]["fc"], global_avg_pool(feats))
+
+    return forward_eval, embed_fn, heads
+
+
 def start_profile(profile_dir: Optional[str]):
     """Start a jax.profiler trace for the rest of the process (stops at
     exit). Context-manager-free so CLI bodies need no re-indentation."""

@@ -52,7 +52,13 @@ def build_parser():
     parser.add_argument(
         "--calib_data", type=str, default=None,
         help="ImageFolder root whose test/ split calibrates the int8 "
-        "encoder (required with --precision int8)",
+        "encoder (required with --precision int8 unless --quantized_path "
+        "points at an existing quantised tree)",
+    )
+    parser.add_argument(
+        "--quantized_path", type=str, default=None,
+        help="Persisted quantised-encoder npz: loaded if present (cold "
+        "start skips calibration), else written after calibration",
     )
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--max_seconds", type=float, default=None,
@@ -125,39 +131,28 @@ def start(args):
         if args.family != "truncated_resnet50":
             raise ValueError("--precision int8 is served for the "
                              "truncated_resnet50 family")
-        if not args.calib_data:
-            raise ValueError("--precision int8 requires --calib_data")
         import os as _os
 
-        import jax.numpy as jnp
+        from ._common import build_int8_family1, collect_calibration_batches
 
-        from ..data.augment import eval_preprocess
-        from ..data.imagefolder import ImageFolderIndex
-        from ..data.loader import HostLoader
-        from ..models.truncated_resnet50 import (
-            combined_apply_int8,
-            prepare_combined_int8,
-        )
+        cal = None
+        if not (args.quantized_path and _os.path.exists(args.quantized_path)):
+            if not args.calib_data:
+                raise ValueError(
+                    "--precision int8 requires --calib_data "
+                    "(or an existing --quantized_path)"
+                )
+            from ..data.imagefolder import ImageFolderIndex
+            from ..data.loader import HostLoader
 
-        idx = ImageFolderIndex(_os.path.join(args.calib_data, "test"))
-        cal_loader = HostLoader(idx.samples, min(args.batch_size, 32), shuffle=False)
-        cal = []
-        for bi, b in enumerate(cal_loader):
-            cal.append(eval_preprocess(jnp.asarray(b["image"])))
-            if bi >= 1:
-                break
-        truncate = int(config.get("truncate_layer", 8))
-        q_enc = prepare_combined_int8(variables["moco"], truncate, cal)
-        heads = {"moco": {"fc": variables["moco"]["fc"]},
-                 "classifier": variables["classifier"]}
-        variables = heads
-
-        def forward_eval(v, images):  # noqa: F811 — quantised replacement
-            logits, _ = combined_apply_int8(
-                q_enc, v["moco"], v["classifier"], images.astype(jnp.float32)
+            idx = ImageFolderIndex(_os.path.join(args.calib_data, "test"))
+            cal = collect_calibration_batches(
+                HostLoader(idx.samples, min(args.batch_size, 32), shuffle=False)
             )
-            return logits
-
+        truncate = int(config.get("truncate_layer", 8))
+        forward_eval, _, variables = build_int8_family1(  # noqa: F811
+            variables, truncate, cal, quantized_path=args.quantized_path
+        )
     else:
         forward_eval = cast_forward(
             forward_eval, resolve_compute_dtype(args.precision)

@@ -133,42 +133,16 @@ def main(argv=None):
                 "(--data); utilisez bf16 pour le mode camera sans dataset "
                 "(ou l'API prepare_combined_int8)"
             )
-        import jax.numpy as jnp
-
-        from ..data.augment import eval_preprocess
-        from ..models.truncated_resnet50 import (
-            combined_apply_int8,
-            prepare_combined_int8,
-        )
-        from ..nn.resnet_int8 import resnet50_apply_int8
-        from ..ops.linear import linear
-        from ..ops.pooling import global_avg_pool
+        from ._common import build_int8_family1, collect_calibration_batches
 
         _, _, cal_loader = make_loader()
-        cal = []
-        for bi, b in enumerate(cal_loader):
-            cal.append(eval_preprocess(jnp.asarray(b["image"])))
-            if bi >= 1:
-                break
-        q_enc = prepare_combined_int8(variables["moco"], truncate, cal)
-        if not (args.visualize_gradcam or args.save_gradcam_images):
-            # the quantised encoder rides as jit constants; drop the unused
-            # f32 encoder from the tree shipped through the jit boundary
-            # (Grad-CAM still needs the float encoder when requested)
-            variables = {
-                "moco": {"fc": variables["moco"]["fc"]},
-                "classifier": variables["classifier"],
-            }
-
-        def forward_eval(v, images):  # noqa: F811 — quantised replacement
-            logits, _ = combined_apply_int8(
-                q_enc, v["moco"], v["classifier"], images.astype(jnp.float32)
-            )
-            return logits
-
-        def embed_fn(v, images):  # noqa: F811
-            feats = resnet50_apply_int8(q_enc, images.astype(jnp.float32))
-            return linear(v["moco"]["fc"], global_avg_pool(feats))
+        forward_eval, embed_fn, variables = build_int8_family1(  # noqa: F811
+            variables,
+            truncate,
+            collect_calibration_batches(cal_loader),
+            # Grad-CAM still needs the float encoder when requested
+            keep_encoder=args.visualize_gradcam or args.save_gradcam_images,
+        )
 
     if args.mode in ("classification", "inference"):
         from ..tasks.classification import run_classification_test

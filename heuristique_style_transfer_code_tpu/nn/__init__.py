@@ -8,9 +8,11 @@ from .resnet import (
 )
 from .resnet_int8 import (
     calibrate_activation_scales,
+    load_quantized,
     prepare_int8_resnet,
     quantize_resnet50,
     resnet50_apply_int8,
+    save_quantized,
 )
 from .patch_discriminator import (
     discriminator_layer_plan,

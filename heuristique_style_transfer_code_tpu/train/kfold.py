@@ -42,31 +42,46 @@ _INPROGRESS_STATE = "_inprogress_state.npz"
 _INPROGRESS_META = "_inprogress_meta.json"
 
 
-def _save_inprogress(save_dir, variables, opt_state, key, meta):
-    """Atomic epoch-granular checkpoint: variables + flattened optimiser
-    leaves + the evolved PRNG key, plus a meta JSON locating the position."""
+def _save_inprogress_state(save_dir, variables, opt_state, key, fold, epochs_done):
+    """ONE atomic artifact per epoch: variables + flattened optimiser leaves
+    + the evolved PRNG key + the position (fold, epochs_done). Position and
+    state living in the same file means no crash window can pair epoch-E+1
+    weights with an epoch-E position."""
     from ..checkpoint.io import save_pytree_npz
 
     leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(opt_state)]
     save_pytree_npz(
-        {"variables": variables, "opt_leaves": leaves, "key": np.asarray(key)},
+        {
+            "variables": variables,
+            "opt_leaves": leaves,
+            "key": np.asarray(key),
+            "fold": int(fold),
+            "epochs_done": int(epochs_done),
+        },
         os.path.join(save_dir, _INPROGRESS_STATE),
     )
+
+
+def _load_inprogress_state(save_dir):
+    from ..checkpoint.io import load_pytree_npz
+
+    return load_pytree_npz(os.path.join(save_dir, _INPROGRESS_STATE))
+
+
+def _restore_opt_state(tree, opt_template):
+    """The optimiser state's (NamedTuple) structure is rebuilt from a
+    freshly initialised template."""
+    treedef = jax.tree_util.tree_structure(opt_template)
+    return jax.tree_util.tree_unflatten(treedef, tree["opt_leaves"])
+
+
+def _save_inprogress_meta(save_dir, meta):
+    """Fold-boundary results snapshot (fold_results, best_model_results,
+    best_global_path) — written only when a fold completes."""
     tmp = os.path.join(save_dir, _INPROGRESS_META + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=4)
     os.replace(tmp, os.path.join(save_dir, _INPROGRESS_META))
-
-
-def _load_inprogress(save_dir, opt_template):
-    """Inverse of _save_inprogress; the optimiser state's (NamedTuple)
-    structure is rebuilt from a freshly initialised template."""
-    from ..checkpoint.io import load_pytree_npz
-
-    tree = load_pytree_npz(os.path.join(save_dir, _INPROGRESS_STATE))
-    treedef = jax.tree_util.tree_structure(opt_template)
-    opt_state = jax.tree_util.tree_unflatten(treedef, tree["opt_leaves"])
-    return tree["variables"], opt_state, tree["key"]
 
 
 def _clear_inprogress(save_dir):
@@ -113,11 +128,13 @@ def run_kfold(
     retrained_performance.json).
 
     Elastic resume (beyond the reference's fold-level best-results file):
-    every epoch ends with an atomic in-progress checkpoint (variables,
-    optimiser state, evolved PRNG key, position). With ``resume=True`` an
-    interrupted run continues from the last completed epoch and is
-    BIT-IDENTICAL to an uninterrupted run (tested); the in-progress files
-    are removed on successful completion. ``_interrupt_after=(fold, epoch)``
+    with ``resume=True`` every epoch ends with an atomic in-progress
+    checkpoint (variables, optimiser state, evolved PRNG key, position in
+    ONE npz; completed-fold results in a sibling meta updated at fold
+    boundaries), and an interrupted run continues from the last completed
+    epoch, BIT-IDENTICAL to an uninterrupted run (tested). The in-progress
+    files are removed on successful completion; runs without ``resume``
+    pay no per-epoch checkpoint cost. ``_interrupt_after=(fold, epoch)``
     is a test seam that raises right after that epoch's checkpoint."""
     from sklearn.model_selection import KFold
 
@@ -137,16 +154,34 @@ def run_kfold(
     best_performance = float("inf")
     best_global_path = None
 
-    resume_meta = load_training_info(save_dir, _INPROGRESS_META) if resume else None
-    if resume_meta is not None:
-        fold_results = list(resume_meta["fold_results"])
-        best_global_path = resume_meta.get("best_global_path")
-        if fold_results:
-            best_performance = min(r["val_loss"] for r in fold_results)
-        print(
-            f"Resuming from fold {resume_meta['fold']}, "
-            f"epoch {resume_meta['epochs_done']}"
-        )
+    # resume position comes from the state npz (state+position atomic); the
+    # fold-boundary meta carries the completed folds' results. Either may be
+    # absent (crash in fold 0 / crash before the first epoch checkpoint).
+    resume_state, resume_fold, resume_epochs = None, None, 0
+    if resume:
+        meta = load_training_info(save_dir, _INPROGRESS_META)
+        state_path = os.path.join(save_dir, _INPROGRESS_STATE)
+        if meta is not None or os.path.exists(state_path):
+            if meta is not None:
+                fold_results = list(meta["fold_results"])
+                # cross-run list as of the interrupted run's fold boundary;
+                # when no fold completed (meta absent) the json-loaded list
+                # above already holds the right cross-run state
+                best_model_results = list(meta.get("best_model_results", []))
+                best_global_path = meta.get("best_global_path")
+            if fold_results:
+                best_performance = min(r["val_loss"] for r in fold_results)
+            resume_fold = len(fold_results)  # first fold not in the meta
+            if os.path.exists(state_path):
+                resume_state = _load_inprogress_state(save_dir)
+                # the state is for the in-progress fold only; a stale state
+                # from an already-completed fold means resume at the next
+                # fold from a fresh init
+                if int(resume_state["fold"]) == resume_fold:
+                    resume_epochs = int(resume_state["epochs_done"])
+                else:
+                    resume_state = None
+            print(f"Resuming from fold {resume_fold}, epoch {resume_epochs}")
 
     training_info = load_training_info(save_dir, "training_info.json") or {
         "num_classes": num_classes,
@@ -157,10 +192,12 @@ def run_kfold(
         "num_folds": k_folds,
         "fold_results": [],
     }
-    if resume_meta is not None:
-        training_info["fold_results"] = [
+    if resume_fold is not None:
+        # append the restored folds exactly as the uninterrupted run would
+        # have (training_info may carry entries from prior complete runs)
+        training_info["fold_results"].extend(
             {"fold": i, **r} for i, r in enumerate(fold_results)
-        ]
+        )
 
     if save_fn is None:
         save_fn = save_model_and_hyperparameters
@@ -169,7 +206,7 @@ def run_kfold(
         # advance the per-fold key stream even when skipping (resume):
         # a resumed run must consume the same splits as an uninterrupted one
         key, init_key, train_key = jax.random.split(key, 3)
-        if resume_meta is not None and fold < resume_meta["fold"]:
+        if resume_fold is not None and fold < resume_fold:
             continue  # fold fully done; its results were restored above
         print(f"FOLD {fold}")
         # augmentation product expansion: each train sample x each combo
@@ -196,31 +233,24 @@ def run_kfold(
         variables, opt_state, train_step, eval_step = init_fn(init_key, fold)
 
         start_epoch = 0
-        if (
-            resume_meta is not None
-            and fold == resume_meta["fold"]
-            and resume_meta["epochs_done"] > 0
-        ):
-            variables, opt_state, train_key = _load_inprogress(save_dir, opt_state)
-            start_epoch = resume_meta["epochs_done"]
+        if resume_state is not None and fold == resume_fold and resume_epochs > 0:
+            variables = resume_state["variables"]
+            opt_state = _restore_opt_state(resume_state, opt_state)
+            train_key = resume_state["key"]
+            start_epoch = resume_epochs
             train_loader.set_epoch(start_epoch)
 
-        def on_epoch_end(epoch, v, o, k, _fold=fold):
-            _save_inprogress(
-                save_dir, v, o, k,
-                {
-                    "fold": _fold,
-                    "epochs_done": epoch + 1,
-                    "fold_results": fold_results,
-                    "best_global_path": best_global_path,
-                },
-            )
-            if _interrupt_after is not None and (_fold, epoch) == tuple(
-                _interrupt_after
-            ):
-                raise RuntimeError(
-                    f"interrupted after fold {_fold} epoch {epoch} (test seam)"
-                )
+        on_epoch_end = None
+        if resume:
+
+            def on_epoch_end(epoch, v, o, k, _fold=fold):
+                _save_inprogress_state(save_dir, v, o, k, _fold, epoch + 1)
+                if _interrupt_after is not None and (_fold, epoch) == tuple(
+                    _interrupt_after
+                ):
+                    raise RuntimeError(
+                        f"interrupted after fold {_fold} epoch {epoch} (test seam)"
+                    )
 
         variables, opt_state = train_epochs(
             train_step,
@@ -275,20 +305,18 @@ def run_kfold(
                 {"fold": fold, "model_path": model_path, **result}
             )
 
-        # fold complete: a crash from here resumes at the next fold
-        tmp = os.path.join(save_dir, _INPROGRESS_META + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(
+        # fold complete: a crash from here resumes at the next fold (the
+        # meta's fold_results length IS the resume fold index; a stale state
+        # npz for this fold is ignored by the fold-match check on resume)
+        if resume:
+            _save_inprogress_meta(
+                save_dir,
                 {
-                    "fold": fold + 1,
-                    "epochs_done": 0,
                     "fold_results": fold_results,
+                    "best_model_results": best_model_results,
                     "best_global_path": best_global_path,
                 },
-                f,
-                indent=4,
             )
-        os.replace(tmp, os.path.join(save_dir, _INPROGRESS_META))
 
     keys = ("val_loss", "val_accuracy", "val_precision", "val_recall", "val_f1")
     avg = {f"avg_{k.replace('val_', '') if k != 'val_loss' else 'val_loss'}":

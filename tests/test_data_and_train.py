@@ -185,7 +185,8 @@ class TestCheckpointIO:
 
 
 class TestEpochResume:
-    def test_interrupt_and_resume_bit_identical(self, tmp_path):
+    @pytest.mark.parametrize("interrupt", [(0, 1), (1, 1)])
+    def test_interrupt_and_resume_bit_identical(self, tmp_path, interrupt):
         """Kill a k-fold run mid-fold (after an epoch checkpoint), resume it,
         and require the final model + training_info to be BIT-identical to an
         uninterrupted run. This pins the whole resume chain: PRNG key
@@ -249,14 +250,17 @@ class TestEpochResume:
         )
 
         straight_dir = str(tmp_path / "straight")
-        info_a = run_kfold(dataset, save_dir=straight_dir, **common)
+        # resume=True also on the uninterrupted run: per-epoch checkpoints
+        # must be behaviour-neutral
+        info_a = run_kfold(dataset, save_dir=straight_dir, resume=True, **common)
 
         resumed_dir = str(tmp_path / "resumed")
         with pytest.raises(RuntimeError, match="test seam"):
             run_kfold(
-                dataset, save_dir=resumed_dir, _interrupt_after=(0, 1), **common
+                dataset, save_dir=resumed_dir, resume=True,
+                _interrupt_after=interrupt, **common,
             )
-        assert os.path.exists(os.path.join(resumed_dir, "_inprogress_meta.json"))
+        assert os.path.exists(os.path.join(resumed_dir, "_inprogress_state.npz"))
         info_b = run_kfold(dataset, save_dir=resumed_dir, resume=True, **common)
 
         assert info_a["fold_results"] == info_b["fold_results"]
@@ -264,6 +268,15 @@ class TestEpochResume:
         b = load_pytree_npz(os.path.join(resumed_dir, "best_global_model.npz"))
         for ka in a:
             np.testing.assert_array_equal(np.asarray(a[ka]), np.asarray(b[ka]))
+        # the cross-run improving-only file must also match exactly
+        with open(os.path.join(straight_dir, "best_model_results.json")) as f:
+            bm_a = json.load(f)
+        with open(os.path.join(resumed_dir, "best_model_results.json")) as f:
+            bm_b = json.load(f)
+        strip = lambda lst: [  # noqa: E731
+            {k: v for k, v in m.items() if k != "model_path"} for m in lst
+        ]
+        assert strip(bm_a) == strip(bm_b)
         # in-progress files cleaned up after success
         assert not os.path.exists(os.path.join(resumed_dir, "_inprogress_meta.json"))
         assert not os.path.exists(os.path.join(resumed_dir, "_inprogress_state.npz"))
