@@ -27,6 +27,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Callable, List, Optional
 
@@ -105,6 +106,7 @@ class BatchingInferenceServer:
         self._batches = 0
         self._images = 0
         self._occupancy_sum = 0.0
+        self._latencies = deque(maxlen=2048)  # submit->resolve, seconds
         self._started = None
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
@@ -134,7 +136,9 @@ class BatchingInferenceServer:
 
             frame = rgb_to_yuv420(frame)  # caller-thread, GIL-free cv2
         fut: Future = Future()
-        self._requests.put((frame, fut, time.perf_counter()))
+        t = time.perf_counter()
+        fut._hst_submit_time = t  # read by the fetcher for latency stats
+        self._requests.put((frame, fut, t))
         return fut
 
     def stop(self, drain: bool = True):
@@ -168,6 +172,13 @@ class BatchingInferenceServer:
             elapsed = (
                 time.perf_counter() - self._started if self._started else 0.0
             )
+            lats = sorted(self._latencies)
+
+            def pct(p):
+                if not lats:
+                    return 0.0
+                return lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3
+
             return {
                 "batches": self._batches,
                 "images": self._images,
@@ -177,6 +188,8 @@ class BatchingInferenceServer:
                 "throughput_imgs_per_sec": (
                     self._images / elapsed if elapsed > 0 else 0.0
                 ),
+                "latency_p50_ms": pct(0.50),
+                "latency_p95_ms": pct(0.95),
             }
 
     # ---- internals -----------------------------------------------------
@@ -256,9 +269,15 @@ class BatchingInferenceServer:
                 for f in futures:
                     self._resolve(f, exc=e)
                 continue
+            now = time.perf_counter()
+            lats = []
             for i, f in enumerate(futures):
                 self._resolve(f, probs[i])
+                t0 = getattr(f, "_hst_submit_time", None)
+                if t0 is not None:
+                    lats.append(now - t0)
             with self._stats_lock:
                 self._batches += 1
                 self._images += n
                 self._occupancy_sum += n / self.batch_size
+                self._latencies.extend(lats)

@@ -68,6 +68,8 @@ class TestBatching:
         st = server.stats()
         assert st["images"] == 32
         assert st["batches"] >= 4
+        assert st["latency_p50_ms"] > 0
+        assert st["latency_p95_ms"] >= st["latency_p50_ms"]
 
     def test_deadline_flush_partial_batch(self):
         variables = _variables()
