@@ -63,12 +63,17 @@ def build_parser():
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--max_seconds", type=float, default=None,
                         help="Exit after this many seconds (smoke tests)")
+    parser.add_argument("--request_timeout", type=float, default=30.0,
+                        help="Per-request wait on the batcher Future (s)")
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="Skip the warm dispatch before binding the port "
+                        "(first requests then pay the jit compile)")
     add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
     return parser
 
 
 def _build_forward(family: str, config_path: str, model_path: str):
-    """Returns (forward_eval, variables, config_dict, crop)."""
+    """Returns (forward_eval, variables, config_dict)."""
     if family == "truncated_resnet50":
         from ..config.schema import TruncatedResNetConfig
         from ..models.truncated_resnet50 import combined_apply
@@ -168,7 +173,21 @@ def start(args):
         transport=args.transport,
         mesh=resolve_eval_mesh(args.devices, args.batch_size),
     ).start()
-    srv = make_http_server(batcher, class_names, args.host, args.port)
+    if not args.no_warmup:
+        # pay the jit compile (minutes on a remote-compile backend) BEFORE
+        # the port opens, so no live request ever times out on it
+        import numpy as _np
+
+        print("Warming up (first jit compile)...", flush=True)
+        t0 = time.time()
+        warm = _np.zeros((batcher.crop, batcher.crop, 3), dtype=_np.uint8)
+        warm[::2, ::2] = 128  # non-constant: compressible-transport-proof
+        batcher.submit(warm).result()
+        print(f"Warmup done in {time.time() - t0:.1f}s")
+    srv = make_http_server(
+        batcher, class_names, args.host, args.port,
+        timeout_s=args.request_timeout,
+    )
     import threading
 
     threading.Thread(target=srv.serve_forever, daemon=True).start()

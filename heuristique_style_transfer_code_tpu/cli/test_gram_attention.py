@@ -113,18 +113,15 @@ def main(argv=None):
             )
         import jax.numpy as jnp
 
-        from ..data.augment import eval_preprocess
         from ..models.gram_attention import (
             gram_attention_apply_int8,
             prepare_gram_attention_int8,
         )
+        from ._common import collect_calibration_batches
 
-        cal = []
-        for bi, b in enumerate(loader):
-            cal.append(eval_preprocess(jnp.asarray(b["image"])))
-            if bi >= 1:
-                break
-        q_enc = prepare_gram_attention_int8(variables, truncate, cal)
+        q_enc = prepare_gram_attention_int8(
+            variables, truncate, collect_calibration_batches(loader)
+        )
         # the quantised encoder rides as jit constants; drop the unused f32
         # encoder so it is never shipped through the jit boundary
         variables = {k: v for k, v in variables.items() if k != "encoder"}

@@ -139,6 +139,12 @@ class BatchingInferenceServer:
         t = time.perf_counter()
         fut._hst_submit_time = t  # read by the fetcher for latency stats
         self._requests.put((frame, fut, t))
+        if self._stop.is_set() and fut.cancel():
+            # raced a concurrent stop() and the entry will never be
+            # processed — fail fast instead of leaving the Future to hang
+            # until the client's timeout (if it was already resolved during
+            # the drain, cancel() fails and the result is returned normally)
+            raise RuntimeError("server is stopped")
         return fut
 
     def stop(self, drain: bool = True):

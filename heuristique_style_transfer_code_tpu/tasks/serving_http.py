@@ -23,20 +23,23 @@ import numpy as np
 from .serving import BatchingInferenceServer
 
 
-def _decode_image(body: bytes, raw_shape: Optional[str]) -> np.ndarray:
+def _decode_image(body: bytes, raw_shape: Optional[str], staging: int) -> np.ndarray:
     if raw_shape:
         h, w, c = (int(x) for x in raw_shape.split(","))
         arr = np.frombuffer(body, dtype=np.uint8)
         if arr.size != h * w * c:
             raise ValueError("X-Raw-Shape does not match body size")
         return arr.reshape(h, w, c)
+    import os
+
     from PIL import Image
 
     from ..native import get_decoder, is_jpeg
 
     dec = get_decoder()
     if dec is not None and is_jpeg(body):
-        out = dec.decode_staged(body, 256)
+        fast = os.environ.get("HST_NATIVE_DECODE_FAST") == "1"
+        out = dec.decode_staged(body, staging, fast=fast)
         if out is not None:
             return out
     with Image.open(io.BytesIO(body)) as im:
@@ -52,6 +55,10 @@ def make_http_server(
 ) -> ThreadingHTTPServer:
     """Build (not start) a ThreadingHTTPServer bound to (host, port).
     port=0 picks a free port (read it back from ``server.server_address``)."""
+    # native decode stages to the batcher's geometry (crop * 256/224, the
+    # canonical resize:crop ratio) so both decode branches keep the same
+    # content window for any crop
+    staging = max(256, round(batcher.crop * 256 / 224))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -80,19 +87,24 @@ def make_http_server(
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
-                frame = _decode_image(body, self.headers.get("X-Raw-Shape"))
+                frame = _decode_image(body, self.headers.get("X-Raw-Shape"), staging)
+            except Exception as e:  # malformed request: client error
+                self._json(400, {"error": str(e) or repr(e)})
+                return
+            try:
                 probs = batcher.submit(frame).result(timeout=timeout_s)
-                idx = int(np.argmax(probs))
-                self._json(
-                    200,
-                    {
-                        "probs": [float(p) for p in probs],
-                        "class": class_names[idx] if idx < len(class_names) else str(idx),
-                        "prob": float(probs[idx]),
-                    },
-                )
-            except Exception as e:
-                self._json(400, {"error": str(e)})
+            except Exception as e:  # dispatch/device/timeout: server fault
+                self._json(503, {"error": str(e) or repr(e)})
+                return
+            idx = int(np.argmax(probs))
+            self._json(
+                200,
+                {
+                    "probs": [float(p) for p in probs],
+                    "class": class_names[idx] if idx < len(class_names) else str(idx),
+                    "prob": float(probs[idx]),
+                },
+            )
 
     return ThreadingHTTPServer((host, port), Handler)
 

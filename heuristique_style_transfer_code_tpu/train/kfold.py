@@ -42,11 +42,30 @@ _INPROGRESS_STATE = "_inprogress_state.npz"
 _INPROGRESS_META = "_inprogress_meta.json"
 
 
-def _save_inprogress_state(save_dir, variables, opt_state, key, fold, epochs_done):
+def _run_signature(seed, k_folds, epochs, split_seed, hyperparameters) -> str:
+    """Identity of a training run: resuming under a different configuration
+    would silently stitch old state into new splits, so the signature is
+    stored with every in-progress artifact and checked on resume."""
+    return json.dumps(
+        {
+            "seed": seed,
+            "k_folds": k_folds,
+            "epochs": epochs,
+            "split_seed": split_seed,
+            "hyperparameters": hyperparameters,
+        },
+        sort_keys=True,
+        default=str,
+    )
+
+
+def _save_inprogress_state(
+    save_dir, variables, opt_state, key, fold, epochs_done, signature
+):
     """ONE atomic artifact per epoch: variables + flattened optimiser leaves
-    + the evolved PRNG key + the position (fold, epochs_done). Position and
-    state living in the same file means no crash window can pair epoch-E+1
-    weights with an epoch-E position."""
+    + the evolved PRNG key + the position (fold, epochs_done) + the run
+    signature. Position and state living in the same file means no crash
+    window can pair epoch-E+1 weights with an epoch-E position."""
     from ..checkpoint.io import save_pytree_npz
 
     leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(opt_state)]
@@ -57,6 +76,7 @@ def _save_inprogress_state(save_dir, variables, opt_state, key, fold, epochs_don
             "key": np.asarray(key),
             "fold": int(fold),
             "epochs_done": int(epochs_done),
+            "signature": np.asarray(signature),
         },
         os.path.join(save_dir, _INPROGRESS_STATE),
     )
@@ -65,7 +85,11 @@ def _save_inprogress_state(save_dir, variables, opt_state, key, fold, epochs_don
 def _load_inprogress_state(save_dir):
     from ..checkpoint.io import load_pytree_npz
 
-    return load_pytree_npz(os.path.join(save_dir, _INPROGRESS_STATE))
+    # as_jax=False: the tree carries a string leaf (signature); numeric
+    # leaves are fed to the jitted step as numpy and placed on device there
+    return load_pytree_npz(
+        os.path.join(save_dir, _INPROGRESS_STATE), as_jax=False
+    )
 
 
 def _restore_opt_state(tree, opt_template):
@@ -157,10 +181,25 @@ def run_kfold(
     # resume position comes from the state npz (state+position atomic); the
     # fold-boundary meta carries the completed folds' results. Either may be
     # absent (crash in fold 0 / crash before the first epoch checkpoint).
+    signature = _run_signature(
+        seed, k_folds, epochs, split_seed, hyperparameters
+    )
     resume_state, resume_fold, resume_epochs = None, None, 0
     if resume:
         meta = load_training_info(save_dir, _INPROGRESS_META)
         state_path = os.path.join(save_dir, _INPROGRESS_STATE)
+        for found in (
+            meta.get("signature") if meta else None,
+            str(np.asarray(_load_inprogress_state(save_dir)["signature"]))
+            if os.path.exists(state_path)
+            else None,
+        ):
+            if found is not None and found != signature:
+                raise ValueError(
+                    "--resume: this run's configuration does not match the "
+                    "interrupted run's (seed/k_folds/epochs/split/"
+                    f"hyperparameters differ).\n  was: {found}\n  now: {signature}"
+                )
         if meta is not None or os.path.exists(state_path):
             if meta is not None:
                 fold_results = list(meta["fold_results"])
@@ -244,7 +283,9 @@ def run_kfold(
         if resume:
 
             def on_epoch_end(epoch, v, o, k, _fold=fold):
-                _save_inprogress_state(save_dir, v, o, k, _fold, epoch + 1)
+                _save_inprogress_state(
+                    save_dir, v, o, k, _fold, epoch + 1, signature
+                )
                 if _interrupt_after is not None and (_fold, epoch) == tuple(
                     _interrupt_after
                 ):
@@ -315,6 +356,7 @@ def run_kfold(
                     "fold_results": fold_results,
                     "best_model_results": best_model_results,
                     "best_global_path": best_global_path,
+                    "signature": signature,
                 },
             )
 

@@ -281,6 +281,67 @@ class TestEpochResume:
         assert not os.path.exists(os.path.join(resumed_dir, "_inprogress_meta.json"))
         assert not os.path.exists(os.path.join(resumed_dir, "_inprogress_state.npz"))
 
+    def test_resume_rejects_changed_configuration(self, tmp_path):
+        """Resuming under a different seed/k_folds/etc. must refuse loudly
+        instead of stitching old state into new splits."""
+        import pytest
+
+        from heuristique_style_transfer_code_tpu.data.imagefolder import (
+            ImageFolderIndex,
+        )
+        from heuristique_style_transfer_code_tpu.train.kfold import run_kfold
+        from PIL import Image
+
+        rng = np.random.RandomState(1)
+        root = tmp_path / "data" / "train"
+        for cls in ("a", "b"):
+            d = root / cls
+            d.mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray(
+                    rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+                ).save(str(d / f"{i}.png"))
+        dataset = ImageFolderIndex(str(root))
+
+        def tiny_forward(v, images):
+            return images.reshape(images.shape[0], -1) @ v["w"], v
+
+        def init_fn(key, fold):
+            from heuristique_style_transfer_code_tpu.data.augment import (
+                make_augment_fn,
+            )
+            from heuristique_style_transfer_code_tpu.train.optim import (
+                sgd_momentum,
+            )
+            from heuristique_style_transfer_code_tpu.train.train_loop import (
+                make_eval_step,
+                make_train_step,
+            )
+
+            variables = {
+                "w": jax.random.normal(key, (32 * 32 * 3, 2), jnp.float32) * 0.01
+            }
+            opt = sgd_momentum(0.05, variables)
+            augment = make_augment_fn([(None, None)], crop=32)
+            return (
+                variables,
+                opt.init(variables),
+                make_train_step(tiny_forward, opt, augment),
+                make_eval_step(lambda v, x: tiny_forward(v, x)[0], crop=32),
+            )
+
+        common = dict(
+            k_folds=2, epochs=2, batch_size=4, hyperparameters={"lr": 0.05},
+            init_fn=init_fn, verbose_batches=False, num_workers=2,
+            save_dir=str(tmp_path / "m"), resume=True,
+        )
+        with pytest.raises(RuntimeError, match="test seam"):
+            run_kfold(dataset, seed=7, _interrupt_after=(0, 0), **common)
+        with pytest.raises(ValueError, match="does not match"):
+            run_kfold(dataset, seed=8, **common)  # changed seed
+        # unchanged config resumes fine
+        run_kfold(dataset, seed=7, **common)
+
 
 class TestTrainingDynamicsParity:
     """VERDICT r1 #6: 2 SGD steps in torch (reference train-loop semantics,
