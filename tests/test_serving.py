@@ -269,6 +269,50 @@ class TestBatching:
         for i, p in enumerate(got):
             np.testing.assert_allclose(p, ref[i], rtol=1e-5, atol=1e-6)
 
+    def test_http_server_fault_returns_503(self):
+        """Server-side dispatch failures must surface as 503 (retryable),
+        not 400 — and with a non-empty error body."""
+        import http.client
+        import json as _json
+        import threading as _threading
+
+        from heuristique_style_transfer_code_tpu.tasks.serving_http import (
+            make_http_server,
+        )
+
+        def bad_forward(variables, images):
+            raise ValueError("device exploded")
+
+        with BatchingInferenceServer(
+            bad_forward, _variables(), batch_size=2, max_delay_ms=5, crop=CROP
+        ) as batcher:
+            srv = make_http_server(batcher, ["a", "b", "c", "d"])
+            _threading.Thread(target=srv.serve_forever, daemon=True).start()
+            try:
+                host, port = srv.server_address
+                conn = http.client.HTTPConnection(host, port, timeout=60)
+                frame = _frames(1, seed=30)[0]
+                conn.request(
+                    "POST", "/predict", body=frame.tobytes(),
+                    headers={"X-Raw-Shape": f"{CROP},{CROP},3"},
+                )
+                r = conn.getresponse()
+                assert r.status == 503
+                body = _json.loads(r.read())
+                assert body["error"]  # never an empty message
+            finally:
+                srv.shutdown()
+
+    def test_submit_after_stop_raises_not_hangs(self):
+        variables = _variables()
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=2, max_delay_ms=5, crop=CROP
+        ).start()
+        server.submit(_frames(1, seed=31)[0]).result(timeout=60)
+        server.stop(drain=True)
+        with pytest.raises(RuntimeError):
+            server.submit(_frames(1, seed=32)[0])
+
     def test_dispatch_error_propagates(self):
         def bad_forward(variables, images):
             raise ValueError("boom")
