@@ -127,6 +127,15 @@ class BatchingInferenceServer:
         if self._stop.is_set():
             raise RuntimeError("server is stopped")
         frame = np.asarray(frame)
+        # Validate HERE, in the caller's thread: a malformed frame must fail
+        # the one client that sent it, never reach np.stack in the dispatcher
+        # (where a shape mismatch would fail everyone sharing the batch).
+        if frame.ndim != 3 or frame.shape[2] != 3:
+            raise ValueError(
+                f"frame must be (H, W, 3) RGB, got shape {frame.shape}"
+            )
+        if frame.dtype != np.uint8:
+            raise ValueError(f"frame must be uint8, got dtype {frame.dtype}")
         if frame.shape[:2] != (self.crop, self.crop):
             # keep the canonical resize:crop ratio (256:224) for any crop
             shorter = max(self.crop, round(self.crop * 256 / 224))
@@ -172,6 +181,17 @@ class BatchingInferenceServer:
 
     def __exit__(self, *exc):
         self.stop(drain=exc[0] is None)
+
+    def healthy(self) -> bool:
+        """True iff the server can still make progress: started, not stopped,
+        and both worker threads alive (a dead dispatcher/fetcher means every
+        future would hang until its client timeout)."""
+        return (
+            self._started is not None
+            and not self._stop.is_set()
+            and self._dispatcher.is_alive()
+            and self._fetcher.is_alive()
+        )
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -253,8 +273,11 @@ class BatchingInferenceServer:
                 # pad with the first real frame: static shape, non-degenerate
                 # data, and compressed-transport-proof (distinct per batch)
                 frames = frames + [frames[0]] * (self.batch_size - n)
-            arr = np.stack(frames)
             try:
+                # stack inside the guard: any residual per-frame anomaly
+                # (submit() validates, but belt-and-braces) fails only this
+                # batch's futures instead of killing the dispatcher thread
+                arr = np.stack(frames)
                 device_arr = jax.device_put(arr, self._sharding)  # async H2D
                 out = self._infer(self._variables, device_arr)
             except Exception as e:  # compile/dispatch error: fail the batch

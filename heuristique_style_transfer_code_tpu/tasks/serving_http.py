@@ -26,6 +26,8 @@ from .serving import BatchingInferenceServer
 def _decode_image(body: bytes, raw_shape: Optional[str], staging: int) -> np.ndarray:
     if raw_shape:
         h, w, c = (int(x) for x in raw_shape.split(","))
+        if c != 3 or h <= 0 or w <= 0:
+            raise ValueError(f"X-Raw-Shape must be H,W,3 with H,W > 0, got {raw_shape}")
         arr = np.frombuffer(body, dtype=np.uint8)
         if arr.size != h * w * c:
             raise ValueError("X-Raw-Shape does not match body size")
@@ -42,8 +44,19 @@ def _decode_image(body: bytes, raw_shape: Optional[str], staging: int) -> np.nda
         out = dec.decode_staged(body, staging, fast=fast)
         if out is not None:
             return out
+    # PIL fallback applies the SAME staged transform as the native branch
+    # (and data/loader.load_image_staged): PIL BILINEAR to `staging` shorter
+    # side + center crop — so the probabilities for a given image do not
+    # depend on whether the native decoder built.
+    from ..core.geometry import staging_geometry
+
     with Image.open(io.BytesIO(body)) as im:
-        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        im = im.convert("RGB")
+        w, h = im.size
+        tw, th, left, top = staging_geometry(w, h, staging)
+        im = im.resize((tw, th), Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.uint8)
+    return arr[top : top + staging, left : left + staging]
 
 
 def make_http_server(
@@ -74,7 +87,10 @@ def make_http_server(
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True})
+                if batcher.healthy():
+                    self._json(200, {"ok": True})
+                else:
+                    self._json(503, {"ok": False, "error": "batcher not running"})
             elif self.path == "/stats":
                 self._json(200, batcher.stats())
             else:
@@ -92,7 +108,15 @@ def make_http_server(
                 self._json(400, {"error": str(e) or repr(e)})
                 return
             try:
-                probs = batcher.submit(frame).result(timeout=timeout_s)
+                fut = batcher.submit(frame)
+            except ValueError as e:  # submit() rejected the frame: client error
+                self._json(400, {"error": str(e) or repr(e)})
+                return
+            except Exception as e:  # server stopped / queue fault
+                self._json(503, {"error": str(e) or repr(e)})
+                return
+            try:
+                probs = fut.result(timeout=timeout_s)
             except Exception as e:  # dispatch/device/timeout: server fault
                 self._json(503, {"error": str(e) or repr(e)})
                 return

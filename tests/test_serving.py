@@ -231,14 +231,25 @@ class TestBatching:
                 np.testing.assert_allclose(sum(out["probs"]), 1.0, rtol=1e-4)
                 ref = _reference_probs(variables, [frame])[0]
                 np.testing.assert_allclose(out["probs"], ref, rtol=1e-4, atol=1e-5)
-                # encoded-image path (PNG via PIL)
+                # encoded-image path (PNG via PIL): the fallback applies the
+                # canonical staged transform (r3: branch parity with native),
+                # so expected = staged-decode -> submit-side downscale chain
+                from heuristique_style_transfer_code_tpu.tasks.camera import (
+                    downscale_frame,
+                )
+
+                staging = max(256, round(CROP * 256 / 224))
+                big = rng.randint(0, 256, (staging, staging, 3), dtype=np.uint8)
+                shorter = max(CROP, round(CROP * 256 / 224))
+                expected_frame = downscale_frame(big, crop=CROP, shorter=shorter)
+                ref2 = _reference_probs(variables, [expected_frame])[0]
                 buf = _io.BytesIO()
-                Image.fromarray(frame).save(buf, format="PNG")
+                Image.fromarray(big).save(buf, format="PNG")
                 conn.request("POST", "/predict", body=buf.getvalue())
                 r = conn.getresponse()
                 assert r.status == 200
                 out2 = _json.loads(r.read())
-                np.testing.assert_allclose(out2["probs"], ref, rtol=1e-4, atol=1e-5)
+                np.testing.assert_allclose(out2["probs"], ref2, rtol=1e-4, atol=1e-5)
                 conn.request("GET", "/stats")
                 stats = _json.loads(conn.getresponse().read())
                 assert stats["images"] >= 2
@@ -312,6 +323,97 @@ class TestBatching:
         server.stop(drain=True)
         with pytest.raises(RuntimeError):
             server.submit(_frames(1, seed=32)[0])
+
+    def test_malformed_frame_rejected_in_submit(self):
+        """A (H,W,1) or wrong-dtype frame must raise to the SUBMITTING caller
+        and never reach the dispatcher (where it would poison a whole batch
+        and kill the thread) — ADVICE r2 high-severity finding."""
+        variables = _variables()
+        server = BatchingInferenceServer(
+            _forward, variables, batch_size=4, max_delay_ms=10, crop=CROP
+        )
+        rng = np.random.RandomState(40)
+        with server:
+            with pytest.raises(ValueError, match="RGB"):
+                server.submit(rng.randint(0, 256, (CROP, CROP, 1), dtype=np.uint8))
+            with pytest.raises(ValueError, match="RGB"):
+                server.submit(rng.randint(0, 256, (CROP, CROP), dtype=np.uint8))
+            with pytest.raises(ValueError, match="uint8"):
+                server.submit(rng.randn(CROP, CROP, 3).astype(np.float32))
+            # server still alive and serving afterwards
+            good = [server.submit(f) for f in _frames(6, seed=41)]
+            for f in good:
+                assert f.result(timeout=60).shape == (CLASSES,)
+        assert server._dispatcher.is_alive() is False  # clean shutdown
+
+    def test_http_rejects_non_rgb_raw_shape(self):
+        """X-Raw-Shape with c != 3 must 400 (not hang every request sharing
+        the batch), and /healthz must report thread liveness."""
+        import http.client
+        import threading as _threading
+
+        from heuristique_style_transfer_code_tpu.tasks.serving_http import (
+            make_http_server,
+        )
+
+        variables = _variables()
+        with BatchingInferenceServer(
+            _forward, variables, batch_size=4, max_delay_ms=5, crop=CROP
+        ) as batcher:
+            srv = make_http_server(batcher, ["a", "b", "c", "d"])
+            _threading.Thread(target=srv.serve_forever, daemon=True).start()
+            try:
+                host, port = srv.server_address
+                conn = http.client.HTTPConnection(host, port, timeout=60)
+                body = np.zeros((CROP, CROP, 1), dtype=np.uint8).tobytes()
+                conn.request(
+                    "POST", "/predict", body=body,
+                    headers={"X-Raw-Shape": f"{CROP},{CROP},1"},
+                )
+                assert conn.getresponse().status == 400
+                # healthy server -> 200; subsequent good request served
+                conn.request("GET", "/healthz")
+                assert conn.getresponse().status == 200
+                frame = _frames(1, seed=42)[0]
+                conn.request(
+                    "POST", "/predict", body=frame.tobytes(),
+                    headers={"X-Raw-Shape": f"{CROP},{CROP},3"},
+                )
+                assert conn.getresponse().status == 200
+            finally:
+                srv.shutdown()
+        # stopped batcher -> healthz would be 503
+        assert not batcher.healthy()
+
+    def test_pil_fallback_matches_native_staging(self):
+        """The HTTP decode path must feed identical pixels whether the native
+        JPEG decoder built or not: the PIL fallback applies the same staged
+        transform (BILINEAR to `staging` shorter side + center crop) as
+        data/loader.load_image_staged — ADVICE r2 low finding."""
+        import io as _io
+
+        from PIL import Image
+
+        from heuristique_style_transfer_code_tpu.data.loader import (
+            load_image_staged,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.serving_http import (
+            _decode_image,
+        )
+
+        rng = np.random.RandomState(43)
+        img = rng.randint(0, 256, (300, 420, 3), dtype=np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")  # PNG forces PIL branch
+        out = _decode_image(buf.getvalue(), None, staging=64)
+        assert out.shape == (64, 64, 3)
+        # must equal the canonical loader transform for the same image
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            Image.fromarray(img).save(f.name, format="PNG")
+            ref = load_image_staged(f.name, staging=64)
+        np.testing.assert_array_equal(out, ref)
 
     def test_dispatch_error_propagates(self):
         def bad_forward(variables, images):
