@@ -310,7 +310,8 @@ def run_kfold(
             on_epoch_end=on_epoch_end,
         )
         result = evaluate(
-            eval_step, variables, val_loader, num_classes, fold=fold, writer=writer
+            eval_step, variables, val_loader, num_classes, fold=fold,
+            writer=writer, step=max(epochs - 1, 0),
         )
         fold_results.append(result)
         fold_result = {"fold": fold, **result}

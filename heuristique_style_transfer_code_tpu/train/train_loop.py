@@ -314,8 +314,15 @@ def evaluate(
     fold: int = 0,
     log_fn: Callable[[str], None] = print,
     writer=None,
+    step: int = 0,
 ) -> Dict[str, float]:
-    """Reference eval loop semantics (functions_RESNET50_Truncate.py:89-122)."""
+    """Reference eval loop semantics (functions_RESNET50_Truncate.py:89-122).
+
+    Deviation (deliberate, SURVEY §2.5): the reference's validation
+    ``add_scalar`` calls omit the step argument
+    (functions_RESNET50_Truncate.py:117-121) so TB collapses every write to
+    step 0 — here the caller passes ``step`` (the final epoch index) and all
+    five reference tags (Loss/Accuracy/Precision/Recall/F1) carry it."""
     from ..metrics.classification import classification_metrics
 
     losses, all_preds, all_labels = [], [], []
@@ -342,6 +349,9 @@ def evaluate(
         f"Recall: {out['val_recall']:.4f}, F1 Score: {out['val_f1']:.4f}"
     )
     if writer is not None:
-        writer.add_scalar(f"Fold_{fold}/Validation/Loss", out["val_loss"])
-        writer.add_scalar(f"Fold_{fold}/Validation/Accuracy", out["val_accuracy"])
+        writer.add_scalar(f"Fold_{fold}/Validation/Loss", out["val_loss"], step)
+        writer.add_scalar(f"Fold_{fold}/Validation/Accuracy", out["val_accuracy"], step)
+        writer.add_scalar(f"Fold_{fold}/Validation/Precision", out["val_precision"], step)
+        writer.add_scalar(f"Fold_{fold}/Validation/Recall", out["val_recall"], step)
+        writer.add_scalar(f"Fold_{fold}/Validation/F1", out["val_f1"], step)
     return out

@@ -124,6 +124,38 @@ class TestTraining:
         res = evaluate(eval_step, variables, HostLoader(idx.samples, 8), 4)
         assert res["val_accuracy"] >= 0.5  # classes are mean-separable
 
+    def test_validation_writer_scalars_carry_step(self, tiny_imagefolder):
+        """The reference's validation add_scalar calls omit the step arg
+        (functions_RESNET50_Truncate.py:117-121, SURVEY §2.5 do-not-reproduce
+        list): ours must pass it, for all five reference tags."""
+        from heuristique_style_transfer_code_tpu.config.schema import TruncatedResNetConfig
+        from heuristique_style_transfer_code_tpu.train.factories import make_truncated_resnet50
+        from heuristique_style_transfer_code_tpu.train.train_loop import evaluate
+
+        idx = ImageFolderIndex(str(tiny_imagefolder / "train"))
+        cfg = TruncatedResNetConfig(batch_size=8, lr=0.01, truncate_layer=5, dim=32)
+        variables, _, _, eval_step, _ = make_truncated_resnet50(
+            jax.random.PRNGKey(0), cfg, 4, [(None, None)]
+        )
+
+        calls = []
+
+        class FakeWriter:
+            def add_scalar(self, tag, value, *args, **kwargs):
+                step = args[0] if args else kwargs.get("global_step")
+                calls.append((tag, step))
+
+        evaluate(
+            eval_step, variables, HostLoader(idx.samples[:8], 8), 4,
+            fold=2, writer=FakeWriter(), step=7,
+        )
+        tags = {t for t, _ in calls}
+        assert tags == {
+            f"Fold_2/Validation/{k}"
+            for k in ("Loss", "Accuracy", "Precision", "Recall", "F1")
+        }
+        assert all(step == 7 for _, step in calls)
+
     def test_kfold_artifacts(self, tiny_imagefolder, tmp_path):
         from heuristique_style_transfer_code_tpu.config.schema import TruncatedResNetConfig
         from heuristique_style_transfer_code_tpu.train.factories import make_truncated_resnet50
