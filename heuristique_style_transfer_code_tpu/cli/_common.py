@@ -193,6 +193,53 @@ def make_save_fn(checkpoint_format: str):
     return save_model_and_hyperparameters
 
 
+def add_calib_data_arg(parser: argparse.ArgumentParser):
+    parser.add_argument(
+        "--calib_data", type=str, default=None,
+        help="ImageFolder root for int8 activation calibration (its train/ "
+        "split when present, else test/). Default: the --data root's train/ "
+        "split — the evaluated test split is only used as a last resort, "
+        "with a printed warning (calibrating on the evaluation data leaks "
+        "its statistics into the reported int8 metrics)",
+    )
+
+
+def make_calibration_loader(args, batch_size: int):
+    """Resolve the int8 activation-calibration source, leakage-free by
+    default: the ``--calib_data`` root when given, else the ``--data`` root;
+    within the chosen root prefer the ``train/`` split and fall back to
+    ``test/`` only when no train split exists (printing a warning when that
+    is also the evaluated split)."""
+    root = getattr(args, "calib_data", None) or getattr(args, "data", None)
+    if not root:
+        raise ValueError(
+            "--precision int8 nécessite --calib_data (ou --data) pour la "
+            "calibration"
+        )
+    train_dir = os.path.join(root, "train")
+    test_dir = os.path.join(root, "test")
+    if os.path.isdir(train_dir):
+        chosen = train_dir
+    elif os.path.isdir(test_dir):
+        chosen = test_dir
+        if not getattr(args, "calib_data", None):
+            print(
+                "Avertissement: calibration int8 sur le split de test évalué "
+                "(aucun split train/ sous --data) — les métriques int8 "
+                "peuvent être légèrement optimistes; fournissez --calib_data."
+            )
+    else:
+        raise ValueError(
+            f"Aucun split train/ ou test/ trouvé sous {root} pour la "
+            "calibration int8"
+        )
+    from ..data.imagefolder import ImageFolderIndex
+    from ..data.loader import HostLoader
+
+    idx = ImageFolderIndex(chosen)
+    return HostLoader(idx.samples, min(batch_size, 32), shuffle=False)
+
+
 def collect_calibration_batches(loader, n: int = 2):
     """First ``n`` loader batches through the canonical on-device preprocess
     — the exact tensors the quantised encoder will consume."""

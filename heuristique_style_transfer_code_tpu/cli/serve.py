@@ -51,9 +51,9 @@ def build_parser():
     )
     parser.add_argument(
         "--calib_data", type=str, default=None,
-        help="ImageFolder root whose test/ split calibrates the int8 "
-        "encoder (required with --precision int8 unless --quantized_path "
-        "points at an existing quantised tree)",
+        help="ImageFolder root calibrating the int8 encoder — its train/ "
+        "split when present, else test/ (required with --precision int8 "
+        "unless --quantized_path points at an existing quantised tree)",
     )
     parser.add_argument(
         "--quantized_path", type=str, default=None,
@@ -138,7 +138,11 @@ def start(args):
                              "truncated_resnet50 family")
         import os as _os
 
-        from ._common import build_int8_family1, collect_calibration_batches
+        from ._common import (
+            build_int8_family1,
+            collect_calibration_batches,
+            make_calibration_loader,
+        )
 
         cal = None
         if not (args.quantized_path and _os.path.exists(args.quantized_path)):
@@ -147,12 +151,8 @@ def start(args):
                     "--precision int8 requires --calib_data "
                     "(or an existing --quantized_path)"
                 )
-            from ..data.imagefolder import ImageFolderIndex
-            from ..data.loader import HostLoader
-
-            idx = ImageFolderIndex(_os.path.join(args.calib_data, "test"))
             cal = collect_calibration_batches(
-                HostLoader(idx.samples, min(args.batch_size, 32), shuffle=False)
+                make_calibration_loader(args, args.batch_size)
             )
         truncate = int(config.get("truncate_layer", 8))
         forward_eval, _, variables = build_int8_family1(  # noqa: F811

@@ -51,6 +51,9 @@ def build_parser():
                         "host-downscaling frames before transfer (prefer when "
                         "the TPU is directly attached)")
     add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
+    from ._common import add_calib_data_arg
+
+    add_calib_data_arg(parser)
     return parser
 
 
@@ -117,10 +120,11 @@ def main(argv=None):
             gram_attention_apply_int8,
             prepare_gram_attention_int8,
         )
-        from ._common import collect_calibration_batches
+        from ._common import collect_calibration_batches, make_calibration_loader
 
         q_enc = prepare_gram_attention_int8(
-            variables, truncate, collect_calibration_batches(loader)
+            variables, truncate,
+            collect_calibration_batches(make_calibration_loader(args, cfg.batch_size)),
         )
         # the quantised encoder rides as jit constants; drop the unused f32
         # encoder so it is never shipped through the jit boundary

@@ -68,6 +68,9 @@ def build_parser():
     parser.add_argument("--classes", nargs="+", type=str)
     parser.add_argument("--afficher_params", action="store_true")
     add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
+    from ._common import add_calib_data_arg
+
+    add_calib_data_arg(parser)
     return parser
 
 
@@ -125,17 +128,23 @@ def main(argv=None):
         return _loader_cache[0]
 
     if args.precision == "int8":
-        # PTQ the encoder, calibrated on the first test batches. Camera mode
-        # works too when --data provides the calibration set.
-        if args.mode == "camera" and not args.data:
+        # PTQ the encoder. Calibration source: --calib_data, else the --data
+        # train/ split (never the evaluated test split unless nothing else
+        # exists — make_calibration_loader warns in that case). Camera mode
+        # works too when either flag provides a calibration set.
+        if args.mode == "camera" and not (args.data or args.calib_data):
             raise ValueError(
                 "--precision int8 nécessite un dataset de calibration "
-                "(--data); utilisez bf16 pour le mode camera sans dataset "
-                "(ou l'API prepare_combined_int8)"
+                "(--calib_data ou --data); utilisez bf16 pour le mode camera "
+                "sans dataset (ou l'API prepare_combined_int8)"
             )
-        from ._common import build_int8_family1, collect_calibration_batches
+        from ._common import (
+            build_int8_family1,
+            collect_calibration_batches,
+            make_calibration_loader,
+        )
 
-        _, _, cal_loader = make_loader()
+        cal_loader = make_calibration_loader(args, args.batch_size)
         forward_eval, embed_fn, variables = build_int8_family1(  # noqa: F811
             variables,
             truncate,

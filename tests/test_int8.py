@@ -172,3 +172,64 @@ class TestInt8Forward:
                 {"input": 1.0, "stem": 1.0},
                 truncate=9,
             )
+
+
+class TestCalibrationHygiene:
+    """int8 calibration source resolution must be leakage-free by default
+    (VERDICT r2 #4 / ADVICE r2): prefer --calib_data, then the --data train/
+    split; the evaluated test split only as a warned last resort."""
+
+    @staticmethod
+    def _args(**kw):
+        import argparse
+
+        base = {"calib_data": None, "data": None}
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    def test_prefers_train_split_of_data(self, tiny_imagefolder):
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            make_calibration_loader,
+        )
+
+        loader = make_calibration_loader(
+            self._args(data=str(tiny_imagefolder)), batch_size=4
+        )
+        assert all("/train/" in p for p, _ in loader.samples)
+
+    def test_calib_data_overrides_data(self, tiny_imagefolder, tmp_path):
+        import shutil
+
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            make_calibration_loader,
+        )
+
+        # a calib root with only a test/ split: chosen without warning
+        calib_root = tmp_path / "calib"
+        shutil.copytree(str(tiny_imagefolder / "test"), str(calib_root / "test"))
+        loader = make_calibration_loader(
+            self._args(calib_data=str(calib_root), data=str(tiny_imagefolder)),
+            batch_size=4,
+        )
+        assert all(str(calib_root) in p for p, _ in loader.samples)
+
+    def test_test_split_fallback_warns(self, tiny_imagefolder, tmp_path, capsys):
+        import shutil
+
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            make_calibration_loader,
+        )
+
+        root = tmp_path / "testonly"
+        shutil.copytree(str(tiny_imagefolder / "test"), str(root / "test"))
+        loader = make_calibration_loader(self._args(data=str(root)), batch_size=4)
+        assert all("/test/" in p for p, _ in loader.samples)
+        assert "Avertissement" in capsys.readouterr().out
+
+    def test_no_source_raises(self):
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            make_calibration_loader,
+        )
+
+        with pytest.raises(ValueError, match="calib"):
+            make_calibration_loader(self._args(), batch_size=4)
