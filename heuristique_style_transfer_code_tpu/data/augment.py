@@ -46,51 +46,101 @@ _LUMA = _np.array([0.299, 0.587, 0.114], dtype=_np.float32)
 
 
 # ------------------------------------------------------------ color transforms
-# All operate on float [0,1] HWC images, torchvision functional semantics.
+# All operate on float [0,1] HWC images. Each transform is split into a
+# DETERMINISTIC kernel (pinned parameter -> parity-testable against the
+# reference's PIL/torchvision pipeline, tests/test_data_and_train.py
+# TestAugmentParity) and a thin random wrapper drawing the parameter with the
+# reference's ColorJitter ranges (train_best_RESNET50_Truncate.py:72-88).
 
 
 def _blend(a, b, factor):
     return jnp.clip(a * factor + b * (1.0 - factor), 0.0, 1.0)
 
 
+def adjust_brightness(img, factor):
+    """PIL ImageEnhance.Brightness: blend towards black."""
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def adjust_contrast(img, factor):
+    """PIL ImageEnhance.Contrast: blend towards the mean of the ITU-R 601-2
+    luma image (PIL rounds the mean to uint8; we keep it float — delta
+    bounded by 0.5/255 * |1-factor|)."""
+    mean = jnp.mean(img @ _LUMA)
+    return _blend(img, mean, factor)
+
+
+def adjust_saturation(img, factor):
+    """PIL ImageEnhance.Color: blend towards the grayscale image."""
+    gray = (img @ _LUMA)[..., None]
+    return _blend(img, gray, factor)
+
+
+def adjust_hue(img, shift):
+    """Hue shift by ``shift`` turns via a float HSV roundtrip — the same
+    algorithm as torchvision's tensor adjust_hue (the PIL path the reference
+    runs does the roundtrip in quantised uint8 HSV; float is strictly more
+    accurate, measured max delta vs PIL < 2/255 on random images)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    eqc = maxc == minc
+    cr = maxc - minc
+    ones = jnp.ones_like(maxc)
+    s = cr / jnp.where(eqc, ones, maxc)
+    cr_div = jnp.where(eqc, ones, cr)
+    rc = (maxc - r) / cr_div
+    gc = (maxc - g) / cr_div
+    bc = (maxc - b) / cr_div
+    hr = jnp.where(maxc == r, bc - gc, 0.0)
+    hg = jnp.where((maxc == g) & (maxc != r), 2.0 + rc - bc, 0.0)
+    hb = jnp.where((maxc != g) & (maxc != r), 4.0 + gc - rc, 0.0)
+    h = ((hr + hg + hb) / 6.0) % 1.0
+    h = (h + shift) % 1.0
+    # HSV -> RGB
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    sextant = i.astype(jnp.int32) % 6
+    v = maxc
+    p = jnp.clip(v * (1.0 - s), 0.0, 1.0)
+    q = jnp.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = jnp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    onehot = jax.nn.one_hot(sextant, 6, dtype=img.dtype)
+    r_ = jnp.sum(jnp.stack([v, q, p, p, t, v], axis=-1) * onehot, axis=-1)
+    g_ = jnp.sum(jnp.stack([t, v, v, q, p, p], axis=-1) * onehot, axis=-1)
+    b_ = jnp.sum(jnp.stack([p, p, t, v, v, q], axis=-1) * onehot, axis=-1)
+    return jnp.stack([r_, g_, b_], axis=-1)
+
+
+def to_grayscale(img):
+    """PIL convert('L') luma replicated over 3 channels."""
+    g = (img @ _LUMA)[..., None]
+    return jnp.broadcast_to(g, img.shape)
+
+
 def brightness(img, key):
     f = jax.random.uniform(key, (), minval=0.5, maxval=1.5)
-    return jnp.clip(img * f, 0.0, 1.0)
+    return adjust_brightness(img, f)
 
 
 def contrast(img, key):
     f = jax.random.uniform(key, (), minval=0.5, maxval=1.5)
-    mean = jnp.mean(img @ _LUMA)
-    return _blend(img, mean, f)
+    return adjust_contrast(img, f)
 
 
 def saturation(img, key):
     f = jax.random.uniform(key, (), minval=0.5, maxval=1.5)
-    gray = (img @ _LUMA)[..., None]
-    return _blend(img, gray, f)
+    return adjust_saturation(img, f)
 
 
 def hue(img, key):
-    """Hue shift in +-0.1 turns via YIQ chroma rotation (differentiable,
-    vectorised equivalent of the HSV roundtrip)."""
     h = jax.random.uniform(key, (), minval=-0.1, maxval=0.1)
-    theta = 2.0 * jnp.pi * h
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    # RGB -> YIQ
-    m = jnp.array(
-        [[0.299, 0.587, 0.114], [0.5959, -0.2746, -0.3213], [0.2115, -0.5227, 0.3112]]
-    )
-    yiq = img @ m.T
-    rot = jnp.array([[1.0, 0, 0], [0, cos, -sin], [0, sin, cos]])
-    yiq = yiq @ rot.T
-    m_inv = jnp.array([[1.0, 0.956, 0.619], [1.0, -0.272, -0.647], [1.0, -1.106, 1.703]])
-    return jnp.clip(yiq @ m_inv.T, 0.0, 1.0)
+    return adjust_hue(img, h)
 
 
 def grayscale(img, key):
     del key
-    g = (img @ _LUMA)[..., None]
-    return jnp.broadcast_to(g, img.shape)
+    return to_grayscale(img)
 
 
 # -------------------------------------------------------- geometric transforms
@@ -122,20 +172,61 @@ def _affine_warp(img, matrix, offset):
 
 
 def _rotation_matrix(angle_rad, h, w, scale=1.0, translate=(0.0, 0.0)):
-    """Inverse affine about the image center (torchvision convention)."""
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    """Inverse affine about the image center, PIL/torchvision-PIL convention
+    (the path the reference's RandomRotation/RandomAffine take on PIL
+    images): center = (w/2, h/2), positive angle = counterclockwise,
+    src = M @ (dst - c - t) + c with M = R(theta)/scale."""
+    cy, cx = h / 2.0, w / 2.0
     cos, sin = jnp.cos(angle_rad) / scale, jnp.sin(angle_rad) / scale
-    m = jnp.array([[cos, sin], [-sin, cos]])
+    m = jnp.array([[cos, -sin], [sin, cos]])  # rows/cols in (y, x)
     ty, tx = translate
     center = jnp.array([cy, cx])
     offset = center - m @ (center + jnp.array([ty, tx]))
     return m, offset
 
 
+def rotate_by(img, deg):
+    """Deterministic F.rotate(deg) == PIL Image.rotate(deg): positive angle
+    is counterclockwise, which is the OPPOSITE screen direction from
+    F.affine's positive angle (torchvision quirk, preserved — hence -deg
+    into the shared affine matrix). Bilinear resampling (deviation: the
+    reference's RandomRotation defaults to NEAREST; bilinear is strictly
+    smoother — documented in ARCHITECTURE.md)."""
+    m, off = _rotation_matrix(-jnp.deg2rad(deg), img.shape[0], img.shape[1])
+    return _affine_warp(img, m, off)
+
+
+def affine_by(img, deg, translate=(0.0, 0.0), scale=1.0):
+    """Deterministic F.affine(deg, translate=(tx, ty) pixels, scale), shear
+    0, bilinear (same NEAREST-default deviation as rotate_by)."""
+    tx, ty = translate
+    m, off = _rotation_matrix(
+        jnp.deg2rad(deg), img.shape[0], img.shape[1], scale, (ty, tx)
+    )
+    return _affine_warp(img, m, off)
+
+
+def resized_crop_box(img, top, left, ch, cw):
+    """Deterministic F.resized_crop box -> full canvas: crop (top, left,
+    ch, cw) upsampled to the image size with PIL-convention bilinear
+    (half-pixel centers, source coords clamped to the box exactly like
+    crop-then-resize)."""
+    h, w, _ = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    src_y = jnp.clip((yy + 0.5) * (ch / h) - 0.5 + top, top, top + ch - 1.0)
+    src_x = jnp.clip((xx + 0.5) * (cw / w) - 0.5 + left, left, left + cw - 1.0)
+    coords = jnp.stack([src_y, src_x])
+
+    def warp_channel(c):
+        return jax.scipy.ndimage.map_coordinates(c, coords, order=1, mode="constant")
+
+    return jnp.stack([warp_channel(img[..., c]) for c in range(img.shape[-1])], axis=-1)
+
+
 def rotation(img, key):
     deg = jax.random.uniform(key, (), minval=-15.0, maxval=15.0)
-    m, off = _rotation_matrix(jnp.deg2rad(deg), img.shape[0], img.shape[1])
-    return _affine_warp(img, m, off)
+    return rotate_by(img, deg)
 
 
 def affine(img, key):
@@ -143,10 +234,10 @@ def affine(img, key):
     deg = jax.random.uniform(k1, (), minval=-15.0, maxval=15.0)
     scale = jax.random.uniform(k2, (), minval=0.9, maxval=1.1)
     h, w = img.shape[0], img.shape[1]
+    # RandomAffine rounds the translation draw to ints; continuous here
     ty = jax.random.uniform(k3, (), minval=-0.1, maxval=0.1) * h
     tx = jax.random.uniform(k4, (), minval=-0.1, maxval=0.1) * w
-    m, off = _rotation_matrix(jnp.deg2rad(deg), h, w, scale, (ty, tx))
-    return _affine_warp(img, m, off)
+    return affine_by(img, deg, translate=(tx, ty), scale=scale)
 
 
 def resized_crop(img, key):
@@ -163,10 +254,7 @@ def resized_crop(img, key):
     cw = jnp.clip(jnp.sqrt(area * ratio), 8.0, w)
     top = jax.random.uniform(k3, (), minval=0.0, maxval=1.0) * (h - ch)
     left = jax.random.uniform(k4, (), minval=0.0, maxval=1.0) * (w - cw)
-    # inverse map: out pixel (y, x) -> crop box
-    m = jnp.array([[ch / h, 0.0], [0.0, cw / w]])
-    off = jnp.array([top, left])
-    return _affine_warp(img, m, off)
+    return resized_crop_box(img, top, left, ch, cw)
 
 
 _TRANSFORMS = {
