@@ -493,33 +493,49 @@ def bench_style_transfer() -> dict:
     )
 
     enc = _variables()["moco"]["encoder"]
+    enc_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "astype") else x, enc
+    )
 
-    def gram_fn(imgs):
+    def gram_fn_f32(imgs):
         feats, _, _ = resnet50_apply(enc, imgs, truncate=5)
         return [gram_matrix_nhwc(feats)]
 
-    b = 8
-    target_img = jax.random.uniform(jax.random.PRNGKey(1), (b, 224, 224, 3))
-    targets = gram_fn(target_img)
-    noise0 = jax.random.normal(jax.random.PRNGKey(2), (b, 224, 224, 3))
+    def gram_fn_bf16(imgs):
+        feats, _, _ = resnet50_apply(enc_bf16, imgs.astype(jnp.bfloat16), truncate=5)
+        return [gram_matrix_nhwc(feats)]
 
-    # slope over the iteration count, fetching only the tiny per-image loss
-    # (forces the whole while_loop but skips the 4.8 MB image D2H through the
-    # relay); block_until_ready is not a reliable wait here — see PERF.md
-    times = {}
-    for n_it in (50, 250):
-        opt = make_style_transfer_optimizer(gram_fn, 0.01, n_it, threshold=0.0)
-        _, _, loss = opt(noise0, targets)
-        np.asarray(loss)  # compile + force
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+    def slope(gram_fn, b):
+        # slope over the iteration count, fetching only the tiny per-image
+        # loss (forces the whole while_loop but skips the image D2H through
+        # the relay); block_until_ready is not a reliable wait — see PERF.md
+        target_img = jax.random.uniform(jax.random.PRNGKey(1), (b, 224, 224, 3))
+        targets = [t.astype(jnp.float32) for t in gram_fn(target_img)]
+        noise0 = jax.random.normal(jax.random.PRNGKey(2), (b, 224, 224, 3))
+        times = {}
+        for n_it in (50, 250):
+            opt = make_style_transfer_optimizer(gram_fn, 0.01, n_it, threshold=0.0)
             _, _, loss = opt(noise0, targets)
-            np.asarray(loss)
-            ts.append(time.perf_counter() - t0)
-        times[n_it] = float(np.median(ts))
-    per_iter = (times[250] - times[50]) / 200
-    return {"img_iters_per_sec": float(b / per_iter)}
+            np.asarray(loss)  # compile + force
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, _, loss = opt(noise0, targets)
+                np.asarray(loss)
+                ts.append(time.perf_counter() - t0)
+            times[n_it] = float(np.median(ts))
+        per_iter = (times[250] - times[50]) / 200
+        return float(b / per_iter)
+
+    # b8 f32: round-1/2 continuity point; b128 bf16: the shipped capacity
+    # path (bf16 encoder fwd/bwd, f32 pixels/Adam — tasks/style_transfer)
+    b8_f32 = slope(gram_fn_f32, 8)
+    b128_bf16 = slope(gram_fn_bf16, 128)
+    return {
+        "img_iters_per_sec": max(b8_f32, b128_bf16),
+        "img_iters_per_sec_b8_f32": b8_f32,
+        "img_iters_per_sec_b128_bf16": b128_bf16,
+    }
 
 
 def bench_torch_cpu() -> dict:
@@ -602,10 +618,18 @@ def main():
         baseline_fps = None
     try:
         st = bench_style_transfer()
-        log(f"[tpu] style-transfer loop: {st['img_iters_per_sec']:.0f} img-iters/s")
+        log(
+            f"[tpu] style-transfer loop: {st['img_iters_per_sec']:.0f} "
+            f"img-iters/s (b8 f32 {st['img_iters_per_sec_b8_f32']:.0f} / "
+            f"b128 bf16 {st['img_iters_per_sec_b128_bf16']:.0f})"
+        )
     except Exception as e:
         log(f"[tpu] style-transfer bench skipped ({e})")
-        st = {"img_iters_per_sec": None}
+        st = {
+            "img_iters_per_sec": None,
+            "img_iters_per_sec_b8_f32": None,
+            "img_iters_per_sec_b128_bf16": None,
+        }
     try:
         tr = bench_train()
         log(
@@ -646,6 +670,16 @@ def main():
                 "style_transfer_img_iters_per_sec": (
                     round(st["img_iters_per_sec"], 1)
                     if st["img_iters_per_sec"]
+                    else None
+                ),
+                "style_transfer_img_iters_b8_f32": (
+                    round(st["img_iters_per_sec_b8_f32"], 1)
+                    if st.get("img_iters_per_sec_b8_f32")
+                    else None
+                ),
+                "style_transfer_img_iters_b128_bf16": (
+                    round(st["img_iters_per_sec_b128_bf16"], 1)
+                    if st.get("img_iters_per_sec_b128_bf16")
                     else None
                 ),
                 "train_fps_bf16": (

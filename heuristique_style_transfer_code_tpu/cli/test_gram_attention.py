@@ -231,7 +231,7 @@ def main(argv=None):
             variables, loader, args.save_dir,
             layers=args.layers, threshold=args.threshold,
             num_iterations=args.num_iterations, learning_rate=args.learning_rate,
-            truncate_layer=truncate,
+            truncate_layer=truncate, compute_dtype=dtype,
         )
 
 

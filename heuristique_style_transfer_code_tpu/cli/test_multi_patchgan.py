@@ -157,6 +157,7 @@ def main(argv=None):
             gram_matrix_dim=gdim, norm=norm,
             layers=args.layers, threshold=args.threshold,
             num_iterations=args.num_iterations, learning_rate=args.learning_rate,
+            compute_dtype=dtype,
         )
 
     elif args.mode == "classification":

@@ -15,6 +15,10 @@ TPU-first redesign:
   its own convergence flag; converged images stop receiving updates (the
   reference's per-image early break, vectorised) and the loop exits when all
   are done or the iteration cap hits.
+- ``compute_dtype=bfloat16`` runs the encoder forward/backward (the loop's
+  HBM traffic) in bf16 while the pixels, Adam state and loss stay f32:
+  measured +63% img-iters/s at batch 64 and +128% at batch 128 on a v5e
+  (identical final losses; the loop is at the HBM roofline — PERF.md).
 
 The PatchGAN variant (functions/functions_Multi_PatchGAN.py:211-306) matches
 the reference's *working* path: grams of the model's embedding vectors
@@ -123,10 +127,12 @@ def style_transfer_gram_attention(
     truncate_layer: int = 8,
     key: Optional[jax.Array] = None,
     log_fn=print,
+    compute_dtype=None,
 ) -> List[str]:
     """Family-2 style transfer. ``layers`` truncates the encoder's child list
     exactly like the reference's Sequential slice (:239-241). Returns saved
-    paths."""
+    paths. ``compute_dtype=bfloat16`` runs the encoder fwd/bwd in bf16
+    (pixels/Adam/loss stay f32 — module docstring)."""
     from ..data.augment import eval_preprocess
     from ..nn.resnet import resnet50_apply
     from ..ops.gram import gram_matrix_nhwc
@@ -135,8 +141,16 @@ def style_transfer_gram_attention(
         key = jax.random.PRNGKey(0)
     truncate = min(layers if layers is not None else truncate_layer, truncate_layer, 8)
 
+    enc = variables["encoder"]
+    if compute_dtype is not None:
+        enc = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, enc
+        )
+
     def gram_fn(images):
-        feats, _, _ = resnet50_apply(variables["encoder"], images, truncate=truncate)
+        if compute_dtype is not None:
+            images = images.astype(compute_dtype)
+        feats, _, _ = resnet50_apply(enc, images, truncate=truncate)
         return [gram_matrix_nhwc(feats)]
 
     optimise = make_style_transfer_optimizer(
@@ -189,6 +203,7 @@ def style_transfer_patches(
     max_images: Optional[int] = None,
     key: Optional[jax.Array] = None,
     log_fn=print,
+    compute_dtype=None,
 ) -> List[str]:
     """Family-3 style transfer over embedding outer-product grams
     (functions/functions_Multi_PatchGAN.py:211-306, working ``layers=None``
@@ -205,11 +220,21 @@ def style_transfer_patches(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    v = variables
+    if compute_dtype is not None:
+        v = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, v
+        )
+
     def gram_fn(images):
-        emb, _, _ = multiscale_test_apply(variables, images, gram_matrix_dim, norm=norm)
-        # gram_matrix on a 1-D vector: outer product / dim (:144-148)
-        g = jnp.einsum("bi,bj->bij", emb, emb, preferred_element_type=jnp.float32)
-        return [g / emb.shape[-1]]
+        if compute_dtype is not None:
+            images = images.astype(compute_dtype)
+        emb, _, _ = multiscale_test_apply(v, images, gram_matrix_dim, norm=norm)
+        # gram_matrix on a 1-D vector: outer product / dim (:144-148);
+        # f32 PET only for f32 operands (ops/conv.py:_pet rule)
+        pet = jnp.float32 if emb.dtype == jnp.float32 else None
+        g = jnp.einsum("bi,bj->bij", emb, emb, preferred_element_type=pet)
+        return [g.astype(jnp.float32) / emb.shape[-1]]
 
     optimise = make_style_transfer_optimizer(
         gram_fn, learning_rate, num_iterations, threshold

@@ -103,6 +103,106 @@ def analyze_polygon_points(
     return inside, outside
 
 
+class TsneInteractiveController:
+    """All interactive t-SNE behaviour (reference GUI
+    functions_RESNET50_Truncate.py:447-617), decoupled from Tk so it runs —
+    and is tested — on any matplotlib canvas (Agg included). The ``view`` is
+    anything with set_image(pil_image), set_label(str), set_inside_count(str)
+    and set_dropdown(values, current_index); production wires a Tk view,
+    tests a fake."""
+
+    def __init__(self, pts, labels, classes, img_paths, view, save_dir,
+                 colors=None, figsize=(10, 10)):
+        import matplotlib.pyplot as plt
+
+        self.pts = np.asarray(pts)
+        self.labels = np.asarray(labels)
+        self.classes = classes
+        self.img_paths = img_paths
+        self.view = view
+        self.save_dir = save_dir
+        self.fig, self.ax = plt.subplots(figsize=figsize)
+        color_map, unique = _color_map(self.labels, colors)
+        scatter = self.ax.scatter(
+            self.pts[:, 0], self.pts[:, 1],
+            c=[color_map[int(l)] for l in self.labels], picker=True,
+        )
+        self.ax.legend(
+            handles=scatter.legend_elements()[0],
+            labels=[classes[int(l)] for l in unique],
+        )
+        self.polygon: List = []
+        self._selector = None
+        self._cleared = True
+        self.fig.canvas.mpl_connect("pick_event", self.onpick)
+        self.fig.canvas.mpl_connect("key_press_event", self.on_key)
+        self.fig.canvas.mpl_connect("button_press_event", self.enable_polygon_selector)
+
+    # ---- event handlers --------------------------------------------------
+    def onpick(self, event):
+        from PIL import Image
+
+        ind = event.ind[0]
+        img = Image.open(self.img_paths[ind]).resize((400, 400), Image.LANCZOS)
+        self.view.set_image(img)
+        self.view.set_label(f"Label: {self.classes[int(self.labels[ind])]}")
+
+    def on_key(self, event):
+        if event.key == "z":
+            self.zoom(event.xdata, event.ydata, 0.9)
+        elif event.key == "a":
+            self.zoom(event.xdata, event.ydata, 1.1)
+
+    def zoom(self, x, y, factor):
+        if x is None or y is None:
+            return
+        ax = self.ax
+        xlim, ylim = ax.get_xlim(), ax.get_ylim()
+        ax.set_xlim([x - (x - xlim[0]) * factor, x + (xlim[1] - x) * factor])
+        ax.set_ylim([y - (y - ylim[0]) * factor, y + (ylim[1] - y) * factor])
+        self.fig.canvas.draw_idle()
+
+    def enable_polygon_selector(self, event):
+        from matplotlib.widgets import PolygonSelector
+
+        if event.button == 3 and (self._selector is None or self._cleared):
+            self._selector = PolygonSelector(self.ax, onselect=self.onselect, useblit=True)
+            self._cleared = False
+            print("Polygon selector enabled.")
+
+    def onselect(self, verts):
+        self.polygon.clear()
+        self.polygon.extend(verts)
+
+    def analyze(self):
+        if len(self.polygon) < 3:
+            print("Polygon not closed. Select at least 3 points.")
+            return None
+        inside, _ = analyze_polygon_points(
+            self.pts, self.polygon, self.labels, self.classes,
+            self.img_paths, self.save_dir,
+        )
+        self.view.set_inside_count(f"Points inside polygon: {len(inside)}")
+        self.view.set_dropdown(
+            [f"{p['path']} ({p['class']})" for p in inside],
+            0 if inside else None,
+        )
+        return inside
+
+    def clear(self):
+        self.polygon.clear()
+        if self._selector is not None:
+            self._selector.disconnect_events()
+            self._selector.set_visible(False)
+            self._selector = None
+        while self.ax.patches:
+            self.ax.patches.pop().remove()
+        self.fig.canvas.draw_idle()
+        self.view.set_inside_count("")
+        self.view.set_label("")
+        self._cleared = True
+
+
 def plot_tsne_interactive(
     embeddings,
     labels,
@@ -114,7 +214,8 @@ def plot_tsne_interactive(
     random_state: int = 42,
 ):
     """Interactive Tk GUI (needs $DISPLAY; falls back to the static plot
-    headlessly, keeping the JSON/PNG artifact surface)."""
+    headlessly, keeping the JSON/PNG artifact surface). All behaviour lives
+    in TsneInteractiveController; this function only builds the Tk widgets."""
     labels = np.asarray(labels)
     if not os.environ.get("DISPLAY"):
         print("No display available — falling back to static t-SNE plot.")
@@ -124,24 +225,13 @@ def plot_tsne_interactive(
     import tkinter as tk
     from tkinter import ttk
 
-    import matplotlib.pyplot as plt
     from matplotlib.backends.backend_tkagg import FigureCanvasTkAgg
-    from matplotlib.widgets import PolygonSelector
-    from PIL import Image, ImageTk
+    from PIL import ImageTk
 
     pts = _tsne_2d(embeddings, random_state)
 
     root = tk.Tk()
     root.title("Interactive t-SNE with Images")
-    fig, ax = plt.subplots(figsize=(10, 10))
-    color_map, unique = _color_map(labels, colors)
-    scatter = ax.scatter(
-        pts[:, 0], pts[:, 1], c=[color_map[int(l)] for l in labels], picker=True
-    )
-    ax.legend(
-        handles=scatter.legend_elements()[0],
-        labels=[classes[int(l)] for l in unique],
-    )
 
     img_label = tk.Label(root)
     img_label.grid(row=0, column=1, sticky="nsew")
@@ -155,33 +245,30 @@ def plot_tsne_interactive(
         tk.Label(root, text=f"Number of clusters: {num_clusters}").grid(
             row=3, column=0, columnspan=2, sticky="nsew"
         )
+    dropdown = ttk.Combobox(root)
 
-    def onpick(event):
-        ind = event.ind[0]
-        img = Image.open(img_paths[ind]).resize((400, 400), Image.LANCZOS)
-        img_tk = ImageTk.PhotoImage(img)
-        img_label.configure(image=img_tk)
-        img_label.image = img_tk
-        label_text.set(f"Label: {classes[int(labels[ind])]}")
+    class TkView:
+        def set_image(self, pil_image):
+            img_tk = ImageTk.PhotoImage(pil_image)
+            img_label.configure(image=img_tk)
+            img_label.image = img_tk
 
-    def on_key(event):
-        if event.key == "z":
-            zoom(event.xdata, event.ydata, 0.9)
-        elif event.key == "a":
-            zoom(event.xdata, event.ydata, 1.1)
+        def set_label(self, text):
+            label_text.set(text)
 
-    def zoom(x, y, factor):
-        if x is None or y is None:
-            return
-        xlim, ylim = ax.get_xlim(), ax.get_ylim()
-        ax.set_xlim([x - (x - xlim[0]) * factor, x + (xlim[1] - x) * factor])
-        ax.set_ylim([y - (y - ylim[0]) * factor, y + (ylim[1] - y) * factor])
-        fig.canvas.draw()
+        def set_inside_count(self, text):
+            inside_points_label.set(text)
 
-    fig.canvas.mpl_connect("pick_event", onpick)
-    fig.canvas.mpl_connect("key_press_event", on_key)
+        def set_dropdown(self, values, current):
+            dropdown["values"] = values
+            if current is not None:
+                dropdown.current(current)
 
-    canvas = FigureCanvasTkAgg(fig, master=root)
+    ctl = TsneInteractiveController(
+        pts, labels, classes, img_paths, TkView(), save_dir, colors
+    )
+
+    canvas = FigureCanvasTkAgg(ctl.fig, master=root)
     canvas.draw()
     canvas.get_tk_widget().grid(row=0, column=0, rowspan=2, sticky="nsew")
     for c in range(2):
@@ -189,45 +276,7 @@ def plot_tsne_interactive(
     for r in range(4):
         root.grid_rowconfigure(r, weight=1)
 
-    state = {"selector": None, "cleared": True}
-    polygon: List = []
-
-    def enable_polygon_selector(event):
-        if event.button == 3 and (state["selector"] is None or state["cleared"]):
-            state["selector"] = PolygonSelector(ax, onselect=onselect, useblit=True)
-            state["cleared"] = False
-            print("Polygon selector enabled.")
-
-    def onselect(verts):
-        polygon.clear()
-        polygon.extend(verts)
-
-    def analyze():
-        if len(polygon) < 3:
-            print("Polygon not closed. Select at least 3 points.")
-            return
-        inside, _ = analyze_polygon_points(pts, polygon, labels, classes, img_paths, save_dir)
-        inside_points_label.set(f"Points inside polygon: {len(inside)}")
-        dropdown["values"] = [f"{p['path']} ({p['class']})" for p in inside]
-        if inside:
-            dropdown.current(0)
-
-    def clear():
-        polygon.clear()
-        if state["selector"] is not None:
-            state["selector"].disconnect_events()
-            state["selector"].set_visible(False)
-            state["selector"] = None
-        while ax.patches:
-            ax.patches.pop().remove()
-        fig.canvas.draw()
-        inside_points_label.set("")
-        label_text.set("")
-        state["cleared"] = True
-
-    fig.canvas.mpl_connect("button_press_event", enable_polygon_selector)
-    tk.Button(root, text="Close Polygon", command=analyze).grid(row=4, column=0, sticky="ew")
-    tk.Button(root, text="Clear Polygon", command=clear).grid(row=4, column=1, sticky="ew")
-    dropdown = ttk.Combobox(root)
+    tk.Button(root, text="Close Polygon", command=ctl.analyze).grid(row=4, column=0, sticky="ew")
+    tk.Button(root, text="Clear Polygon", command=ctl.clear).grid(row=4, column=1, sticky="ew")
     dropdown.grid(row=6, column=0, columnspan=2, sticky="ew")
     root.mainloop()

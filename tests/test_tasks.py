@@ -93,6 +93,37 @@ class TestStyleTransferLoop:
             assert os.path.exists(p)
             assert "style_transfer_" in p
 
+    def test_bf16_compute_path_converges_like_f32(self, tiny_imagefolder, tmp_path):
+        """compute_dtype=bfloat16 (the shipped fast path: bf16 encoder
+        fwd/bwd, f32 pixels/Adam/loss — +63-128% on TPU, PERF.md) must
+        produce artifacts and a final pixel state close to the f32 loop."""
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            style_transfer_gram_attention,
+        )
+
+        variables = gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4)
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        loader = HostLoader(idx.samples[:2], batch_size=2)
+        outs = {}
+        for name, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+            saved = style_transfer_gram_attention(
+                variables, loader, str(tmp_path / name),
+                layers=5, threshold=0.0, num_iterations=20,
+                learning_rate=0.05, truncate_layer=5,
+                key=jax.random.PRNGKey(3), compute_dtype=dtype,
+            )
+            assert len(saved) == 2
+            import matplotlib.image as mpimg
+
+            outs[name] = np.stack([mpimg.imread(p) for p in saved])
+        # identical noise seed + 20 Adam steps: bf16 gradients keep the
+        # trajectories close (loose tolerance — 20 compounding bf16 steps)
+        d = np.abs(outs["f32"].astype(np.float32) - outs["bf16"].astype(np.float32))
+        assert d.mean() < 0.05, d.mean()
+
 
 class TestClassificationHarness:
     def test_artifacts_and_metrics(self, tiny_imagefolder, tmp_path, family1):
@@ -185,6 +216,83 @@ class TestEmbeddingsAndTsne:
         with open(os.path.join(str(tmp_path), "inside_polygon.json")) as f:
             data = json.load(f)
         assert {d["path"] for d in data} == {"p0", "p2"}
+
+    def test_interactive_controller_headless(self, tiny_imagefolder, tmp_path):
+        """The FULL interactive-GUI behaviour (pick -> image+label, z/a zoom,
+        right-click polygon selector, analyze -> JSON + dropdown, clear)
+        executed on an Agg canvas with a fake view — only the ~30 lines of
+        literal Tk widget construction remain display-bound."""
+        from types import SimpleNamespace
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from heuristique_style_transfer_code_tpu.tasks.tsne import (
+            TsneInteractiveController,
+        )
+
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        paths = idx.paths[:6]
+        labels = np.asarray(idx.labels[:6])
+        pts = np.array(
+            [[0.0, 0.0], [0.5, 0.5], [5.0, 5.0], [-4.0, 2.0], [0.1, -0.2], [6.0, -6.0]]
+        )
+
+        class FakeView:
+            def __init__(self):
+                self.image = None
+                self.label = None
+                self.inside = None
+                self.dropdown = None
+
+            def set_image(self, img):
+                self.image = img
+
+            def set_label(self, t):
+                self.label = t
+
+            def set_inside_count(self, t):
+                self.inside = t
+
+            def set_dropdown(self, values, current):
+                self.dropdown = (values, current)
+
+        view = FakeView()
+        ctl = TsneInteractiveController(
+            pts, labels, ["fog", "rain", "snow", "sun"], paths, view, str(tmp_path)
+        )
+        # pick point 2 -> its image loads (400x400) and the label is set
+        ctl.onpick(SimpleNamespace(ind=[2]))
+        assert view.image.size == (400, 400)
+        assert view.label == f"Label: {['fog','rain','snow','sun'][labels[2]]}"
+        # z zooms in (narrower limits), a zooms out
+        x0, x1 = ctl.ax.get_xlim()
+        ctl.on_key(SimpleNamespace(key="z", xdata=0.0, ydata=0.0))
+        zx0, zx1 = ctl.ax.get_xlim()
+        assert (zx1 - zx0) < (x1 - x0)
+        ctl.on_key(SimpleNamespace(key="a", xdata=0.0, ydata=0.0))
+        ax0, ax1 = ctl.ax.get_xlim()
+        assert (ax1 - ax0) > (zx1 - zx0)
+        # off-canvas key (xdata None) is a no-op, not a crash
+        ctl.on_key(SimpleNamespace(key="z", xdata=None, ydata=None))
+        # right-click enables the PolygonSelector on the Agg canvas
+        ctl.enable_polygon_selector(SimpleNamespace(button=3))
+        assert ctl._selector is not None
+        # too-few vertices: refused
+        ctl.onselect([(-1.0, -1.0), (1.0, -1.0)])
+        assert ctl.analyze() is None
+        # a square around the origin: points 0, 1(edge 0.5), 4 inside
+        ctl.onselect([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+        inside = ctl.analyze()
+        assert {p["path"] for p in inside} == {paths[0], paths[1], paths[4]}
+        assert view.inside == "Points inside polygon: 3"
+        values, current = view.dropdown
+        assert len(values) == 3 and current == 0
+        assert os.path.exists(os.path.join(str(tmp_path), "inside_polygon.json"))
+        # clear resets everything
+        ctl.clear()
+        assert ctl.polygon == [] and ctl._selector is None and ctl._cleared
+        assert view.inside == "" and view.label == ""
 
 
 class TestClustering:
