@@ -174,9 +174,10 @@ def _affine_warp(img, matrix, offset):
 def _rotation_matrix(angle_rad, h, w, scale=1.0, translate=(0.0, 0.0)):
     """Inverse affine about the image center, PIL/torchvision-PIL convention
     (the path the reference's RandomRotation/RandomAffine take on PIL
-    images): center = (w/2, h/2), positive angle = counterclockwise,
-    src = M @ (dst - c - t) + c with M = R(theta)/scale."""
-    cy, cx = h / 2.0, w / 2.0
+    images): PIL's (w/2, h/2) center lives in its pixel-CORNER coordinate
+    system, which is (w-1)/2 in the pixel-index coordinates used here
+    (PIL samples at index+0.5). src = M @ (dst - c - t) + c, M = R(theta)/s."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     cos, sin = jnp.cos(angle_rad) / scale, jnp.sin(angle_rad) / scale
     m = jnp.array([[cos, -sin], [sin, cos]])  # rows/cols in (y, x)
     ty, tx = translate

@@ -21,6 +21,15 @@ TPU-first design decisions:
 
 The server is transport-agnostic: ``submit`` is the whole client API, so an
 HTTP/gRPC front end is a thin loop around it.
+
+Operator note (axon-relay environments only): the axon client leaks ~4.6 MB
+of host RSS per ``device_put`` (isolated with a bare-jax repro — an
+environment bug, absent on directly-attached TPUs). A long-running server
+behind the relay therefore grows without bound at roughly
+``4.6 MB x batches``; recycle the serving process after ~10-20k dispatched
+batches (watch ``stats()['batches']`` or host RSS) and reload via
+``--quantized_path``/npz for a fast cold start. Directly-attached
+deployments need no recycling.
 """
 from __future__ import annotations
 

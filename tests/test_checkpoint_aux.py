@@ -99,23 +99,23 @@ class TestGramAttentionTrainVariantParity:
 
 
 class TestAffineWarp:
-    def test_rotation_90_matches_rot90(self):
-        """Inverse-mapped bilinear warp: a 90-degree rotation about the
-        center of a square image must equal np.rot90 exactly (grid-aligned)."""
-        from heuristique_style_transfer_code_tpu.data.augment import (
-            _affine_warp,
-            _rotation_matrix,
-        )
+    def test_rotation_90_matches_pil_rotate(self):
+        """Inverse-mapped bilinear warp at +-90 degrees must equal PIL's own
+        Image.rotate exactly — the rotation center is now the PIL convention
+        (w/2, h/2, r3 augmentation-parity change), so at 90 degrees on an
+        odd-sized image the mapping is grid-aligned and bit-exact."""
+        from PIL import Image
+
+        from heuristique_style_transfer_code_tpu.data.augment import rotate_by
 
         rng = np.random.RandomState(0)
-        img = rng.rand(33, 33, 3).astype(np.float32)
-        m, off = _rotation_matrix(jnp.deg2rad(90.0), 33, 33)
-        out = np.asarray(_affine_warp(jnp.asarray(img), m, off))
-        # inverse mapping with +90deg warp = image rotated by -90deg... check
-        # against both directions to pin the convention
-        cand = [np.rot90(img, 1), np.rot90(img, -1)]
-        errs = [np.abs(out - c).max() for c in cand]
-        assert min(errs) < 1e-5, errs
+        img = rng.randint(0, 256, (33, 33, 3), dtype=np.uint8)
+        pil = Image.fromarray(img)
+        for deg in (90.0, -90.0):
+            out = np.asarray(rotate_by(jnp.asarray(img, jnp.float32) / 255.0, deg))
+            gold = np.asarray(pil.rotate(deg, resample=Image.BILINEAR),
+                              dtype=np.float32) / 255.0
+            np.testing.assert_allclose(out, gold, atol=1e-5)
 
     def test_identity_rotation(self):
         from heuristique_style_transfer_code_tpu.data.augment import (
