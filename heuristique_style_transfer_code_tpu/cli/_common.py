@@ -32,7 +32,7 @@ def add_tpu_args(parser: argparse.ArgumentParser, precisions=("float32", "bf16")
         "--precision", choices=list(precisions), default="float32",
         help="Compute precision policy (bf16 engages the MXU's native type; "
         "int8, where offered, runs the post-training-quantised encoder "
-        "calibrated on the first test batches)",
+        "calibrated on --calib_data, defaulting to the --data train/ split)",
     )
     parser.add_argument(
         "--devices", type=int, default=None,

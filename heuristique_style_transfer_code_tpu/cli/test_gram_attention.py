@@ -107,7 +107,8 @@ def main(argv=None):
     dtype = resolve_compute_dtype(args.precision)
 
     if args.precision == "int8":
-        # PTQ encoder calibrated on the first test batches; grams/attention/
+        # PTQ encoder calibrated leakage-free (--calib_data, default the
+        # --data train/ split); grams/attention/
         # classifier stay float. Gradient-based modes keep the float path.
         if args.mode not in ("classification", "tsne", "tsne_interactive"):
             raise ValueError(

@@ -104,8 +104,8 @@ class TestTestCLIs:
     def test_classification_precision_int8(
         self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
     ):
-        """--precision int8 (PTQ encoder, calibrated on the first test
-        batches) must produce the reference artifact surface and near-f32
+        """--precision int8 (PTQ encoder, calibrated on the --data train
+        split by default) must produce the reference artifact surface and near-f32
         metrics on the tiny dataset."""
         from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
 
