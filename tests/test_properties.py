@@ -1,6 +1,7 @@
 """Property-based tests (hypothesis) for the invariants golden tests can't
 sweep: arbitrary sizes through the shared geometry, the resize operator's
 algebraic properties, and Gram kernel identities."""
+import jax.numpy as jnp
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -88,3 +89,51 @@ class TestGram:
         np.testing.assert_allclose(g, naive, rtol=1e-4, atol=1e-5)
         eig = np.linalg.eigvalsh(g.astype(np.float64))
         assert eig.min() >= -1e-4  # PSD up to float noise
+
+
+class TestHueProperties:
+    """Algebraic properties of the float-HSV hue shift (data/augment.py)."""
+
+    def _img(self, seed=0, n=1024):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray(rng.rand(n, 1, 3).astype(np.float32))
+
+    def test_zero_shift_is_identity(self):
+        from heuristique_style_transfer_code_tpu.data.augment import adjust_hue
+
+        img = self._img()
+        np.testing.assert_allclose(
+            np.asarray(adjust_hue(img, 0.0)), np.asarray(img), atol=2e-6
+        )
+
+    def test_full_turn_is_identity(self):
+        from heuristique_style_transfer_code_tpu.data.augment import adjust_hue
+
+        img = self._img(1)
+        np.testing.assert_allclose(
+            np.asarray(adjust_hue(img, 1.0)), np.asarray(img), atol=1e-5
+        )
+
+    def test_shift_roundtrip(self):
+        from heuristique_style_transfer_code_tpu.data.augment import adjust_hue
+
+        img = self._img(2)
+        out = adjust_hue(adjust_hue(img, 0.07), -0.07)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+    def test_preserves_value_and_gray_pixels(self):
+        """Hue rotation keeps V = max(r,g,b) invariant and leaves achromatic
+        pixels untouched."""
+        from heuristique_style_transfer_code_tpu.data.augment import adjust_hue
+
+        img = self._img(3)
+        out = adjust_hue(img, 0.23)
+        np.testing.assert_allclose(
+            np.asarray(out.max(axis=-1)), np.asarray(img.max(axis=-1)), atol=2e-6
+        )
+        gray = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, 16)[:, None, None], (16, 1, 3)
+        )
+        np.testing.assert_allclose(
+            np.asarray(adjust_hue(gray, 0.4)), np.asarray(gray), atol=2e-6
+        )
