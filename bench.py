@@ -492,10 +492,10 @@ def bench_style_transfer() -> dict:
         make_style_transfer_optimizer,
     )
 
+    from heuristique_style_transfer_code_tpu.core.dtypes import BF16_POLICY
+
     enc = _variables()["moco"]["encoder"]
-    enc_bf16 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "astype") else x, enc
-    )
+    enc_bf16 = BF16_POLICY.cast_to_compute(enc)
 
     def gram_fn_f32(imgs):
         feats, _, _ = resnet50_apply(enc, imgs, truncate=5)

@@ -237,7 +237,19 @@ def make_calibration_loader(args, batch_size: int):
     from ..data.loader import HostLoader
 
     idx = ImageFolderIndex(chosen)
-    return HostLoader(idx.samples, min(batch_size, 32), shuffle=False)
+    # ImageFolder samples are sorted class-by-class and only the FIRST
+    # batches calibrate — interleave classes round-robin so the activation
+    # ranges see every class, not just the alphabetically-first one
+    by_class: dict = {}
+    for s in idx.samples:
+        by_class.setdefault(s[1], []).append(s)
+    groups = [by_class[k] for k in sorted(by_class)]
+    samples = []
+    for i in range(max(len(g) for g in groups)):
+        for g in groups:
+            if i < len(g):
+                samples.append(g[i])
+    return HostLoader(samples, min(batch_size, 32), shuffle=False)
 
 
 def collect_calibration_batches(loader, n: int = 2):

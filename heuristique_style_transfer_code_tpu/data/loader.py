@@ -24,32 +24,38 @@ from ..native import get_decoder, is_jpeg
 STAGING_SIZE = 256  # shorter-side resize target AND staged canvas size
 
 
-def load_image_staged(path: str, staging: int = STAGING_SIZE) -> np.ndarray:
-    """Decode -> PIL bilinear resize (shorter side = staging) -> center crop
-    (staging, staging) -> uint8 HWC.
+def decode_image_staged_bytes(data: bytes, staging: int = STAGING_SIZE) -> np.ndarray:
+    """Decode encoded image BYTES -> staged uint8 (staging, staging, 3):
+    resize shorter side to ``staging`` (bilinear) + center crop.
 
-    JPEG files take the native C++ path when available (bit-identical output,
-    but GIL-free so loader threads decode in parallel — see native/); anything
-    else, or any native-path failure, falls back to PIL below."""
+    JPEG bytes take the native C++ path when available (bit-identical
+    output, GIL-free — see native/); anything else, or any native-path
+    failure, falls back to PIL with the SAME staged transform. The single
+    implementation shared by the file loader and the HTTP server, so both
+    feed identical pixels by construction."""
+    import io
+
     dec = get_decoder()
-    if dec is not None:
-        try:
-            with open(path, "rb") as f:
-                data = f.read()
-        except OSError:
-            data = b""
-        if is_jpeg(data):
-            fast = os.environ.get("HST_NATIVE_DECODE_FAST") == "1"
-            arr = dec.decode_staged(data, staging, fast=fast)
-            if arr is not None:
-                return arr
-    with Image.open(path) as im:
+    if dec is not None and is_jpeg(data):
+        fast = os.environ.get("HST_NATIVE_DECODE_FAST") == "1"
+        arr = dec.decode_staged(data, staging, fast=fast)
+        if arr is not None:
+            return arr
+    with Image.open(io.BytesIO(data)) as im:
         im = im.convert("RGB")
         w, h = im.size
         tw, th, left, top = staging_geometry(w, h, staging)
         im = im.resize((tw, th), Image.BILINEAR)
         arr = np.asarray(im, dtype=np.uint8)
     return arr[top : top + staging, left : left + staging]
+
+
+def load_image_staged(path: str, staging: int = STAGING_SIZE) -> np.ndarray:
+    """Decode file -> staged uint8 (staging, staging, 3); see
+    decode_image_staged_bytes."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return decode_image_staged_bytes(data, staging)
 
 
 class HostLoader:

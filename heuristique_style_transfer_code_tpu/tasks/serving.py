@@ -139,9 +139,9 @@ class BatchingInferenceServer:
         # Validate HERE, in the caller's thread: a malformed frame must fail
         # the one client that sent it, never reach np.stack in the dispatcher
         # (where a shape mismatch would fail everyone sharing the batch).
-        if frame.ndim != 3 or frame.shape[2] != 3:
+        if frame.ndim != 3 or frame.shape[2] != 3 or 0 in frame.shape[:2]:
             raise ValueError(
-                f"frame must be (H, W, 3) RGB, got shape {frame.shape}"
+                f"frame must be (H, W, 3) RGB with H, W > 0, got shape {frame.shape}"
             )
         if frame.dtype != np.uint8:
             raise ValueError(f"frame must be uint8, got dtype {frame.dtype}")

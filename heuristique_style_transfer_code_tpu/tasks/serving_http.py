@@ -12,7 +12,6 @@ into full device batches exactly as it does for camera streams.
 """
 from __future__ import annotations
 
-import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -32,31 +31,11 @@ def _decode_image(body: bytes, raw_shape: Optional[str], staging: int) -> np.nda
         if arr.size != h * w * c:
             raise ValueError("X-Raw-Shape does not match body size")
         return arr.reshape(h, w, c)
-    import os
+    # one shared implementation (native JPEG or PIL, identical staged
+    # transform) — the same pixels the file loader produces, by construction
+    from ..data.loader import decode_image_staged_bytes
 
-    from PIL import Image
-
-    from ..native import get_decoder, is_jpeg
-
-    dec = get_decoder()
-    if dec is not None and is_jpeg(body):
-        fast = os.environ.get("HST_NATIVE_DECODE_FAST") == "1"
-        out = dec.decode_staged(body, staging, fast=fast)
-        if out is not None:
-            return out
-    # PIL fallback applies the SAME staged transform as the native branch
-    # (and data/loader.load_image_staged): PIL BILINEAR to `staging` shorter
-    # side + center crop — so the probabilities for a given image do not
-    # depend on whether the native decoder built.
-    from ..core.geometry import staging_geometry
-
-    with Image.open(io.BytesIO(body)) as im:
-        im = im.convert("RGB")
-        w, h = im.size
-        tw, th, left, top = staging_geometry(w, h, staging)
-        im = im.resize((tw, th), Image.BILINEAR)
-        arr = np.asarray(im, dtype=np.uint8)
-    return arr[top : top + staging, left : left + staging]
+    return decode_image_staged_bytes(body, staging)
 
 
 def make_http_server(

@@ -143,9 +143,9 @@ def style_transfer_gram_attention(
 
     enc = variables["encoder"]
     if compute_dtype is not None:
-        enc = jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, enc
-        )
+        from ..core.dtypes import Policy
+
+        enc = Policy(compute_dtype=compute_dtype).cast_to_compute(enc)
 
     def gram_fn(images):
         if compute_dtype is not None:
@@ -222,9 +222,9 @@ def style_transfer_patches(
 
     v = variables
     if compute_dtype is not None:
-        v = jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, v
-        )
+        from ..core.dtypes import Policy
+
+        v = Policy(compute_dtype=compute_dtype).cast_to_compute(v)
 
     def gram_fn(images):
         if compute_dtype is not None:

@@ -123,13 +123,20 @@ class TsneInteractiveController:
         self.save_dir = save_dir
         self.fig, self.ax = plt.subplots(figsize=figsize)
         color_map, unique = _color_map(self.labels, colors)
-        scatter = self.ax.scatter(
+        self.ax.scatter(
             self.pts[:, 0], self.pts[:, 1],
             c=[color_map[int(l)] for l in self.labels], picker=True,
         )
+        # one scatter (so pick-event indices are global) + proxy legend
+        # handles: legend_elements() is empty for an explicit color list
+        from matplotlib.lines import Line2D
+
         self.ax.legend(
-            handles=scatter.legend_elements()[0],
-            labels=[classes[int(l)] for l in unique],
+            handles=[
+                Line2D([], [], marker="o", linestyle="", color=color_map[int(l)],
+                       label=classes[int(l)])
+                for l in unique
+            ]
         )
         self.polygon: List = []
         self._selector = None
@@ -195,8 +202,8 @@ class TsneInteractiveController:
             self._selector.disconnect_events()
             self._selector.set_visible(False)
             self._selector = None
-        while self.ax.patches:
-            self.ax.patches.pop().remove()
+        for p in list(self.ax.patches):  # ArtistList is immutable (mpl>=3.7)
+            p.remove()
         self.fig.canvas.draw_idle()
         self.view.set_inside_count("")
         self.view.set_label("")

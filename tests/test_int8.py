@@ -226,6 +226,21 @@ class TestCalibrationHygiene:
         assert all("/test/" in p for p, _ in loader.samples)
         assert "Avertissement" in capsys.readouterr().out
 
+    def test_calibration_batches_span_classes(self, tiny_imagefolder):
+        """ImageFolder samples are sorted class-by-class; the calibration
+        loader must interleave classes so the first (only) calibration
+        batches are not all the alphabetically-first class."""
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            make_calibration_loader,
+        )
+
+        loader = make_calibration_loader(
+            self._args(data=str(tiny_imagefolder)), batch_size=4
+        )
+        first = next(iter(loader))
+        labels = set(first["label"][: first["n_valid"]].tolist())
+        assert labels == {0, 1, 2, 3}
+
     def test_no_source_raises(self):
         from heuristique_style_transfer_code_tpu.cli._common import (
             make_calibration_loader,

@@ -340,6 +340,8 @@ class TestBatching:
                 server.submit(rng.randint(0, 256, (CROP, CROP), dtype=np.uint8))
             with pytest.raises(ValueError, match="uint8"):
                 server.submit(rng.randn(CROP, CROP, 3).astype(np.float32))
+            with pytest.raises(ValueError, match="H, W > 0"):
+                server.submit(np.zeros((0, 5, 3), dtype=np.uint8))
             # server still alive and serving afterwards
             good = [server.submit(f) for f in _frames(6, seed=41)]
             for f in good:
