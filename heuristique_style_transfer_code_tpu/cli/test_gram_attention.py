@@ -44,6 +44,10 @@ def build_parser():
     parser.add_argument("--threshold", default=1e-7, type=float)
     parser.add_argument("--learning_rate", default=0.01, type=float)
     parser.add_argument("--num_iterations", default=500, type=int)
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="Override the config batch size (additive flag; "
+                        "the style-transfer loop optimises a whole batch per "
+                        "compiled while_loop — bf16 peaks near batch 128)")
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--camera_index", type=str, default="0")
     parser.add_argument("--device_preprocess", action="store_true",
@@ -102,7 +106,7 @@ def main(argv=None):
         )
 
     samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
-    loader = HostLoader(samples, cfg.batch_size, shuffle=False)
+    loader = HostLoader(samples, args.batch_size or cfg.batch_size, shuffle=False)
 
     dtype = resolve_compute_dtype(args.precision)
 

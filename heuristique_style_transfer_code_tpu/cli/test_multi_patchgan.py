@@ -34,6 +34,8 @@ def build_parser():
     parser.add_argument("--config_path", type=str, required=True)
     parser.add_argument("--data", type=str, required=True)
     parser.add_argument("--num_samples", default=None, type=int)
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="Override the config batch size (additive flag)")
     parser.add_argument("--save_dir", default="results", type=str)
     parser.add_argument("--measure_time", action="store_true")
     parser.add_argument("--mode", type=str, choices=MODES, default="classification")
@@ -69,7 +71,7 @@ def main(argv=None):
     idx = ImageFolderIndex(os.path.join(args.data, "test"))
     classes = idx.classes
     samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
-    loader = HostLoader(samples, cfg.batch_size, shuffle=False)
+    loader = HostLoader(samples, args.batch_size or cfg.batch_size, shuffle=False)
 
     variables = load_checkpoint_tree(args.model_path, "multi_patchgan_test", config)
     if not all(

@@ -289,7 +289,8 @@ class TestTestCLIs:
             "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
             "--model_path", ckpt, "--mode", "style_transfer", "--save_dir", out,
             "--layers", "5", "--num_iterations", "3", "--threshold", "1e-3",
-            "--num_samples", "2",
+            "--num_samples", "2", "--batch_size", "2",  # additive override
+            "--precision", "bf16",  # the shipped fast loop path
         ])
         st_dirs = [d for d in os.listdir(out) if d.startswith("style_transfer_")]
         assert st_dirs
