@@ -131,3 +131,134 @@ def test_convert_checkpoint_cli(reference_pth, tmp_path):
     with torch.no_grad():
         want = moco(torch.ones(1, 3, 224, 224)).numpy()
     np.testing.assert_allclose(np.asarray(emb), want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def reference_pth_f2(tmp_path_factory):
+    """Family-2 component-dict .pth (save_model_weights layout,
+    functions_RESNET50_Truncate_Gram_Attention.py:62-69)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from Models.Models_RESNET50_TRUNCATE_GRAM_with_Attention import (
+        TruncatedResNet50_for_test,
+    )
+
+    base = randomized_resnet50(seed=21)
+    torch.manual_seed(22)
+    model = TruncatedResNet50_for_test(
+        base, truncate_after_layer=5, num_classes=4, gram_matrix_size=4,
+        device="cpu",
+    )
+    model.eval()
+    d = tmp_path_factory.mktemp("pth_f2")
+    path = str(d / "model_weights.pth")
+    torch.save(
+        {
+            "truncated_encoder": model.truncated_encoder.state_dict(),
+            "classifier": model.classifier.state_dict(),
+            "attention": model.attention.state_dict(),
+        },
+        path,
+    )
+    cfg = str(d / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump(
+            {"batch_size": 4, "lr": 0.01, "truncate_layer": 5, "seed": 0,
+             "gram_matrix_size": 4, "num_classes": 4},
+            f,
+        )
+    return path, cfg, model
+
+
+def _torch_preds(idx, forward):
+    """Golden predictions over the sorted test set with the CLI's exact
+    staged-decode preprocessing."""
+    from heuristique_style_transfer_code_tpu.data.loader import load_image_staged
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+    preds = []
+    with torch.no_grad():
+        for p, y in idx.samples:
+            arr = load_image_staged(p)
+            x = torch.from_numpy(arr[16:240, 16:240].copy()).permute(2, 0, 1).float() / 255
+            x = ((x - mean) / std).unsqueeze(0)
+            preds.append(int(forward(x).argmax()))
+    return preds
+
+
+def test_pth_gram_attention_cli_matches_torch(tiny_imagefolder, reference_pth_f2, tmp_path):
+    """Family-2 north-star surrogate: reference-format .pth -> family-2 CLI
+    classification reproduces the torch model's own weighted P/R/F1."""
+    from sklearn.metrics import f1_score, precision_score, recall_score
+
+    from heuristique_style_transfer_code_tpu.cli.test_gram_attention import main
+    from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderIndex
+
+    pth, cfg, model = reference_pth_f2
+    out = str(tmp_path / "res")
+    main([
+        "--data", str(tiny_imagefolder), "--config_path", cfg,
+        "--model_path", pth, "--mode", "classification", "--save_dir", out,
+    ])
+    with open(os.path.join(out, "classification_results.json")) as f:
+        got = json.load(f)
+
+    idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+    want = _torch_preds(idx, lambda x: model(x)[1])
+    kw = dict(average="weighted", zero_division=0)
+    assert np.isclose(got["precision"], precision_score(idx.labels, want, **kw))
+    assert np.isclose(got["recall"], recall_score(idx.labels, want, **kw))
+    assert np.isclose(got["f1_score"], f1_score(idx.labels, want, **kw))
+
+
+@pytest.fixture(scope="module")
+def reference_pth_f3(tmp_path_factory):
+    """Family-3 flat state_dict .pth — the layout test_Multi_PatchGAN.py
+    loads directly."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from Models.Models_Multi_PatchGAN import MultiScaleDiscriminator_test
+
+    torch.manual_seed(23)
+    patch_sizes = {"small": 10, "medium": 34, "large": 70}
+    model = MultiScaleDiscriminator_test(
+        input_nc=3, ndf=16, norm="instance", patch_sizes=patch_sizes,
+        num_classes=4, gram_matrix_dim=8,
+    )
+    model.eval()
+    d = tmp_path_factory.mktemp("pth_f3")
+    path = str(d / "discriminator.pth")
+    torch.save(model.state_dict(), path)
+    cfg = str(d / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump(
+            {"batch_size": 4, "patch_sizes": patch_sizes, "num_classes": 4,
+             "gram_matrix_dim": 8, "ndf": 16, "norm": "instance", "seed": 0},
+            f,
+        )
+    return path, cfg, model
+
+
+def test_pth_multi_patchgan_cli_matches_torch(tiny_imagefolder, reference_pth_f3, tmp_path):
+    """Family-3 north-star surrogate: reference flat state_dict ->
+    family-3 CLI classification reproduces the torch model's own raw
+    PREDICTIONS (the CLI exports them)."""
+    from heuristique_style_transfer_code_tpu.cli.test_multi_patchgan import main
+    from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderIndex
+
+    pth, cfg, model = reference_pth_f3
+    out = str(tmp_path / "res")
+    main([
+        "--data", str(tiny_imagefolder), "--config_path", cfg,
+        "--model_path", pth, "--mode", "classification", "--save_dir", out,
+    ])
+    with open(os.path.join(out, "classification_results.json")) as f:
+        got = json.load(f)
+
+    idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+    want = _torch_preds(idx, lambda x: model(x)[1])
+    assert got["predictions"] == want
+    assert got["labels"] == list(idx.labels)
