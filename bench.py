@@ -599,6 +599,11 @@ def bench_torch_cpu() -> dict:
 
 
 def main():
+    # persistent compile cache: amortises the axon remote-compile latency
+    # across bench runs (timing loops always exclude compiles anyway)
+    from heuristique_style_transfer_code_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
     tpu = bench_tpu()
     log(
         f"[tpu] batch-1: {tpu['b1_fps']:.1f} img/s (p50 {tpu['b1_p50_ms']:.1f} ms; "

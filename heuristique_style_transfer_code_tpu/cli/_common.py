@@ -24,31 +24,10 @@ def _honor_jax_platforms_env():
             pass
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache — verified to HIT under the axon
-    remote-compile backend (PERF.md r3): the first compile of each program
-    is serialised to disk and later CLI runs deserialise it instead of
-    recompiling, which is the dominant cost of small CLI runs on the TPU
-    here (267 s first-batch compile vs 60 ms steady state). Content-addressed
-    by HLO + compile options + backend version, so stale hits are impossible.
-    ``HST_COMPILE_CACHE=<dir>`` overrides the location, ``=0`` disables."""
-    v = os.environ.get("HST_COMPILE_CACHE", "")
-    if v == "0":
-        return
-    path = v or os.path.join(
-        os.path.expanduser("~"), ".cache", "heuristique_style_transfer_code_tpu", "xla"
-    )
-    try:
-        os.makedirs(path, exist_ok=True)
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache is an accelerator, never a requirement
-
-
 _honor_jax_platforms_env()
+
+from ..core.cache import enable_compile_cache as _enable_compile_cache  # noqa: E402
+
 _enable_compile_cache()
 
 
