@@ -202,3 +202,22 @@ class TestObservability:
         events = [_json.loads(l) for l in open(path)]
         kinds = [e["kind"] for e in events]
         assert kinds.count("fold_result") == 2 and "average_results" in kinds
+
+
+class TestCompileCache:
+    def test_disabled_by_env(self, monkeypatch):
+        from heuristique_style_transfer_code_tpu.core.cache import enable_compile_cache
+
+        monkeypatch.setenv("HST_COMPILE_CACHE", "0")
+        assert enable_compile_cache() is None
+
+    def test_enables_into_directory(self, monkeypatch, tmp_path):
+        import jax
+
+        from heuristique_style_transfer_code_tpu.core.cache import enable_compile_cache
+
+        target = str(tmp_path / "xla_cache")
+        monkeypatch.setenv("HST_COMPILE_CACHE", target)
+        assert enable_compile_cache() == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
