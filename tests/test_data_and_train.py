@@ -187,6 +187,55 @@ class TestAugmentParity:
         # saturated channel by up to ~6/255
         assert d.mean() < 0.01 and np.quantile(d, 0.99) < 0.05, (d.mean(), d.max())
 
+    @pytest.mark.parametrize("shift", [0.1, -0.1, 0.04])
+    def test_hue_matches_float_hsv_golden(self, shift):
+        """Exact pin (1e-5) of the float-HSV algorithm against an
+        independent torch implementation of torchvision's tensor
+        _rgb2hsv/_hsv2rgb — much tighter than the uint8-quantised PIL
+        comparison above."""
+        import torch
+
+        from heuristique_style_transfer_code_tpu.data.augment import adjust_hue
+
+        def torch_adjust_hue(img, h_shift):  # img (H,W,3) float
+            r, g, b = img.unbind(dim=-1)
+            maxc = img.max(dim=-1).values
+            minc = img.min(dim=-1).values
+            eqc = maxc == minc
+            cr = maxc - minc
+            ones = torch.ones_like(maxc)
+            s = cr / torch.where(eqc, ones, maxc)
+            cr_div = torch.where(eqc, ones, cr)
+            rc = (maxc - r) / cr_div
+            gc = (maxc - g) / cr_div
+            bc = (maxc - b) / cr_div
+            hr = (maxc == r) * (bc - gc)
+            hg = ((maxc == g) & (maxc != r)) * (2.0 + rc - bc)
+            hb = ((maxc != g) & (maxc != r)) * (4.0 + gc - rc)
+            h = torch.fmod((hr + hg + hb) / 6.0 + 1.0, 1.0)
+            h = torch.fmod(h + h_shift + 1.0, 1.0)
+            i = torch.floor(h * 6.0)
+            f = h * 6.0 - i
+            i = (i.to(torch.int64) % 6)
+            v = maxc
+            p = (v * (1 - s)).clamp(0, 1)
+            q = (v * (1 - s * f)).clamp(0, 1)
+            t = (v * (1 - s * (1 - f))).clamp(0, 1)
+            a1 = torch.stack([v, q, p, p, t, v], dim=-1)
+            a2 = torch.stack([t, v, v, q, p, p], dim=-1)
+            a3 = torch.stack([p, p, t, v, v, q], dim=-1)
+            onehot = torch.nn.functional.one_hot(i, 6).to(img.dtype)
+            return torch.stack(
+                [(a1 * onehot).sum(-1), (a2 * onehot).sum(-1), (a3 * onehot).sum(-1)],
+                dim=-1,
+            )
+
+        rng = np.random.RandomState(9)
+        img = rng.rand(32, 32, 3).astype(np.float32)
+        ours = np.asarray(adjust_hue(jnp.asarray(img), shift))
+        want = torch_adjust_hue(torch.from_numpy(img), shift).numpy()
+        np.testing.assert_allclose(ours, want, atol=1e-5)
+
     def test_grayscale_matches_pil_convert_l(self, golden_img):
         from heuristique_style_transfer_code_tpu.data.augment import to_grayscale
 
