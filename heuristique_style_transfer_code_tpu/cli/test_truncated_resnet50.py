@@ -71,6 +71,12 @@ def build_parser():
     from ._common import add_calib_data_arg
 
     add_calib_data_arg(parser)
+    parser.add_argument(
+        "--quantized_path", type=str, default=None,
+        help="Persisted quantised-encoder npz (int8): loaded if present "
+        "(skips calibration — pairs with the warm compile cache for fast "
+        "repeat evals), else written after calibration",
+    )
     return parser
 
 
@@ -132,11 +138,12 @@ def main(argv=None):
         # train/ split (never the evaluated test split unless nothing else
         # exists — make_calibration_loader warns in that case). Camera mode
         # works too when either flag provides a calibration set.
-        if args.mode == "camera" and not (args.data or args.calib_data):
+        has_quantized = args.quantized_path and os.path.exists(args.quantized_path)
+        if args.mode == "camera" and not (args.data or args.calib_data or has_quantized):
             raise ValueError(
                 "--precision int8 nécessite un dataset de calibration "
-                "(--calib_data ou --data); utilisez bf16 pour le mode camera "
-                "sans dataset (ou l'API prepare_combined_int8)"
+                "(--calib_data ou --data) ou un --quantized_path existant; "
+                "utilisez bf16 pour le mode camera sans dataset"
             )
         from ._common import (
             build_int8_family1,
@@ -144,13 +151,18 @@ def main(argv=None):
             make_calibration_loader,
         )
 
-        cal_loader = make_calibration_loader(args, args.batch_size)
+        cal = None
+        if not (args.quantized_path and os.path.exists(args.quantized_path)):
+            cal = collect_calibration_batches(
+                make_calibration_loader(args, args.batch_size)
+            )
         forward_eval, embed_fn, variables = build_int8_family1(  # noqa: F811
             variables,
             truncate,
-            collect_calibration_batches(cal_loader),
+            cal,
             # Grad-CAM still needs the float encoder when requested
             keep_encoder=args.visualize_gradcam or args.save_gradcam_images,
+            quantized_path=args.quantized_path,
         )
 
     if args.mode in ("classification", "inference"):

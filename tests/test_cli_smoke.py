@@ -130,6 +130,29 @@ class TestTestCLIs:
         loss_b = float(outs["int8"]["Perte du test"])
         assert abs(loss_a - loss_b) < 0.02
 
+    def test_classification_int8_quantized_path_roundtrip(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """--quantized_path: run 1 calibrates and persists the quantised
+        encoder; run 2 loads it (no calibration) and reproduces the metrics
+        exactly."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        qpath = str(tmp_path / "qenc.npz")
+        outs = {}
+        for name in ("calibrate", "reload"):
+            out = str(tmp_path / name)
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+                "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+                "--mode", "classification", "--save_dir", out, "--batch_size", "4",
+                "--precision", "int8", "--quantized_path", qpath,
+            ])
+            assert os.path.exists(qpath)
+            with open(os.path.join(out, "metrics.txt")) as f:
+                outs[name] = f.read()
+        assert outs["calibrate"] == outs["reload"]
+
     def test_classification_int8_with_devices_matches_single_device(
         self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
     ):
