@@ -130,6 +130,32 @@ class TestTestCLIs:
         loss_b = float(outs["int8"]["Perte du test"])
         assert abs(loss_a - loss_b) < 0.02
 
+    def test_camera_mode_video_file(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
+        """--mode camera with a video-file --camera_index (the documented
+        deviation: the reference only accepts device ints) runs headless end
+        to end and writes times_camera.json under --measure_time."""
+        import cv2
+
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        video_path = str(tmp_path / "in.avi")
+        w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            w.write(rng.randint(0, 256, (48, 64, 3), dtype=np.uint8))
+        w.release()
+
+        out = str(tmp_path / "cam")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "camera", "--camera_index", video_path,
+            "--save_dir", out, "--measure_time",
+        ])
+        with open(os.path.join(out, "times_camera.json")) as f:
+            times = json.load(f)
+        assert len(times) == 4 and all(t > 0 for t in times)
+
     def test_classification_int8_quantized_path_roundtrip(
         self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
     ):
