@@ -237,6 +237,7 @@ def main(argv=None):
             layers=args.layers, threshold=args.threshold,
             num_iterations=args.num_iterations, learning_rate=args.learning_rate,
             truncate_layer=truncate, compute_dtype=dtype,
+            mesh=resolve_eval_mesh(args.devices, loader.batch_size),
         )
 
 

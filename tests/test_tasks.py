@@ -93,6 +93,35 @@ class TestStyleTransferLoop:
             assert os.path.exists(p)
             assert "style_transfer_" in p
 
+    def test_mesh_sharded_loop_matches_single_device(self):
+        """mesh= batch-shards the pixel optimisations over 'data'; the only
+        collective is the any(active) early-stop reduction, so results must
+        match single-device numerically (the matmul tiling differs per shard
+        width, so 40 Adam steps accumulate ~1e-10 drift, not bit-equality)."""
+        from heuristique_style_transfer_code_tpu.ops.gram import gram_matrix_nhwc
+        from heuristique_style_transfer_code_tpu.parallel.sharding import make_mesh_2d
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            make_style_transfer_optimizer,
+        )
+
+        def gram_fn(imgs):
+            return [gram_matrix_nhwc(imgs)]
+
+        key = jax.random.PRNGKey(0)
+        target_img = jax.random.uniform(key, (8, 16, 16, 3))
+        targets = gram_fn(target_img)
+        noise0 = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+
+        single = make_style_transfer_optimizer(gram_fn, 0.05, 40, 1e-4)
+        mesh = make_mesh_2d(8, model_parallel=1)
+        sharded = make_style_transfer_optimizer(gram_fn, 0.05, 40, 1e-4, mesh=mesh)
+
+        n_a, i_a, per_a = single(noise0, targets)
+        n_b, i_b, per_b = sharded(noise0, targets)
+        assert int(i_a) == int(i_b)
+        np.testing.assert_allclose(np.asarray(per_a), np.asarray(per_b), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(n_a), np.asarray(n_b), atol=1e-4)
+
     def test_bf16_compute_path_converges_like_f32(self, tiny_imagefolder, tmp_path):
         """compute_dtype=bfloat16 (the shipped fast path: bf16 encoder
         fwd/bwd, f32 pixels/Adam/loss — +63-128% on TPU, PERF.md) must
