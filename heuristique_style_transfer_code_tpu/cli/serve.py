@@ -133,9 +133,9 @@ def start(args):
     if args.afficher_params:
         print(f"Nombre total de paramètres du modèle : {count_params(variables)}")
     if args.precision == "int8":
-        if args.family != "truncated_resnet50":
+        if args.family not in ("truncated_resnet50", "gram_attention"):
             raise ValueError("--precision int8 is served for the "
-                             "truncated_resnet50 family")
+                             "truncated_resnet50 and gram_attention families")
         import os as _os
 
         from ._common import (
@@ -155,9 +155,34 @@ def start(args):
                 make_calibration_loader(args, args.batch_size)
             )
         truncate = int(config.get("truncate_layer", 8))
-        forward_eval, _, variables = build_int8_family1(  # noqa: F811
-            variables, truncate, cal, quantized_path=args.quantized_path
-        )
+        if args.family == "gram_attention":
+            if cal is None:
+                raise ValueError(
+                    "--quantized_path persistence is family-1 only; "
+                    "gram_attention int8 serving needs --calib_data"
+                )
+            import jax.numpy as _jnp
+
+            from ..models.gram_attention import (
+                gram_attention_apply_int8,
+                prepare_gram_attention_int8,
+            )
+
+            s = int(config.get("gram_matrix_size", 7))
+            num_classes = int(config.get("num_classes", 4))
+            q_enc = prepare_gram_attention_int8(variables, truncate, cal)
+            variables = {k: v for k, v in variables.items() if k != "encoder"}
+
+            def forward_eval(v, images):  # noqa: F811
+                _, logits, _ = gram_attention_apply_int8(
+                    q_enc, v, images.astype(_jnp.float32), s, num_classes
+                )
+                return logits
+
+        else:
+            forward_eval, _, variables = build_int8_family1(  # noqa: F811
+                variables, truncate, cal, quantized_path=args.quantized_path
+            )
     else:
         forward_eval = cast_forward(
             forward_eval, resolve_compute_dtype(args.precision)

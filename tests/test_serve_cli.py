@@ -150,3 +150,56 @@ def test_serve_cli_round_trip(f1_checkpoint):
     finally:
         srv.shutdown()
         batcher.stop(drain=True)
+
+
+def test_serve_cli_int8_gram_attention(tmp_path):
+    """int8 serving for family 2: PTQ encoder + float grams/attention behind
+    the HTTP front end."""
+    from PIL import Image
+
+    from heuristique_style_transfer_code_tpu.checkpoint.io import save_pytree_npz
+    from heuristique_style_transfer_code_tpu.cli.serve import build_parser, start
+    from heuristique_style_transfer_code_tpu.models.gram_attention import (
+        gram_attention_init,
+    )
+
+    cfg = str(tmp_path / "f2.json")
+    with open(cfg, "w") as f:
+        json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                   "gram_matrix_size": 4, "num_classes": 4, "seed": 0}, f)
+    ckpt = str(tmp_path / "f2.npz")
+    save_pytree_npz(gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4), ckpt)
+
+    rng = np.random.RandomState(1)
+    for cls in ("fog", "rain"):
+        d = tmp_path / "test" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+            ).save(str(d / f"{i}.png"))
+
+    args = build_parser().parse_args([
+        "--family", "gram_attention", "--config_path", cfg,
+        "--model_path", ckpt, "--port", "0", "--batch_size", "2",
+        "--max_delay_ms", "5", "--precision", "int8",
+        "--calib_data", str(tmp_path),
+        "--classes", "fog", "rain", "snow", "sun",
+    ])
+    srv, batcher = start(args)
+    try:
+        host, port = srv.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        frame = np.random.RandomState(2).randint(0, 256, (224, 224, 3), dtype=np.uint8)
+        conn.request(
+            "POST", "/predict", body=frame.tobytes(),
+            headers={"X-Raw-Shape": "224,224,3"},
+        )
+        r = conn.getresponse()
+        assert r.status == 200
+        out = json.loads(r.read())
+        np.testing.assert_allclose(sum(out["probs"]), 1.0, rtol=1e-4)
+        assert out["class"] in ["fog", "rain", "snow", "sun"]
+    finally:
+        srv.shutdown()
+        batcher.stop(drain=True)
