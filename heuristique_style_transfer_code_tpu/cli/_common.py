@@ -256,6 +256,53 @@ def make_calibration_loader(args, batch_size: int):
     return HostLoader(samples, min(batch_size, 32), shuffle=False)
 
 
+def build_int8_family2(
+    variables,
+    truncate: int,
+    gram_matrix_size: int,
+    num_classes: int,
+    cal_batches=None,
+    quantized_path: Optional[str] = None,
+):
+    """Shared family-2 int8 setup (eval + serve CLIs): PTQ the encoder
+    (loading a persisted quantised tree from ``quantized_path`` when
+    present, else calibrating on ``cal_batches`` and saving there if given),
+    strip the unused f32 encoder from the tree shipped through the jit
+    boundary, and return (apply_eval, variables') with
+    ``apply_eval(v, images) -> (embeddings, logits)``."""
+    import jax.numpy as jnp
+
+    from ..models.gram_attention import (
+        gram_attention_apply_int8,
+        prepare_gram_attention_int8,
+    )
+    from ..nn.resnet_int8 import load_quantized, save_quantized
+
+    if quantized_path and os.path.exists(quantized_path):
+        q_enc = load_quantized(quantized_path)
+    else:
+        if cal_batches is None:
+            raise ValueError(
+                "int8 needs calibration batches (or an existing quantized_path)"
+            )
+        q_enc = prepare_gram_attention_int8(variables, truncate, cal_batches)
+        if quantized_path:
+            save_quantized(q_enc, quantized_path)
+            print(f"Quantised encoder saved to {quantized_path}")
+
+    # the quantised encoder rides as jit constants; drop the unused f32
+    # encoder so it is never shipped through the jit boundary
+    variables = {k: v for k, v in variables.items() if k != "encoder"}
+
+    def apply_eval(v, images):
+        emb, logits, _ = gram_attention_apply_int8(
+            q_enc, v, images.astype(jnp.float32), gram_matrix_size, num_classes
+        )
+        return emb, logits
+
+    return apply_eval, variables
+
+
 def collect_calibration_batches(loader, n: int = 2):
     """First ``n`` loader batches through the canonical on-device preprocess
     — the exact tensors the quantised encoder will consume."""

@@ -156,28 +156,17 @@ def start(args):
             )
         truncate = int(config.get("truncate_layer", 8))
         if args.family == "gram_attention":
-            if cal is None:
-                raise ValueError(
-                    "--quantized_path persistence is family-1 only; "
-                    "gram_attention int8 serving needs --calib_data"
-                )
-            import jax.numpy as _jnp
+            from ._common import build_int8_family2
 
-            from ..models.gram_attention import (
-                gram_attention_apply_int8,
-                prepare_gram_attention_int8,
+            apply_eval, variables = build_int8_family2(
+                variables, truncate,
+                int(config.get("gram_matrix_size", 7)),
+                int(config.get("num_classes", 4)),
+                cal, quantized_path=args.quantized_path,
             )
 
-            s = int(config.get("gram_matrix_size", 7))
-            num_classes = int(config.get("num_classes", 4))
-            q_enc = prepare_gram_attention_int8(variables, truncate, cal)
-            variables = {k: v for k, v in variables.items() if k != "encoder"}
-
             def forward_eval(v, images):  # noqa: F811
-                _, logits, _ = gram_attention_apply_int8(
-                    q_enc, v, images.astype(_jnp.float32), s, num_classes
-                )
-                return logits
+                return apply_eval(v, images)[1]
 
         else:
             forward_eval, _, variables = build_int8_family1(  # noqa: F811

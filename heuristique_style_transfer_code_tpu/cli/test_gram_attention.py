@@ -48,6 +48,11 @@ def build_parser():
                         help="Override the config batch size (additive flag; "
                         "the style-transfer loop optimises a whole batch per "
                         "compiled while_loop — bf16 peaks near batch 128)")
+    parser.add_argument(
+        "--quantized_path", type=str, default=None,
+        help="Persisted quantised-encoder npz (int8): loaded if present "
+        "(skips calibration), else written after calibration",
+    )
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--camera_index", type=str, default="0")
     parser.add_argument("--device_preprocess", action="store_true",
@@ -119,27 +124,23 @@ def main(argv=None):
                 "--precision int8 est disponible pour les modes "
                 "classification/tsne/tsne_interactive uniquement"
             )
-        import jax.numpy as jnp
+        import os as _os
 
-        from ..models.gram_attention import (
-            gram_attention_apply_int8,
-            prepare_gram_attention_int8,
+        from ._common import (
+            build_int8_family2,
+            collect_calibration_batches,
+            make_calibration_loader,
         )
-        from ._common import collect_calibration_batches, make_calibration_loader
 
-        q_enc = prepare_gram_attention_int8(
-            variables, truncate,
-            collect_calibration_batches(make_calibration_loader(args, cfg.batch_size)),
-        )
-        # the quantised encoder rides as jit constants; drop the unused f32
-        # encoder so it is never shipped through the jit boundary
-        variables = {k: v for k, v in variables.items() if k != "encoder"}
-
-        def apply_eval(v, images):
-            emb, logits, _ = gram_attention_apply_int8(
-                q_enc, v, images.astype(jnp.float32), s, num_classes
+        cal = None
+        qpath = getattr(args, "quantized_path", None)
+        if not (qpath and _os.path.exists(qpath)):
+            cal = collect_calibration_batches(
+                make_calibration_loader(args, args.batch_size or cfg.batch_size)
             )
-            return emb, logits
+        apply_eval, variables = build_int8_family2(
+            variables, truncate, s, num_classes, cal, quantized_path=qpath
+        )
 
     else:
 

@@ -152,7 +152,7 @@ def main(argv=None):
         )
 
         cal = None
-        if not (args.quantized_path and os.path.exists(args.quantized_path)):
+        if not has_quantized:
             cal = collect_calibration_batches(
                 make_calibration_loader(args, args.batch_size)
             )

@@ -218,6 +218,11 @@ class TestCompileCache:
 
         target = str(tmp_path / "xla_cache")
         monkeypatch.setenv("HST_COMPILE_CACHE", target)
-        assert enable_compile_cache() == target
-        assert os.path.isdir(target)
-        assert jax.config.jax_compilation_cache_dir == target
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            assert enable_compile_cache() == target
+            assert os.path.isdir(target)
+            assert jax.config.jax_compilation_cache_dir == target
+        finally:
+            # restore the process-global config (monkeypatch only covers env)
+            jax.config.update("jax_compilation_cache_dir", before)

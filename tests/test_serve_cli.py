@@ -179,27 +179,37 @@ def test_serve_cli_int8_gram_attention(tmp_path):
                 rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
             ).save(str(d / f"{i}.png"))
 
-    args = build_parser().parse_args([
-        "--family", "gram_attention", "--config_path", cfg,
-        "--model_path", ckpt, "--port", "0", "--batch_size", "2",
-        "--max_delay_ms", "5", "--precision", "int8",
-        "--calib_data", str(tmp_path),
-        "--classes", "fog", "rain", "snow", "sun",
-    ])
-    srv, batcher = start(args)
-    try:
-        host, port = srv.server_address
-        conn = http.client.HTTPConnection(host, port, timeout=300)
-        frame = np.random.RandomState(2).randint(0, 256, (224, 224, 3), dtype=np.uint8)
-        conn.request(
-            "POST", "/predict", body=frame.tobytes(),
-            headers={"X-Raw-Shape": "224,224,3"},
-        )
-        r = conn.getresponse()
-        assert r.status == 200
-        out = json.loads(r.read())
-        np.testing.assert_allclose(sum(out["probs"]), 1.0, rtol=1e-4)
-        assert out["class"] in ["fog", "rain", "snow", "sun"]
-    finally:
-        srv.shutdown()
-        batcher.stop(drain=True)
+    qpath = str(tmp_path / "q2.npz")
+
+    def predict_once(extra):
+        args = build_parser().parse_args([
+            "--family", "gram_attention", "--config_path", cfg,
+            "--model_path", ckpt, "--port", "0", "--batch_size", "2",
+            "--max_delay_ms", "5", "--precision", "int8",
+            "--classes", "fog", "rain", "snow", "sun",
+        ] + extra)
+        srv, batcher = start(args)
+        try:
+            host, port = srv.server_address
+            conn = http.client.HTTPConnection(host, port, timeout=300)
+            frame = np.random.RandomState(2).randint(
+                0, 256, (224, 224, 3), dtype=np.uint8
+            )
+            conn.request(
+                "POST", "/predict", body=frame.tobytes(),
+                headers={"X-Raw-Shape": "224,224,3"},
+            )
+            r = conn.getresponse()
+            assert r.status == 200
+            return json.loads(r.read())
+        finally:
+            srv.shutdown()
+            batcher.stop(drain=True)
+
+    out = predict_once(["--calib_data", str(tmp_path), "--quantized_path", qpath])
+    np.testing.assert_allclose(sum(out["probs"]), 1.0, rtol=1e-4)
+    assert out["class"] in ["fog", "rain", "snow", "sun"]
+    assert os.path.exists(qpath)
+    # cold start from the persisted tree (no calib_data): identical output
+    out2 = predict_once(["--quantized_path", qpath])
+    np.testing.assert_allclose(out2["probs"], out["probs"], rtol=1e-5)
