@@ -114,6 +114,7 @@ class BatchingInferenceServer:
         self._stats_lock = threading.Lock()
         self._batches = 0
         self._images = 0
+        self._consecutive_failures = 0
         self._occupancy_sum = 0.0
         self._latencies = deque(maxlen=2048)  # submit->resolve, seconds
         self._started = None
@@ -191,15 +192,21 @@ class BatchingInferenceServer:
     def __exit__(self, *exc):
         self.stop(drain=exc[0] is None)
 
-    def healthy(self) -> bool:
+    def healthy(self, max_consecutive_failures: int = 3) -> bool:
         """True iff the server can still make progress: started, not stopped,
-        and both worker threads alive (a dead dispatcher/fetcher means every
-        future would hang until its client timeout)."""
+        both worker threads alive (a dead dispatcher/fetcher means every
+        future would hang until its client timeout), and the device path is
+        not consistently failing (``max_consecutive_failures`` whole-batch
+        errors in a row with no success — e.g. the accelerator link died
+        while the threads keep running)."""
+        with self._stats_lock:
+            failing = self._consecutive_failures >= max_consecutive_failures
         return (
             self._started is not None
             and not self._stop.is_set()
             and self._dispatcher.is_alive()
             and self._fetcher.is_alive()
+            and not failing
         )
 
     def stats(self) -> dict:
@@ -292,6 +299,8 @@ class BatchingInferenceServer:
             except Exception as e:  # compile/dispatch error: fail the batch
                 for f in futures:
                     self._resolve(f, exc=e)
+                with self._stats_lock:
+                    self._consecutive_failures += 1
                 continue
             self._in_flight.put((out, futures, n))  # blocks = backpressure
 
@@ -306,6 +315,8 @@ class BatchingInferenceServer:
             except Exception as e:
                 for f in futures:
                     self._resolve(f, exc=e)
+                with self._stats_lock:
+                    self._consecutive_failures += 1
                 continue
             now = time.perf_counter()
             lats = []
@@ -317,5 +328,6 @@ class BatchingInferenceServer:
             with self._stats_lock:
                 self._batches += 1
                 self._images += n
+                self._consecutive_failures = 0  # device path proven healthy
                 self._occupancy_sum += n / self.batch_size
                 self._latencies.extend(lats)

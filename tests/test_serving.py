@@ -428,3 +428,28 @@ class TestBatching:
             fut = server.submit(_frames(1, seed=7)[0])
             with pytest.raises(ValueError, match="boom"):
                 fut.result(timeout=30)
+
+    def test_healthz_degrades_on_consecutive_device_failures(self):
+        """Threads alive but every batch erroring (e.g. accelerator link
+        died) must flip healthy() to False; a later success resets it."""
+        state = {"fail": True}
+
+        def flaky_forward(variables, images):
+            if state["fail"]:
+                raise ValueError("link down")
+            flat = images.reshape(images.shape[0], -1)
+            return flat @ variables["w"] + variables["b"]
+
+        server = BatchingInferenceServer(
+            flaky_forward, _variables(), batch_size=2, max_delay_ms=5, crop=CROP
+        )
+        with server:
+            assert server.healthy()
+            for i in range(3):
+                with pytest.raises(ValueError):
+                    server.submit(_frames(1, seed=60 + i)[0]).result(timeout=30)
+            assert not server.healthy()  # 3 consecutive whole-batch failures
+            state["fail"] = False
+            ok = server.submit(_frames(1, seed=70)[0]).result(timeout=60)
+            assert ok.shape == (CLASSES,)
+            assert server.healthy()  # success resets the failure streak
