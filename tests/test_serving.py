@@ -429,6 +429,55 @@ class TestBatching:
             with pytest.raises(ValueError, match="boom"):
                 fut.result(timeout=30)
 
+    def test_http_garbage_fuzz_never_kills_server(self):
+        """Random bodies, bogus raw shapes, wrong paths and malformed
+        headers: every response is a clean 4xx/5xx and the server keeps
+        answering valid requests afterwards."""
+        import http.client
+        import threading as _threading
+
+        from heuristique_style_transfer_code_tpu.tasks.serving_http import (
+            make_http_server,
+        )
+
+        variables = _variables()
+        rng = np.random.RandomState(50)
+        with BatchingInferenceServer(
+            _forward, variables, batch_size=4, max_delay_ms=5, crop=CROP
+        ) as batcher:
+            srv = make_http_server(batcher, ["a", "b", "c", "d"])
+            _threading.Thread(target=srv.serve_forever, daemon=True).start()
+            try:
+                host, port = srv.server_address
+                conn = http.client.HTTPConnection(host, port, timeout=60)
+                cases = [
+                    ("POST", "/predict", b"", {}),
+                    ("POST", "/predict", rng.bytes(64), {}),
+                    ("POST", "/predict", rng.bytes(10), {"X-Raw-Shape": "5,5,3"}),
+                    ("POST", "/predict", rng.bytes(75), {"X-Raw-Shape": "-5,5,3"}),
+                    ("POST", "/predict", rng.bytes(75), {"X-Raw-Shape": "abc"}),
+                    ("POST", "/predict", rng.bytes(48), {"X-Raw-Shape": "4,4,3,1"}),
+                    ("POST", "/predict", rng.bytes(32), {"X-Raw-Shape": "4,4,2"}),
+                    ("POST", "/predict", rng.bytes(0), {"X-Raw-Shape": "0,0,3"}),
+                    ("POST", "/nope", b"x", {}),
+                    ("GET", "/predict", b"", {}),
+                ]
+                for method, path, body, headers in cases:
+                    conn.request(method, path, body=body, headers=headers)
+                    status = conn.getresponse().status
+                    assert 400 <= status < 600, (method, path, status)
+                # still healthy and serving
+                conn.request("GET", "/healthz")
+                assert conn.getresponse().status == 200
+                frame = _frames(1, seed=51)[0]
+                conn.request(
+                    "POST", "/predict", body=frame.tobytes(),
+                    headers={"X-Raw-Shape": f"{CROP},{CROP},3"},
+                )
+                assert conn.getresponse().status == 200
+            finally:
+                srv.shutdown()
+
     def test_healthz_degrades_on_consecutive_device_failures(self):
         """Threads alive but every batch erroring (e.g. accelerator link
         died) must flip healthy() to False; a later success resets it."""
