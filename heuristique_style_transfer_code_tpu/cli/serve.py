@@ -214,10 +214,28 @@ def start(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     apply_debug_flags(args)
+    # SIGTERM = orchestrated shutdown (systemd/k8s): stop accepting, drain
+    # everything already submitted, then exit — same path as Ctrl-C.
+    # Registered BEFORE the (slow) warmup so a signal landing mid-compile
+    # still shuts down cleanly instead of killing the process.
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (programmatic use)
     srv, batcher = start(args)
     try:
         t0 = time.time()
         while args.max_seconds is None or time.time() - t0 < args.max_seconds:
+            if stop_requested["flag"]:
+                print("SIGTERM: draining and shutting down")
+                break
             time.sleep(0.2)
     except KeyboardInterrupt:
         pass

@@ -72,6 +72,30 @@ def make_http_server(
                     self._json(503, {"ok": False, "error": "batcher not running"})
             elif self.path == "/stats":
                 self._json(200, batcher.stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the batcher counters
+                s = batcher.stats()
+                lines = [
+                    "# TYPE hst_images_total counter",
+                    f"hst_images_total {s['images']}",
+                    "# TYPE hst_batches_total counter",
+                    f"hst_batches_total {s['batches']}",
+                    "# TYPE hst_batch_occupancy gauge",
+                    f"hst_batch_occupancy {s['mean_batch_occupancy']:.6f}",
+                    "# TYPE hst_throughput_images_per_second gauge",
+                    f"hst_throughput_images_per_second {s['throughput_imgs_per_sec']:.3f}",
+                    "# TYPE hst_latency_ms summary",
+                    f'hst_latency_ms{{quantile="0.5"}} {s["latency_p50_ms"]:.3f}',
+                    f'hst_latency_ms{{quantile="0.95"}} {s["latency_p95_ms"]:.3f}',
+                    "# TYPE hst_healthy gauge",
+                    f"hst_healthy {int(batcher.healthy())}",
+                ]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

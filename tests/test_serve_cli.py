@@ -213,3 +213,36 @@ def test_serve_cli_int8_gram_attention(tmp_path):
     # cold start from the persisted tree (no calib_data): identical output
     out2 = predict_once(["--quantized_path", qpath])
     np.testing.assert_allclose(out2["probs"], out["probs"], rtol=1e-5)
+
+
+def test_serve_cli_sigterm_drains_and_exits(f1_checkpoint):
+    """SIGTERM (orchestrated shutdown) must drain and exit 0, printing the
+    stats line — the systemd/k8s stop path."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    cfg, ckpt = f1_checkpoint
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "heuristique_style_transfer_code_tpu.cli.serve",
+         "--family", "truncated_resnet50", "--config_path", cfg,
+         "--model_path", ckpt, "--port", "0", "--batch_size", "2",
+         "--max_delay_ms", "5"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+    )
+    try:
+        # fixed grace period for import + warm dispatch on CPU (reading
+        # stdout incrementally risks a pipe block); SIGTERM is safe even if
+        # it lands mid-warmup — the handler only sets a flag
+        time.sleep(25)
+        assert proc.poll() is None, proc.communicate()[0][-2000:]
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-2000:]
+    assert "SIGTERM: draining" in out
+    assert "Stats:" in out

@@ -253,6 +253,14 @@ class TestBatching:
                 conn.request("GET", "/stats")
                 stats = _json.loads(conn.getresponse().read())
                 assert stats["images"] >= 2
+                # Prometheus exposition mirrors the same counters
+                conn.request("GET", "/metrics")
+                r = conn.getresponse()
+                assert r.status == 200
+                text = r.read().decode()
+                assert f"hst_images_total {stats['images']}" in text
+                assert "hst_healthy 1" in text
+                assert 'hst_latency_ms{quantile="0.5"}' in text
                 # malformed body -> 400, server stays alive
                 conn.request("POST", "/predict", body=b"not an image")
                 assert conn.getresponse().status == 400
