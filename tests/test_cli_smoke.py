@@ -497,3 +497,40 @@ class TestCombinedFlags:
         for a, b in zip(infos["plain"], infos["combo"]):
             np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-4)
             assert a["val_accuracy"] == b["val_accuracy"]
+
+
+class TestFlagParity:
+    """Every flag the reference parsers declare must exist on our CLIs
+    (additive extras allowed). Guards the whole argparse surface at once."""
+
+    PAIRS = [
+        ("train_best_RESNET50_Truncate.py",
+         "heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50"),
+        ("train_best_RESNET50_Truncate_gram_attention.py",
+         "heuristique_style_transfer_code_tpu.cli.train_gram_attention"),
+        ("train_best_Multi_PatchGAN.py",
+         "heuristique_style_transfer_code_tpu.cli.train_multi_patchgan"),
+        ("test_RESNET50_Truncate.py",
+         "heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50"),
+        ("test_RESNET50_Truncate_gram_attention.py",
+         "heuristique_style_transfer_code_tpu.cli.test_gram_attention"),
+        ("test_Multi_PatchGAN.py",
+         "heuristique_style_transfer_code_tpu.cli.test_multi_patchgan"),
+    ]
+
+    @pytest.mark.parametrize("ref_name,mod_name", PAIRS)
+    def test_reference_flags_all_present(self, ref_name, mod_name):
+        import importlib
+        import re
+
+        ref_path = os.path.join("/root/reference", ref_name)
+        if not os.path.exists(ref_path):
+            pytest.skip("reference checkout not available")
+        src = open(ref_path).read()
+        ref_flags = set(re.findall(r"add_argument\(\s*['\"](--[\w-]+)['\"]", src))
+        assert ref_flags  # the regex found the parser
+        parser = importlib.import_module(mod_name).build_parser()
+        ours = set()
+        for a in parser._actions:
+            ours.update(o for o in a.option_strings if o.startswith("--"))
+        assert ref_flags <= ours, f"missing reference flags: {sorted(ref_flags - ours)}"
