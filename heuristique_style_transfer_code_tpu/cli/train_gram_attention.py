@@ -105,6 +105,43 @@ def main(argv=None):
         variables, opt_state = setup.init(key)
         return variables, opt_state, setup.train_step, setup.eval_step
 
+    def on_fold_end(fold, result, model_path):
+        """Reference family-2 per-fold artifact surface
+        (train_best_RESNET50_Truncate_gram_attention.py:98-127):
+        best_performance_fold_<k>.json (no f1 — the reference's evaluate
+        returns only these four) and best_hyperparameters_fold_<k>.json
+        (incl. the vestigial hidden_dims/num_layers config keys and the
+        fold checkpoint path)."""
+        import json as _json
+
+        perf_path = os.path.join(args.save_dir, f"best_performance_fold_{fold}.json")
+        with open(perf_path, "w") as f:
+            _json.dump(
+                {
+                    "accuracy": result["val_accuracy"],
+                    "precision": result["val_precision"],
+                    "recall": result["val_recall"],
+                    "val_loss": result["val_loss"],
+                },
+                f, indent=4,
+            )
+        print(f"Fold {fold} performance saved to {perf_path}")
+        hp_path = os.path.join(args.save_dir, f"best_hyperparameters_fold_{fold}.json")
+        with open(hp_path, "w") as f:
+            _json.dump(
+                {
+                    "hidden_dims": hyperparameters.get("hidden_dims"),
+                    "num_layers": hyperparameters.get("num_layers"),
+                    "batch_size": cfg.batch_size,
+                    "lr": cfg.lr,
+                    "truncate_layer": cfg.truncate_layer,
+                    "gram_matrix_size": cfg.gram_matrix_size,
+                    "model_path": model_path,
+                },
+                f, indent=4,
+            )
+        print(f"Fold {fold} hyperparameters saved to {hp_path}")
+
     with maybe_profile(args.profile_dir):
         run_kfold(
         dataset,
@@ -122,6 +159,7 @@ def main(argv=None):
         train_step_multi=setup.train_step_multi,
         steps_per_dispatch=args.steps_per_dispatch,
         resume=args.resume,
+        on_fold_end=on_fold_end,
     )
     if writer:
         writer.close()

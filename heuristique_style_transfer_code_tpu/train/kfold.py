@@ -140,6 +140,9 @@ def run_kfold(
     train_step_multi: Optional[Callable] = None,
     steps_per_dispatch: int = 1,
     resume: bool = False,
+    on_fold_end: Optional[Callable] = None,
+    # on_fold_end(fold, result_dict, best_model_path): per-family extra
+    # artifacts (e.g. family 2's best_performance/hyperparameters_fold files)
     _interrupt_after=None,
 ) -> Dict:
     """Runs the full CV protocol; returns training_info dict.
@@ -346,6 +349,11 @@ def run_kfold(
             best_model_results.append(
                 {"fold": fold, "model_path": model_path, **result}
             )
+        else:
+            model_path = prev["model_path"]
+
+        if on_fold_end is not None:
+            on_fold_end(fold, result, model_path)
 
         # fold complete: a crash from here resumes at the next fold (the
         # meta's fold_results length IS the resume fold index; a stale state

@@ -60,6 +60,21 @@ class TestTrainCLIs:
             "--freeze_layers", "--seed", "0",
         ])
         assert os.path.exists(os.path.join(save_dir, "best_global_model.npz"))
+        # reference family-2 per-fold artifact surface
+        # (train_best_RESNET50_Truncate_gram_attention.py:98-127)
+        for k in range(2):
+            assert os.path.exists(
+                os.path.join(save_dir, f"best_model_fold_{k}.npz")
+            )
+            with open(os.path.join(save_dir, f"best_performance_fold_{k}.json")) as f:
+                perf = json.load(f)
+            assert set(perf) == {"accuracy", "precision", "recall", "val_loss"}
+            with open(
+                os.path.join(save_dir, f"best_hyperparameters_fold_{k}.json")
+            ) as f:
+                hp = json.load(f)
+            assert hp["gram_matrix_size"] == 4
+            assert hp["model_path"].endswith(f"best_model_fold_{k}.npz")
 
     def test_train_multi_patchgan(self, tiny_imagefolder, cfg_file, tmp_path):
         from heuristique_style_transfer_code_tpu.cli.train_multi_patchgan import main
