@@ -192,22 +192,26 @@ class BatchingInferenceServer:
     def __exit__(self, *exc):
         self.stop(drain=exc[0] is None)
 
-    def healthy(self, max_consecutive_failures: int = 3) -> bool:
-        """True iff the server can still make progress: started, not stopped,
-        both worker threads alive (a dead dispatcher/fetcher means every
-        future would hang until its client timeout), and the device path is
-        not consistently failing (``max_consecutive_failures`` whole-batch
-        errors in a row with no success — e.g. the accelerator link died
-        while the threads keep running)."""
+    def health(self, max_consecutive_failures: int = 3) -> tuple:
+        """(ok, reason). ok iff the server can still make progress: started,
+        not stopped, both worker threads alive (a dead dispatcher/fetcher
+        means every future would hang until its client timeout), and the
+        device path is not consistently failing
+        (``max_consecutive_failures`` whole-batch errors in a row with no
+        success — e.g. the accelerator link died while the threads keep
+        running). ``reason`` names the failing condition."""
+        if self._started is None or self._stop.is_set():
+            return False, "batcher not running"
+        if not (self._dispatcher.is_alive() and self._fetcher.is_alive()):
+            return False, "worker thread dead"
         with self._stats_lock:
-            failing = self._consecutive_failures >= max_consecutive_failures
-        return (
-            self._started is not None
-            and not self._stop.is_set()
-            and self._dispatcher.is_alive()
-            and self._fetcher.is_alive()
-            and not failing
-        )
+            n = self._consecutive_failures
+        if n >= max_consecutive_failures:
+            return False, f"device path failing ({n} consecutive batch errors)"
+        return True, "ok"
+
+    def healthy(self, max_consecutive_failures: int = 3) -> bool:
+        return self.health(max_consecutive_failures)[0]
 
     def stats(self) -> dict:
         with self._stats_lock:

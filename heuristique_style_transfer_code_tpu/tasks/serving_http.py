@@ -66,10 +66,11 @@ def make_http_server(
 
         def do_GET(self):
             if self.path == "/healthz":
-                if batcher.healthy():
+                ok, reason = batcher.health()
+                if ok:
                     self._json(200, {"ok": True})
                 else:
-                    self._json(503, {"ok": False, "error": "batcher not running"})
+                    self._json(503, {"ok": False, "error": reason})
             elif self.path == "/stats":
                 self._json(200, batcher.stats())
             elif self.path == "/metrics":

@@ -353,7 +353,13 @@ def run_kfold(
             model_path = prev["model_path"]
 
         if on_fold_end is not None:
-            on_fold_end(fold, result, model_path)
+            # pass the RETAINED record's metrics (not necessarily this
+            # run's): the per-fold artifact triplet (checkpoint, performance
+            # json, hyperparameters json) must describe the model actually
+            # on disk — a cross-run re-run that did worse keeps the prior
+            # fold checkpoint, so it must keep the prior metrics too
+            retained = next(m for m in best_model_results if m["fold"] == fold)
+            on_fold_end(fold, retained, model_path)
 
         # fold complete: a crash from here resumes at the next fold (the
         # meta's fold_results length IS the resume fold index; a stale state

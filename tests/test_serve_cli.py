@@ -232,14 +232,27 @@ def test_serve_cli_sigterm_drains_and_exits(f1_checkpoint):
          "--max_delay_ms", "5"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
     )
+    import threading
+
+    captured = []
+    ready = threading.Event()
+
+    def _reader():
+        for line in proc.stdout:  # drained continuously: no pipe block
+            captured.append(line)
+            if line.startswith("Serving "):
+                ready.set()
+        ready.set()  # EOF: unblock the waiter either way
+
+    reader = threading.Thread(target=_reader, daemon=True)
+    reader.start()
     try:
-        # fixed grace period for import + warm dispatch on CPU (reading
-        # stdout incrementally risks a pipe block); SIGTERM is safe even if
-        # it lands mid-warmup — the handler only sets a flag
-        time.sleep(25)
-        assert proc.poll() is None, proc.communicate()[0][-2000:]
+        assert ready.wait(timeout=300), "".join(captured)[-2000:]
+        assert proc.poll() is None, "".join(captured)[-2000:]
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=120)
+        proc.wait(timeout=120)
+        reader.join(timeout=30)
+        out = "".join(captured)
     finally:
         if proc.poll() is None:
             proc.kill()
