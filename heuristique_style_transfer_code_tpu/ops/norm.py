@@ -31,17 +31,22 @@ def batch_norm(params, x: jax.Array, train: bool = False, eps: float = EPS):
 
     In train mode the normalisation uses the biased batch variance while the
     returned running var uses the unbiased estimate (torch semantics).
+
+    Stats compute in f32 for f32/bf16 inputs; f64 inputs stay f64 (used by
+    the pipeline-parallel equality tests, where f32 reduction-order rounding
+    would be chaotically amplified through the BN chain — never hit on TPU).
     """
-    scale = params["scale"].astype(jnp.float32)
-    bias = params["bias"].astype(jnp.float32)
+    ctype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    scale = params["scale"].astype(ctype)
+    bias = params["bias"].astype(ctype)
     if not train:
-        mean = params["mean"].astype(jnp.float32)
-        var = params["var"].astype(jnp.float32)
+        mean = params["mean"].astype(ctype)
+        var = params["var"].astype(ctype)
         inv = scale * jax.lax.rsqrt(var + eps)
-        y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+        y = x.astype(ctype) * inv + (bias - mean * inv)
         return y.astype(x.dtype)
 
-    xf = x.astype(jnp.float32)
+    xf = x.astype(ctype)
     axes = (0, 1, 2)
     mean = jnp.mean(xf, axis=axes)
     var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)  # biased

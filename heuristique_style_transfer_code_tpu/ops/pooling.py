@@ -45,5 +45,10 @@ def adaptive_avg_pool2d(x: jax.Array, output_size) -> jax.Array:
 
 
 def global_avg_pool(x: jax.Array) -> jax.Array:
-    """NHWC (N,H,W,C) -> (N,C): AdaptiveAvgPool2d((1,1)) + Flatten."""
-    return jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+    """NHWC (N,H,W,C) -> (N,C): AdaptiveAvgPool2d((1,1)) + Flatten.
+
+    Reduces in f32 for f32/bf16 inputs; f64 stays f64 (pipeline-parallel
+    equality tests — an f32 bottleneck there injects reduction-order noise).
+    """
+    ctype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    return jnp.mean(x.astype(ctype), axis=(1, 2)).astype(x.dtype)

@@ -3,6 +3,20 @@ from .multihost import (
     initialize_distributed,
     make_global_batch,
 )
+from .pipeline import (
+    FLAGSHIP_UNITS,
+    PipelineSpec,
+    PipelineUnits,
+    make_mesh_pipeline,
+    make_pipeline_eval_step,
+    make_pipeline_spec,
+    make_pipeline_train_step,
+    pack_pipeline_masks,
+    pack_pipeline_params,
+    pipeline_batch_sharding,
+    pipeline_param_sharding,
+    unpack_pipeline_params,
+)
 from .sharding import (
     batch_sharding,
     image_sharding,

@@ -8,7 +8,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # XLA-CPU aborts the process when a collective rendezvous takes >40s.
+    # On few-core hosts 8 virtual devices serialise their compute, so a
+    # legitimate pipeline-parallel step can exceed that between ppermutes.
+    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+               " --xla_cpu_collective_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
