@@ -213,6 +213,55 @@ def bench_tpu() -> dict:
         else 0.0
     )
 
+    # ---- realistic-video delta transport: the headline stream above is
+    # deliberately incompressible (independent random frames — the honest
+    # transport-bound number). Real camera video is temporally correlated;
+    # transport="yuv420_delta" ships uint8 wraparound deltas that the device
+    # reconstructs bit-exactly, and the relay's wire compression moves the
+    # low-entropy payload in a fraction of the time (probe: small-delta
+    # payloads 2-5x faster through this relay). Stream here: random base
+    # scene + per-frame +-2 sensor drift, one continuous recording.
+    from heuristique_style_transfer_code_tpu.tasks.camera import (
+        yuv420_delta_encode,
+    )
+
+    inferYd = make_camera_infer_fn_yuv(
+        forward_eval, 224, compute_dtype=jnp.bfloat16, batch=BATCH, delta=True
+    )
+    drift = rng.randint(0, 256, (FRAME_H, FRAME_W, 3), dtype=np.uint8).astype(np.int16)
+    vid_batches = []
+    for _ in range(3):
+        frames = []
+        for _ in range(BATCH):
+            drift = np.clip(drift + rng.randint(-2, 3, drift.shape), 0, 255)
+            frames.append(downscale_frame(drift.astype(np.uint8)))
+        vid_batches.append(np.stack(frames))
+    vid_yuv = [np.stack([rgb_to_yuv420(f) for f in b]) for b in vid_batches]
+    vid_delta = [yuv420_delta_encode(b) for b in vid_yuv]
+    log("[tpu] compiling delta-transport batch-%d ..." % BATCH)
+    video_delta_match = True
+    for yb, db in zip(vid_yuv, vid_delta):
+        p_y = np.asarray(inferY(variables, jnp.asarray(yb)))
+        p_d = np.asarray(inferYd(variables, jnp.asarray(db)))
+        video_delta_match &= bool((p_y.argmax(1) == p_d.argmax(1)).all())
+        max_prob_diff = max(max_prob_diff, float(np.abs(p_y - p_d).max()))
+    for i in range(WARMUP):
+        np.asarray(inferYd(variables, jnp.asarray(vid_delta[i % 3])))
+    video_delta_fps = (
+        ITERS_BATCH * BATCH / pipelined(inferYd, vid_delta, ITERS_BATCH)
+        if video_delta_match
+        else 0.0
+    )
+    for i in range(WARMUP):
+        np.asarray(inferY(variables, jnp.asarray(vid_yuv[i % 3])))
+    video_yuv_fps = ITERS_BATCH * BATCH / pipelined(inferY, vid_yuv, ITERS_BATCH)
+    log(
+        f"[tpu] correlated-video stream: plain yuv420 {video_yuv_fps:.1f} "
+        f"img/s, delta {video_delta_fps:.1f} img/s "
+        f"({video_delta_fps / max(video_yuv_fps, 1e-9):.2f}x), argmax match: "
+        f"{video_delta_match}"
+    )
+
     # ---- device-resident capacity (transfer excluded): scan-slope.
     # t(N) = fetch_rtt + N * t_step, so t_step = (t(36) - t(4)) / 32 —
     # immune to the relay RTT that a step-at-a-time loop measures instead.
@@ -397,6 +446,9 @@ def bench_tpu() -> dict:
         "yuv_match_b64": yuv_match_b64,
         "yuv_match_b256": yuv_match_b256,
         "yuv_max_prob_diff": float(max_prob_diff),
+        "video_yuv_fps": float(video_yuv_fps),
+        "video_delta_fps": float(video_delta_fps),
+        "video_delta_match": video_delta_match,
         "device_resident_fps": float(BATCH / dev_step),
         "device_resident_tflops": float(BATCH * 4.1e9 / dev_step / 1e12),
         "device_resident_fps_int8": int8_fps,
@@ -694,6 +746,9 @@ def main():
                 "batch_size": tpu["batch_used"],
                 "streaming_fps_b64": round(tpu["streaming_fps_b64"], 1),
                 "streaming_fps_b256": round(tpu["streaming_fps_b256"], 1),
+                "streaming_fps_video_yuv": round(tpu["video_yuv_fps"], 1),
+                "streaming_fps_video_delta": round(tpu["video_delta_fps"], 1),
+                "video_delta_argmax_matches_yuv": tpu["video_delta_match"],
                 "baseline_cpu_fps": round(baseline_fps, 2) if baseline_fps else None,
                 "note": "value = end-to-end pipelined streaming (host "
                 "downscale, camera-native YUV420 transfer — argmax verified "
@@ -708,7 +763,14 @@ def main():
                 "the chip. batch-1 p50 decomposes as downscale + H2D + "
                 "device compute + relay RTT (RTT-bound); the double-buffered "
                 "batch-1 fps is reported even though relay result fetches "
-                "serialise, so depth-2 does not beat the closed loop here",
+                "serialise, so depth-2 does not beat the closed loop here. "
+                "streaming_fps_video_* measure a temporally-correlated "
+                "synthetic recording (random scene + per-frame sensor "
+                "drift): video_delta ships uint8 temporal deltas the device "
+                "reconstructs exactly (transport='yuv420_delta') — the "
+                "payload entropy drop is what real camera feeds give the "
+                "compressing relay; the headline stays the incompressible "
+                "independent-frame stream",
             }
         )
     )

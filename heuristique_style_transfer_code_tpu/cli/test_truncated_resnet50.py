@@ -56,9 +56,15 @@ def build_parser():
     parser.add_argument("--test_data", type=str)
     parser.add_argument("--list_cameras", action="store_true")
     parser.add_argument("--camera_index", type=str, default="0")
-    parser.add_argument("--transport", choices=["rgb", "yuv420"], default="rgb",
+    parser.add_argument("--transport",
+                        choices=["rgb", "yuv420", "yuv420_delta"],
+                        default="rgb",
                         help="Camera-mode frame transport; yuv420 halves the "
-                        "host->device bytes (needs host downscale)")
+                        "host->device bytes (needs host downscale); "
+                        "yuv420_delta additionally temporal-delta-codes "
+                        "frames (bit-exact reconstruction on device) so a "
+                        "compressing link ships real video in a fraction of "
+                        "the bytes")
     parser.add_argument("--device_preprocess", action="store_true",
                         help="Run the full resize pipeline on-device instead of "
                         "host-downscaling frames before transfer (prefer when "

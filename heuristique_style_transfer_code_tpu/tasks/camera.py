@@ -95,12 +95,24 @@ def yuv420_to_rgb_device(yuv: jax.Array, h: int, w: int) -> jax.Array:
 
 
 def make_camera_infer_fn_yuv(forward_eval: Callable, crop: int = 224,
-                             compute_dtype=None, batch: Optional[int] = None):
+                             compute_dtype=None, batch: Optional[int] = None,
+                             delta: bool = False):
     """Like make_camera_infer_fn(host_downscale=True) but the frame arrives
-    as planar I420 (half the bytes over the host->device link)."""
+    as planar I420 (half the bytes over the host->device link).
+
+    ``delta=True`` (batched only): the batch arrives temporally delta-coded
+    (`yuv420_delta_encode`) and is reconstructed on device — bit-exact, so
+    predictions are identical to the plain yuv420 path. Consecutive video
+    frames are highly correlated, so the shipped payload is low-entropy and
+    a compressing transport (as this environment's relay is) moves it in a
+    fraction of the bytes."""
+    if delta and batch is None:
+        raise ValueError("delta coding needs a batch of consecutive frames")
 
     @jax.jit
     def infer(variables, yuv_u8):
+        if delta:
+            yuv_u8 = yuv420_delta_decode_device(yuv_u8)
         if batch is None:
             x = yuv420_to_rgb_device(yuv_u8, crop, crop)[None]
         else:
@@ -111,6 +123,51 @@ def make_camera_infer_fn_yuv(forward_eval: Callable, crop: int = 224,
         logits = forward_eval(variables, x)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return probs if batch is not None else probs[0]
+
+    return infer
+
+
+def yuv420_delta_encode(yuv_batch: np.ndarray) -> np.ndarray:
+    """Temporal delta coding of a batch of CONSECUTIVE frames (any planar
+    uint8 layout, axis 0 = time): d[0] = y[0], d[i] = y[i] - y[i-1] with
+    uint8 wraparound — exactly invertible, so the device-side reconstruction
+    is bit-identical to the original frames. For real video the deltas are
+    mostly zeros/near-zeros, which a compressing link ships cheaply."""
+    if yuv_batch.dtype != np.uint8:
+        raise ValueError("delta coding expects uint8 frames")
+    d = yuv_batch.copy()
+    d[1:] -= yuv_batch[:-1]
+    return d
+
+
+def yuv420_delta_decode_device(delta_u8: jax.Array) -> jax.Array:
+    """Jit-compatible inverse of ``yuv420_delta_encode``: cumulative sum mod
+    256 along the time axis (int32 accumulator; batch*255 << 2**31)."""
+    total = jnp.cumsum(delta_u8.astype(jnp.int32), axis=0)
+    return (total % 256).astype(jnp.uint8)
+
+
+def make_camera_infer_fn_yuv_delta1(forward_eval: Callable, crop: int = 224,
+                                    compute_dtype=None):
+    """Stateful batch-1 delta transport for live streams: the host ships
+    ``cur - prev`` (uint8 wraparound) and the device carries the previous
+    frame, reconstructing ``cur = prev + delta`` bit-exactly.
+
+    Returns jitted fn(variables, prev_u8, delta_u8) -> (probs, cur_u8);
+    the caller threads ``cur_u8`` (a device array that never leaves the
+    chip) into the next call and keeps a host-side copy of the previous
+    frame to encode against."""
+
+    @jax.jit
+    def infer(variables, prev_u8, delta_u8):
+        cur = prev_u8 + delta_u8  # uint8 wraparound add = exact decode
+        x = yuv420_to_rgb_device(cur, crop, crop)[None]
+        x = normalize_imagenet(x)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        logits = forward_eval(variables, x)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs[0], cur
 
     return infer
 
@@ -189,13 +246,20 @@ def run_camera(
     ``transport="yuv420"`` ships each (downscaled) frame as planar I420 —
     half the host->device bytes, the bottleneck on bandwidth-bound links;
     the device fuses YUV->RGB into the forward (argmax-verified vs RGB by
-    the bench). Requires ``host_downscale``."""
+    the bench). Requires ``host_downscale``.
+
+    ``transport="yuv420_delta"`` additionally temporal-delta-codes each
+    frame against the previous one (uint8 wraparound; the device carries the
+    previous frame and reconstructs bit-exactly, so predictions are
+    identical). Real video is temporally correlated, so the shipped payload
+    is low-entropy — a large win when the host->device link compresses (as
+    this environment's relay does); a no-op cost otherwise."""
     import cv2
 
-    if transport not in ("rgb", "yuv420"):
-        raise ValueError("transport must be 'rgb' or 'yuv420'")
-    if transport == "yuv420" and not host_downscale:
-        raise ValueError("transport='yuv420' requires host_downscale")
+    if transport not in ("rgb", "yuv420", "yuv420_delta"):
+        raise ValueError("transport must be 'rgb', 'yuv420' or 'yuv420_delta'")
+    if transport.startswith("yuv420") and not host_downscale:
+        raise ValueError(f"transport='{transport}' requires host_downscale")
 
     cap = cv2.VideoCapture(camera_index)
     if not cap.isOpened():
@@ -248,6 +312,9 @@ def run_camera(
     # headless-file-processing only
     pipelined = pipeline_depth > 1 and not display and not save_video
     in_flight: List = []  # (dispatch_time, future)
+    delta_mode = transport == "yuv420_delta"
+    prev_host: Optional[np.ndarray] = None  # last shipped frame, host copy
+    prev_dev = None  # last frame, device-resident (never re-transferred)
 
     def finish(probs, started):
         nonlocal last_label, last_prob
@@ -271,20 +338,39 @@ def run_camera(
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         if host_downscale:
             rgb = downscale_frame(rgb)
-        ship = rgb_to_yuv420(rgb) if transport == "yuv420" else rgb
+        ship = rgb_to_yuv420(rgb) if transport.startswith("yuv420") else rgb
         if infer is None:
-            if transport == "yuv420":
+            if delta_mode:
+                infer = make_camera_infer_fn_yuv_delta1(forward_eval, rgb.shape[0])
+                prev_host = np.zeros_like(ship)
+                prev_dev = jnp.zeros(ship.shape, dtype=jnp.uint8)
+                # warm the compile with a state-neutral dummy (zeros in,
+                # zeros state back out — discarded)
+                np.asarray(infer(variables, prev_dev, prev_dev)[0])
+            elif transport == "yuv420":
                 infer = make_camera_infer_fn_yuv(forward_eval, rgb.shape[0])
+                np.asarray(infer(variables, jnp.asarray(ship)))
             else:
                 infer = make_camera_infer_fn(
                     forward_eval, host_downscale=host_downscale
                 )
-            # warm the compile outside the timed region (first frame only)
-            np.asarray(infer(variables, jnp.asarray(ship)))
+                np.asarray(infer(variables, jnp.asarray(ship)))
             start = time.perf_counter()
 
+        if delta_mode:
+            payload = ship - prev_host  # uint8 wraparound
+            prev_host = ship
+
+            def dispatch(payload=payload):
+                nonlocal prev_dev
+                out, prev_dev = infer(variables, prev_dev, jax.device_put(payload))
+                return out
+        else:
+            def dispatch(payload=ship):
+                return infer(variables, jax.device_put(payload))
+
         if pipelined:
-            in_flight.append((start, infer(variables, jax.device_put(ship))))
+            in_flight.append((start, dispatch()))
             frames += 1
             if len(in_flight) >= pipeline_depth:
                 s, fut = in_flight.pop(0)
@@ -293,7 +379,7 @@ def run_camera(
                 break
             continue
 
-        probs = np.asarray(infer(variables, jnp.asarray(ship)))
+        probs = np.asarray(dispatch())
         label, prob = finish(probs, start)
         frames += 1
 

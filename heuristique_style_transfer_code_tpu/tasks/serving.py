@@ -63,7 +63,11 @@ class BatchingInferenceServer:
         GIL-free) and ships 1.5 bytes/px — half the host->device bytes, the
         decisive factor when the link (not the chip) bounds throughput. The
         device side fuses the YUV->RGB conversion into the forward; the
-        camera bench argmax-verifies this path against RGB.
+        camera bench argmax-verifies this path against RGB. (The camera
+        path's temporal-delta transport is not offered here: a serving
+        batch interleaves frames from unrelated clients, so there is no
+        previous-frame correlation to delta against — single-stream video
+        should use ``run_camera``'s ``transport="yuv420_delta"``.)
     """
 
     def __init__(

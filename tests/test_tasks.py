@@ -413,6 +413,109 @@ class TestCamera:
         assert summary_yuv["frames"] == 5
 
 
+class TestYuvDeltaTransport:
+    def _video(self, n=6, size=48, seed=0):
+        """Correlated synthetic 'video': base frame + small per-frame drift
+        (the temporal structure real cameras emit)."""
+        rng = np.random.RandomState(seed)
+        cur = rng.randint(0, 256, (size, size, 3), dtype=np.uint8).astype(np.int16)
+        frames = []
+        for _ in range(n):
+            cur = np.clip(cur + rng.randint(-2, 3, cur.shape), 0, 255)
+            frames.append(cur.astype(np.uint8))
+        return frames
+
+    def test_roundtrip_exact(self):
+        from heuristique_style_transfer_code_tpu.tasks.camera import (
+            rgb_to_yuv420,
+            yuv420_delta_decode_device,
+            yuv420_delta_encode,
+        )
+
+        yuv = np.stack([rgb_to_yuv420(f) for f in self._video()])
+        enc = yuv420_delta_encode(yuv)
+        assert enc.dtype == np.uint8
+        # frame 0 ships raw; later deltas are low-entropy for correlated video
+        np.testing.assert_array_equal(enc[0], yuv[0])
+        dec = np.asarray(yuv420_delta_decode_device(jnp.asarray(enc)))
+        np.testing.assert_array_equal(dec, yuv)
+
+    def test_batched_infer_matches_plain(self, family1):
+        """The reconstructed pixels are bit-exact (roundtrip test above), so
+        the only divergence vs the plain yuv420 program is XLA fusing the
+        float YUV->RGB math differently in the two compilations — rounding-
+        level, never an argmax change."""
+        from heuristique_style_transfer_code_tpu.tasks.camera import (
+            make_camera_infer_fn_yuv,
+            rgb_to_yuv420,
+            yuv420_delta_encode,
+        )
+
+        cfg, variables, forward_eval = family1
+        yuv = np.stack([rgb_to_yuv420(f) for f in self._video()])
+        plain = make_camera_infer_fn_yuv(forward_eval, 48, batch=6)
+        delta = make_camera_infer_fn_yuv(forward_eval, 48, batch=6, delta=True)
+        p_plain = np.asarray(plain(variables, jnp.asarray(yuv)))
+        p_delta = np.asarray(delta(variables, jnp.asarray(yuv420_delta_encode(yuv))))
+        np.testing.assert_array_equal(p_delta.argmax(-1), p_plain.argmax(-1))
+        np.testing.assert_allclose(p_delta, p_plain, atol=1e-5)
+
+    def test_stateful_batch1_bit_identical(self, family1):
+        from heuristique_style_transfer_code_tpu.tasks.camera import (
+            make_camera_infer_fn_yuv,
+            make_camera_infer_fn_yuv_delta1,
+            rgb_to_yuv420,
+        )
+
+        cfg, variables, forward_eval = family1
+        frames = [rgb_to_yuv420(f) for f in self._video()]
+        plain = make_camera_infer_fn_yuv(forward_eval, 48)
+        delta1 = make_camera_infer_fn_yuv_delta1(forward_eval, 48)
+        prev_host = np.zeros_like(frames[0])
+        prev_dev = jnp.zeros(frames[0].shape, dtype=jnp.uint8)
+        for f in frames:
+            payload = f - prev_host  # uint8 wraparound
+            prev_host = f
+            probs, prev_dev = delta1(variables, prev_dev, jnp.asarray(payload))
+            ref = np.asarray(plain(variables, jnp.asarray(f)))
+            np.testing.assert_array_equal(np.asarray(probs), ref)
+        # the carried device frame is the exact last input
+        np.testing.assert_array_equal(np.asarray(prev_dev), frames[-1])
+
+    def test_run_camera_delta_transport(self, tmp_path, family1):
+        import cv2
+
+        from heuristique_style_transfer_code_tpu.tasks.camera import run_camera
+
+        cfg, variables, forward_eval = family1
+        video_path = str(tmp_path / "in.avi")
+        w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+        for f in self._video(n=5, size=48):
+            w.write(cv2.cvtColor(np.pad(f, ((0, 0), (0, 16), (0, 0)), mode="edge"),
+                                 cv2.COLOR_RGB2BGR))
+        w.release()
+
+        kwargs = dict(save_dir=str(tmp_path), camera_index=video_path,
+                      max_frames=5, display=False)
+        s_yuv = run_camera(forward_eval, variables,
+                           ["fog", "rain", "snow", "sun"],
+                           transport="yuv420", **kwargs)
+        s_delta = run_camera(forward_eval, variables,
+                             ["fog", "rain", "snow", "sun"],
+                             transport="yuv420_delta", **kwargs)
+        # bit-exact reconstruction => identical final prediction
+        assert s_delta["frames"] == 5
+        assert s_delta["last_label"] == s_yuv["last_label"]
+        assert abs(s_delta["last_prob"] - s_yuv["last_prob"]) < 1e-6
+        # pipelined dispatch works with the carried device state too
+        s_pipe = run_camera(forward_eval, variables,
+                            ["fog", "rain", "snow", "sun"],
+                            transport="yuv420_delta", pipeline_depth=2,
+                            **kwargs)
+        assert s_pipe["frames"] == 5
+        assert s_pipe["last_label"] == s_yuv["last_label"]
+
+
 class TestCameraRecording:
     def test_save_video_headless(self, tmp_path, family1):
         """--save_camera_video writes camera_output.avi without a display."""
