@@ -25,6 +25,12 @@ TPU-native design — the whole schedule is ONE compiled program:
 - **The reverse pipeline is autodiff.** ``jax.value_and_grad`` through the
   scan + ppermute + switch yields the backward schedule automatically
   (ppermute transposes to the reversed ring); no hand-written backward pass.
+- **Stat-only scan carry.** The packed stage weights are loop constants of
+  the tick scan (SGD applies after the schedule); only the BN running-stat
+  slice (KBs) is carried and chained tick to tick. Carrying the full packed
+  row would write + checkpoint tens of MBs of unchanged weights per tick —
+  per-tick HBM traffic on a real slice, and measured 10 GB RSS / 14-minute
+  steps on the 8-virtual-device CPU mesh vs <1 GB with this design.
 - **dp x pp composition.** The mesh is ``('data', 'pipe')``: each data shard
   runs its own pipeline over its microbatches; gradients are ``pmean``-ed
   over 'data' after the local backward, BN running-stat chains are averaged.
@@ -56,8 +62,25 @@ from .sharding import DATA_AXIS
 
 PIPE_AXIS = "pipe"
 
-_ENCODER_UNITS = ("conv1", "bn1", "layer1", "layer2", "layer3", "layer4")
-_NUM_UNITS = 4  # stem+layer1 | layer2 | layer3 | layer4+heads
+# Flagship depth units at BLOCK granularity: stem | each bottleneck block |
+# heads. 18 units for truncate-8, so stage counts up to 18 are expressible
+# and the contiguous grouping can balance stages by packed-parameter bytes
+# (layer4 alone is 15M of the flagship's 25.5M params — layer-granularity
+# stages force maxP to 15.5M; block granularity gets it to ~7.5M at S=4,
+# which halves every padded per-device buffer: the packed row, its gradient
+# accumulator and the optimiser state).
+from ..nn.resnet import _STAGES as _RESNET_STAGES  # (name, blocks, width, stride)
+
+_FLAGSHIP_DESCS: Tuple[Tuple, ...] = (
+    (("stem",),)
+    + tuple(
+        (name, b, st if b == 0 else 1)
+        for name, nb, _, st in _RESNET_STAGES
+        for b in range(nb)
+    )
+    + (("heads",),)
+)
+_NUM_UNITS = len(_FLAGSHIP_DESCS)  # 18
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,31 +113,31 @@ def make_mesh_pipeline(n_devices: Optional[int] = None, pipe: int = 4) -> Mesh:
 
 def _unit_trees(variables) -> List[Dict[str, Any]]:
     """Split the flagship tree {'moco': {'encoder', 'fc'}, 'classifier'} into
-    the four depth units. Keys are disjoint so stage groups merge cleanly."""
+    the block-granular depth units. Keys are disjoint so stage groups merge
+    cleanly (block b of layerL is keyed ``layerL_b``)."""
     enc = variables["moco"]["encoder"]
-    return [
-        {"conv1": enc["conv1"], "bn1": enc["bn1"], "layer1": enc["layer1"]},
-        {"layer2": enc["layer2"]},
-        {"layer3": enc["layer3"]},
-        {
-            "layer4": enc["layer4"],
-            "moco_fc": variables["moco"]["fc"],
-            "clf_fc": variables["classifier"]["fc"],
-        },
-    ]
+    units: List[Dict[str, Any]] = [{"conv1": enc["conv1"], "bn1": enc["bn1"]}]
+    for name, nb, _, _ in _RESNET_STAGES:
+        for b in range(nb):
+            units.append({f"{name}_{b}": enc[name][b]})
+    units.append(
+        {"moco_fc": variables["moco"]["fc"], "clf_fc": variables["classifier"]["fc"]}
+    )
+    return units
 
 
 def _unit_apply(i: int, p, x, train: bool):
     """Unit i forward. Returns (y, new_subtree_or_None); the new subtree has
     exactly the unit's keys (and p's leaf structure) so stage groups re-pack
     with the same meta."""
-    from ..nn.resnet import _stage_apply
+    from ..nn.resnet import _bottleneck_apply
     from ..ops.conv import conv2d, max_pool2d
     from ..ops.linear import linear
     from ..ops.norm import batch_norm
     from ..ops.pooling import global_avg_pool
 
-    if i == 0:
+    desc = _FLAGSHIP_DESCS[i]
+    if desc[0] == "stem":
         h = conv2d(p["conv1"], x, stride=2, padding=3)
         if train:
             h, nb = batch_norm(p["bn1"], h, train=True)
@@ -123,25 +146,20 @@ def _unit_apply(i: int, p, x, train: bool):
             nb = None
         h = jax.nn.relu(h)
         h = max_pool2d(h, 3, 2, 1)
-        h, ns = _stage_apply(p["layer1"], h, 1, train=train)
-        new = {"conv1": p["conv1"], "bn1": nb, "layer1": ns} if train else None
-        return h, new
-    if i < 3:
-        name = "layer%d" % (i + 1)
-        h, ns = _stage_apply(p[name], x, 2, train=train)
-        return h, ({name: ns} if train else None)
-    h, ns = _stage_apply(p["layer4"], x, 2, train=train)
-    logits = linear(p["clf_fc"], linear(p["moco_fc"], global_avg_pool(h)))
-    new = (
-        {"layer4": ns, "moco_fc": p["moco_fc"], "clf_fc": p["clf_fc"]}
-        if train
-        else None
-    )
-    return logits, new
+        return h, ({"conv1": p["conv1"], "bn1": nb} if train else None)
+    if desc[0] == "heads":
+        logits = linear(p["clf_fc"], linear(p["moco_fc"], global_avg_pool(x)))
+        new = {"moco_fc": p["moco_fc"], "clf_fc": p["clf_fc"]} if train else None
+        return logits, new
+    name, b, stride = desc
+    h, nblk = _bottleneck_apply(p[f"{name}_{b}"], x, stride, train=train)
+    return h, ({f"{name}_{b}": nblk} if train else None)
 
 
 def _flagship_rebuild(merged: Dict[str, Any]) -> Dict[str, Any]:
-    enc = {k: merged[k] for k in _ENCODER_UNITS}
+    enc: Dict[str, Any] = {"conv1": merged["conv1"], "bn1": merged["bn1"]}
+    for name, nb, _, _ in _RESNET_STAGES:
+        enc[name] = [merged[f"{name}_{b}"] for b in range(nb)]
     return {
         "moco": {"encoder": enc, "fc": merged["moco_fc"]},
         "classifier": {"fc": merged["clf_fc"]},
@@ -157,7 +175,7 @@ FLAGSHIP_UNITS = PipelineUnits(
 
 
 def _group_bounds(n_units: int, n_stages: int) -> Tuple[Tuple[int, int], ...]:
-    """Contiguous, near-even unit->stage grouping."""
+    """Contiguous, near-even unit->stage grouping (by unit COUNT)."""
     assert 1 <= n_stages <= n_units
     base, extra = divmod(n_units, n_stages)
     bounds, lo = [], 0
@@ -165,6 +183,58 @@ def _group_bounds(n_units: int, n_stages: int) -> Tuple[Tuple[int, int], ...]:
         hi = lo + base + (1 if s < extra else 0)
         bounds.append((lo, hi))
         lo = hi
+    return tuple(bounds)
+
+
+def _balance_bounds(
+    unit_sizes: Tuple[int, ...], n_stages: int
+) -> Tuple[Tuple[int, int], ...]:
+    """Contiguous unit->stage grouping minimising the largest stage's packed
+    size (binary search on stage capacity + greedy fill). Every padded
+    per-device buffer — the (maxP,) row, its gradient accumulator, the
+    momentum state — is maxP wide, so maxP IS the pp memory footprint."""
+    n = len(unit_sizes)
+    assert 1 <= n_stages <= n
+    lo, hi = max(unit_sizes), sum(unit_sizes)
+
+    def groups_at(cap: int) -> int:
+        groups, cur = 1, 0
+        for s in unit_sizes:
+            if cur + s > cap:
+                groups, cur = groups + 1, s
+            else:
+                cur += s
+        return groups
+
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if groups_at(mid) <= n_stages:
+            hi = mid
+        else:
+            lo = mid + 1
+
+    bounds, start, cur = [], 0, 0
+    for i, s in enumerate(unit_sizes):
+        if cur + s > lo and i > start:
+            bounds.append((start, i))
+            start, cur = i, s
+        else:
+            cur += s
+    bounds.append((start, n))
+    while len(bounds) < n_stages:  # greedy fill may under-shoot the count:
+        # split the largest multi-unit stage at its best midpoint
+        j = max(
+            (k for k in range(len(bounds)) if bounds[k][1] - bounds[k][0] > 1),
+            key=lambda k: sum(unit_sizes[bounds[k][0] : bounds[k][1]]),
+        )
+        lo_j, hi_j = bounds[j]
+        best = min(
+            range(lo_j + 1, hi_j),
+            key=lambda m: max(
+                sum(unit_sizes[lo_j:m]), sum(unit_sizes[m:hi_j])
+            ),
+        )
+        bounds[j : j + 1] = [(lo_j, best), (best, hi_j)]
     return tuple(bounds)
 
 
@@ -189,17 +259,6 @@ def _unflatten(flat, meta):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def _stop_stat_grads(tree):
-    from ..train.optim import BN_STAT_KEYS, _leaf_name
-
-    def stop(path, leaf):
-        return (
-            jax.lax.stop_gradient(leaf) if _leaf_name(path) in BN_STAT_KEYS else leaf
-        )
-
-    return jax.tree_util.tree_map_with_path(stop, tree)
-
-
 @dataclasses.dataclass(frozen=True)
 class PipelineSpec:
     num_stages: int
@@ -212,6 +271,13 @@ class PipelineSpec:
     max_params: int
     stage_in_shapes: Tuple[Tuple[int, ...], ...]  # per-stage input (h, w, c)
     act_flat: int  # inter-stage buffer length (covers every boundary)
+    # Per-stage BN-stat runs inside the packed row: (param_off, stat_off, n)
+    # triples in flat order. Only this thin slice is carried through the
+    # GPipe tick scan — the params themselves are loop constants (see
+    # _gpipe_schedule), which keeps per-tick memory traffic at the size of
+    # the stats (KBs), not the packed stage weights (tens of MBs).
+    stage_stat_runs: Tuple[Tuple[Tuple[int, int, int], ...], ...] = ()
+    max_stats: int = 1
     dtype: Any = jnp.float32  # flat-buffer/compute dtype (f64 for tests)
     units: PipelineUnits = FLAGSHIP_UNITS
 
@@ -230,18 +296,48 @@ def make_pipeline_spec(
     image_size: int,
     dtype=jnp.float32,
     units: Optional[PipelineUnits] = None,
+    balance: str = "params",
 ) -> PipelineSpec:
     """Static plan: stage grouping, per-stage param metas/sizes, boundary
-    activation shapes (chained ``jax.eval_shape`` — no dummy forward)."""
+    activation shapes (chained ``jax.eval_shape`` — no dummy forward).
+
+    ``balance='params'`` (default) groups units contiguously to minimise the
+    widest stage's packed size (= per-device memory for the row, grads and
+    momentum); ``'units'`` groups by unit count."""
+    from ..train.optim import BN_STAT_KEYS, _leaf_name
+
     u = units or FLAGSHIP_UNITS
     unit_trees = u.trees(variables)
-    stage_units = _group_bounds(u.num_units, num_stages)
+    if balance == "params":
+        unit_sizes = tuple(
+            sum(
+                int(np.prod(l.shape)) if l.shape else 1
+                for l in jax.tree_util.tree_leaves(t)
+            )
+            for t in unit_trees
+        )
+        stage_units = _balance_bounds(unit_sizes, num_stages)
+    elif balance == "units":
+        stage_units = _group_bounds(u.num_units, num_stages)
+    else:
+        raise ValueError(f"balance must be 'params' or 'units', got {balance!r}")
 
-    metas, sizes = [], []
+    metas, sizes, stat_runs = [], [], []
     for lo, hi in stage_units:
-        flat, meta = _flatten(_stage_tree(unit_trees, lo, hi), dtype)
+        tree = _stage_tree(unit_trees, lo, hi)
+        flat, meta = _flatten(tree, dtype)
         metas.append(meta)
         sizes.append(int(flat.size))
+        # static (param_off, stat_off, n) runs of the BN-stat leaves in flat
+        # order (tree_flatten_with_path matches tree_flatten's leaf order)
+        runs, poff, soff = [], 0, 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            if _leaf_name(path) in BN_STAT_KEYS:
+                runs.append((poff, soff, n))
+                soff += n
+            poff += n
+        stat_runs.append(tuple(runs))
 
     x = jax.ShapeDtypeStruct((microbatch, image_size, image_size, 3), dtype)
     in_shapes, boundary = [], []
@@ -266,6 +362,10 @@ def make_pipeline_spec(
         max_params=max(sizes),
         stage_in_shapes=tuple(in_shapes),
         act_flat=max(boundary),
+        stage_stat_runs=tuple(stat_runs),
+        max_stats=max(
+            [1] + [sum(n for _, _, n in runs) for runs in stat_runs]
+        ),
         dtype=jnp.dtype(dtype),
         units=u,
     )
@@ -326,19 +426,58 @@ def pack_pipeline_masks(spec: PipelineSpec, variables, frozen_fn=None):
 # stage branches + GPipe tick schedule
 
 
+def _splice_stats(spec: PipelineSpec, s: int, pflat, sflat):
+    """Stage-s packed row with its BN-stat runs replaced by the carried
+    ``sflat`` slice (all offsets static)."""
+    runs = spec.stage_stat_runs[s]
+    pcur = pflat[: spec.stage_sizes[s]]
+    if not runs:
+        return pcur
+    segs, pos = [], 0
+    for po, so, n in runs:
+        segs.append(pcur[pos:po])
+        segs.append(sflat[so : so + n])
+        pos = po + n
+    segs.append(pcur[pos:])
+    return jnp.concatenate(segs)
+
+
+def _extract_stats(spec: PipelineSpec, s: int, flat):
+    """Stage-s BN-stat slice of a packed/stage-sized flat buffer, padded to
+    the uniform (max_stats,) carry width."""
+    runs = spec.stage_stat_runs[s]
+    if not runs:
+        return jnp.zeros((spec.max_stats,), spec.dtype)
+    out = jnp.concatenate([flat[po : po + n] for po, _, n in runs])
+    if out.size < spec.max_stats:
+        out = jnp.concatenate(
+            [out, jnp.zeros((spec.max_stats - out.size,), spec.dtype)]
+        )
+    return out
+
+
 def _make_branch(spec: PipelineSpec, s: int, train: bool):
     """Uniform-signature stage program for ``lax.switch``:
-    (pflat (maxP,), xflat (F,)) -> (yflat (F,), new_pflat (maxP,), logits)."""
+    (pflat (maxP,), sflat (maxStats,), xflat (F,)) ->
+    (yflat (F,), new_sflat (maxStats,), logits).
+
+    ``pflat`` is the stage's packed weights — a loop CONSTANT of the tick
+    scan; only the thin BN-stat slice ``sflat`` is carried tick to tick
+    (running stats chain over a shard's microbatches). Carrying the full
+    packed row instead (the obvious formulation) makes every tick write and
+    checkpoint tens of MBs of unchanged weights — measured ~10 GB RSS and a
+    14-minute step on the 8-virtual-device CPU mesh vs <1 GB / ~1 min with
+    the stat-only carry; on a real slice the same bytes are per-tick HBM
+    traffic."""
     meta = spec.stage_metas[s]
-    size = spec.stage_sizes[s]
     in_shape = spec.stage_in_shapes[s]
     mb = spec.microbatch
     in_n = mb * int(np.prod(in_shape))
     last = s == spec.num_stages - 1
     lo, hi = spec.stage_units[s]
 
-    def branch(pflat, xflat):
-        p = _unflatten(pflat[:size], meta)
+    def branch(pflat, sflat, xflat):
+        p = _unflatten(_splice_stats(spec, s, pflat, sflat), meta)
         x = xflat[:in_n].reshape((mb,) + in_shape)
         new = {}
         for i in range(lo, hi):
@@ -355,12 +494,12 @@ def _make_branch(spec: PipelineSpec, s: int, train: bool):
             if last
             else jnp.zeros((mb, spec.num_classes), spec.dtype)
         )
-        if train:
-            nf, _ = _flatten(_stop_stat_grads(new), spec.dtype)
-            new_pflat = jnp.concatenate([nf, pflat[size:]])
+        if train and spec.stage_stat_runs[s]:
+            nf, _ = _flatten(new, spec.dtype)
+            new_sflat = jax.lax.stop_gradient(_extract_stats(spec, s, nf))
         else:
-            new_pflat = pflat
-        return yf, new_pflat, logits
+            new_sflat = sflat
+        return yf, new_sflat, logits
 
     return branch
 
@@ -390,8 +529,21 @@ def _gpipe_schedule(spec: PipelineSpec, branches, pflat0, images, labels, train)
     perm = [(i, (i + 1) % S) for i in range(S)]
     img_n = mb * int(np.prod(spec.stage_in_shapes[0]))
 
+    # The packed stage weights are a CONSTANT of the tick loop (SGD applies
+    # after the schedule); only the BN-stat slice is carried. This keeps the
+    # scan carry (and its autodiff residuals) at KBs instead of re-saving the
+    # multi-MB packed row every tick.
+    sflat0 = jax.lax.switch(
+        sid,
+        [
+            functools.partial(_extract_stats, spec, s)
+            for s in range(S)
+        ],
+        pflat0,
+    )
+
     def tick(carry, t):
-        pflat, buf, loss_acc, logits_acc = carry
+        sflat, buf, loss_acc, logits_acc = carry
         m = t - sid
         mc = jnp.clip(m, 0, M - 1)
         # stage 0 feeds microbatch t (clamped past the flush ticks)
@@ -402,10 +554,10 @@ def _gpipe_schedule(spec: PipelineSpec, branches, pflat0, images, labels, train)
             jnp.ravel(img).astype(spec.dtype), (0, spec.act_flat - img_n)
         )
         x = jnp.where(sid == 0, img_flat, buf)
-        y, new_pflat, logits = jax.lax.switch(sid, branches, pflat, x)
+        y, new_sflat, logits = jax.lax.switch(sid, branches, pflat0, sflat, x)
         valid = (m >= 0) & (m < M)
         if train:  # chain BN-stat updates only on real (non-bubble) ticks
-            pflat = jnp.where(valid, new_pflat, pflat)
+            sflat = jnp.where(valid, new_sflat, sflat)
         is_last_take = valid & (sid == S - 1)
         lab = jax.lax.dynamic_index_in_dim(labels, mc, 0, keepdims=False)
         mloss = _masked_ce(logits, lab)
@@ -415,18 +567,33 @@ def _gpipe_schedule(spec: PipelineSpec, branches, pflat0, images, labels, train)
             logits_acc, jnp.where(is_last_take, logits, prev), mc, 0
         )
         buf = jax.lax.ppermute(y, PIPE_AXIS, perm)
-        return (pflat, buf, loss_acc, logits_acc), None
+        return (sflat, buf, loss_acc, logits_acc), None
 
     carry0 = (
-        pflat0,
+        sflat0,
         jnp.zeros((spec.act_flat,), spec.dtype),
         jnp.zeros((), spec.dtype),
         jnp.zeros((M, mb, spec.num_classes), spec.dtype),
     )
-    (pflatN, _, loss_acc, logits_acc), _ = jax.lax.scan(
+    (sflatN, _, loss_acc, logits_acc), _ = jax.lax.scan(
         tick, carry0, jnp.arange(T)
     )
+    # re-inject the chained stats into the packed row (params unchanged)
+    pflatN = jax.lax.switch(
+        sid,
+        [_make_inject(spec, s) for s in range(S)],
+        pflat0,
+        sflatN,
+    )
     return pflatN, loss_acc, logits_acc
+
+
+def _make_inject(spec: PipelineSpec, s: int):
+    def inject(pflat, sflat):
+        spliced = _splice_stats(spec, s, pflat, sflat)
+        return jnp.concatenate([spliced, pflat[spec.stage_sizes[s] :]])
+
+    return inject
 
 
 def pipeline_param_sharding(mesh: Mesh) -> NamedSharding:

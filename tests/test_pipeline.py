@@ -238,10 +238,19 @@ class TestPipelineFlagship:
             "moco": truncated_moco_init(k1, 8),
             "classifier": classifier_init(k2, 256, 4),
         }
-        for s in (2, 4):
+        n_units = pp.FLAGSHIP_UNITS.num_units
+        assert n_units == 18  # stem + 16 bottleneck blocks + heads
+        for s in (2, 4, 8, 18):
             spec = pp.make_pipeline_spec(variables, s, 2, 64)
             assert spec.num_classes == 4
-            assert spec.stage_units[0][0] == 0 and spec.stage_units[-1][1] == 4
+            assert spec.stage_units[0][0] == 0
+            assert spec.stage_units[-1][1] == n_units
+            # contiguous cover, no empty stage
+            assert all(a < b for a, b in spec.stage_units)
+            assert all(
+                spec.stage_units[i][1] == spec.stage_units[i + 1][0]
+                for i in range(s - 1)
+            )
             # activation buffer covers the widest boundary incl. the input
             assert spec.act_flat >= 2 * 64 * 64 * 3
             rt = pp.unpack_pipeline_params(spec, pp.pack_pipeline_params(spec, variables))
@@ -249,6 +258,12 @@ class TestPipelineFlagship:
                 lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
                 variables, rt,
             )
+        # params-balanced grouping beats layer-granularity maxP (15.5M) by 2x
+        spec4 = pp.make_pipeline_spec(variables, 4, 2, 64)
+        assert spec4.max_params < 8_000_000
+        # legacy by-count grouping still available
+        specu = pp.make_pipeline_spec(variables, 4, 2, 64, balance="units")
+        assert specu.stage_units == ((0, 5), (5, 10), (10, 14), (14, 18))
 
     def test_eval_equals_single_device(self):
         from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
