@@ -25,5 +25,7 @@ from .sharding import (
     make_mesh_spatial,
     make_sharded_train_step,
     make_spatial_eval_step,
+    make_zero1_train_step,
     variable_shardings,
+    zero1_state_shardings,
 )

@@ -145,6 +145,71 @@ def make_spatial_eval_step(forward_eval, mesh: Mesh, crop: int = 224):
     )
 
 
+def _zero1_leaf_spec(leaf, data_size: int) -> P:
+    """Shard the leaf's largest data_size-divisible dim over 'data'; tiny or
+    indivisible leaves stay replicated (they are KBs — biases, BN scales)."""
+    if not hasattr(leaf, "shape") or leaf.ndim == 0:
+        return P()
+    for i in sorted(range(leaf.ndim), key=lambda j: -leaf.shape[j]):
+        if leaf.shape[i] >= data_size and leaf.shape[i] % data_size == 0:
+            spec = [None] * leaf.ndim
+            spec[i] = DATA_AXIS
+            return P(*spec)
+    return P()
+
+
+def zero1_state_shardings(opt_state, mesh: Mesh):
+    """ZeRO-1 layout for the optimiser state: every state leaf (the SGD
+    momentum / Adam moment trees) sharded 1/D over 'data', so each device
+    stores only its shard. Leaves with no data_size-divisible dim are
+    replicated — for the flagship that replicates <1% of the state bytes."""
+    d = mesh.shape[DATA_AXIS]
+    return jax.tree_util.tree_map(
+        lambda l: NamedSharding(mesh, _zero1_leaf_spec(l, d)), opt_state
+    )
+
+
+def make_zero1_train_step(
+    forward_train, optimizer, augment_fn, mesh: Mesh, variables, opt_state
+):
+    """Data-parallel train step with ZeRO-1 optimiser-state sharding.
+
+    Identical computation to ``make_sharded_train_step`` (the reference's
+    SGD semantics, train_best_RESNET50_Truncate.py:191-194), but the
+    optimiser state lives sharded 1/D over the 'data' axis instead of
+    replicated: GSPMD turns the gradient all-reduce into a reduce-scatter
+    into each device's momentum shard and an all-gather of the updated
+    parameters — the classic ZeRO-1 schedule, expressed purely as sharding
+    annotations on the SAME jitted step. Per-device optimiser memory drops
+    from O(P) to O(P/D) (the flagship's 25.5M-param momentum: 102 MB -> 13 MB
+    per device at D=8).
+
+    Returns (jitted step, optimizer-state sharding tree). The caller places
+    the initial state with ``jax.device_put(opt_state, o_shard)``.
+    """
+    from ..train.train_loop import make_train_step_body
+
+    step = make_train_step_body(forward_train, optimizer, augment_fn)
+    if MODEL_AXIS in mesh.axis_names:
+        v_shard = variable_shardings(variables, mesh)
+    else:
+        v_shard = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), variables
+        )
+    o_shard = zero1_state_shardings(opt_state, mesh)
+    repl = NamedSharding(mesh, P())
+    data = batch_sharding(mesh)
+    return (
+        jax.jit(
+            step,
+            in_shardings=(v_shard, o_shard, image_sharding(mesh), data, data, repl),
+            out_shardings=(v_shard, o_shard, repl),
+            donate_argnums=(0, 1),
+        ),
+        o_shard,
+    )
+
+
 def make_sharded_train_step(forward_train, optimizer, augment_fn, mesh: Mesh, variables):
     """Full training step jitted over the mesh: on-device augmentation ->
     forward -> CE -> grads -> SGD -> BN-stat merge, with the batch sharded

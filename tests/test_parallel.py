@@ -118,6 +118,92 @@ class TestShardedTrainStep:
         assert conv1.spec == jax.sharding.PartitionSpec()
 
 
+class TestZero1:
+    def test_zero1_matches_plain_dp_and_shards_momentum(self):
+        """ZeRO-1 is a layout change, not a semantics change: losses and
+        updated parameters must match the single-device step, while each
+        device physically stores only 1/D of the momentum buffers."""
+        from heuristique_style_transfer_code_tpu.data.augment import make_augment_fn
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            DATA_AXIS,
+            batch_sharding,
+            make_zero1_train_step,
+        )
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+        from heuristique_style_transfer_code_tpu.train.train_loop import make_train_step
+        from jax.sharding import Mesh
+
+        truncate = 5
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        variables = {
+            "moco": truncated_moco_init(k1, truncate, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+
+        def forward_train(v, images):
+            logits, new_v = combined_apply(
+                v["moco"], v["classifier"], images, truncate, train=True
+            )
+            return logits, {"moco": new_v, "classifier": v["classifier"]}
+
+        optimizer = sgd_momentum(0.01, variables)
+        augment = make_augment_fn([(None, None)], crop=64)
+
+        rng = np.random.RandomState(0)
+        images = rng.randint(0, 256, (8, 96, 96, 3), dtype=np.uint8)
+        labels = np.arange(8, dtype=np.int32) % 4
+        combos = np.zeros(8, dtype=np.int32)
+        key = jax.random.PRNGKey(1)
+        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+
+        # single-device reference: TWO steps (the second consumes nonzero
+        # momentum, so it actually exercises the sharded-state data path)
+        step1 = make_train_step(forward_train, optimizer, augment)
+        v1 = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        o1 = optimizer.init(v1)
+        v1, o1, loss1_a = step1(v1, o1, images, labels, combos, key)
+        v1, o1, loss1_b = step1(v1, o1, images, labels, combos, key)
+
+        # ZeRO-1 over a pure 8-way data mesh
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), (DATA_AXIS,))
+        vz = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        oz_host = optimizer.init(vz)
+        stepz, o_shard = make_zero1_train_step(
+            forward_train, optimizer, augment, mesh, host_vars, oz_host
+        )
+        oz = jax.device_put(oz_host, o_shard)
+        data = batch_sharding(mesh)
+        imgs_s = jax.device_put(jnp.asarray(images), data)
+        lbl_s = jax.device_put(jnp.asarray(labels), data)
+        cmb_s = jax.device_put(jnp.asarray(combos), data)
+        vz, oz, lossz_a = stepz(vz, oz, imgs_s, lbl_s, cmb_s, key)
+
+        # momentum buffers are physically 1/8 per device (the ZeRO-1 claim)
+        mom = jax.tree_util.tree_leaves(oz)
+        big = [m for m in mom if hasattr(m, "shape") and m.size >= 64]
+        assert big, "expected momentum leaves"
+        sharded = 0
+        for m in big:
+            shard = m.addressable_shards[0].data
+            if shard.size * 8 == m.size:
+                sharded += 1
+        # every >=64-element leaf has an 8-divisible dim in this model
+        assert sharded == len(big), (sharded, len(big))
+
+        vz, oz, lossz_b = stepz(vz, oz, imgs_s, lbl_s, cmb_s, key)
+
+        np.testing.assert_allclose(float(loss1_a), float(lossz_a), rtol=1e-5)
+        np.testing.assert_allclose(float(loss1_b), float(lossz_b), rtol=1e-5)
+        k_single = np.asarray(v1["classifier"]["fc"]["kernel"])
+        k_zero = np.asarray(vz["classifier"]["fc"]["kernel"])
+        np.testing.assert_allclose(k_single, k_zero, rtol=1e-4, atol=1e-6)
+
+
 class TestShardedEval:
     def test_jit_eval_step_shards_batch_and_matches_single_device(self):
         """VERDICT r1 #3: the eval path must actually use the mesh — sharded
