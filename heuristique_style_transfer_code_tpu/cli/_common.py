@@ -69,6 +69,13 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "(bit-identical to an uninterrupted run; uses the in-progress "
         "checkpoint the trainer writes every epoch in --save_dir)",
     )
+    parser.add_argument(
+        "--zero1", action="store_true",
+        help="ZeRO-1 optimiser-state sharding: store the SGD momentum 1/N "
+        "over the --devices data mesh (grads reduce-scattered into the "
+        "shards, params all-gathered). Same numerics as replicated state; "
+        "no effect on a single device",
+    )
 
 
 def resolve_class_names(

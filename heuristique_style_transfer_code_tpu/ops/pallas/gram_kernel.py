@@ -10,11 +10,15 @@ Two kernels, one grid program per batch element, everything resident in VMEM:
   intermediate never touches HBM — on top of the ~300x FLOP reduction of the
   algebraic rewrite (ops/gram.py).
 
-The XLA einsum path (ops/gram.py) remains the default — XLA already fuses
-these shapes well (measured within noise of these kernels on v5e for the
-model's shapes). Select this backend with HST_GRAM_BACKEND=pallas (or the
-``backend`` argument of ops.gram.pooled_gram_nhwc). Both are validated
-against the einsum path in tests (interpret mode on CPU, compiled on TPU).
+The XLA einsum path (ops/gram.py) remains the default — measured on a real
+v5e at the model's shapes (tools/bench_gram_backends.py, scan-slope): XLA
+is faster at 6 of 7 operating points (1.0x at the b8 style-loop Gram, up to
+15x at the tiny deep-layer pooled Grams), because these kernels run one
+grid program per batch element while XLA batches the contraction across N.
+Numbers recorded in PERF.md. Select this backend with
+HST_GRAM_BACKEND=pallas (or the ``backend`` argument of
+ops.gram.pooled_gram_nhwc). Both are validated against the einsum path in
+tests (interpret mode on CPU, compiled on TPU).
 """
 from __future__ import annotations
 

@@ -67,15 +67,25 @@ class FamilySetup:
 
 
 def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
-           frozen_fn=None, compute_dtype=None) -> FamilySetup:
+           frozen_fn=None, compute_dtype=None, zero1=False) -> FamilySetup:
     template = jax.eval_shape(init_variables, jax.random.PRNGKey(0))
     optimizer = sgd_momentum(lr, template, frozen_fn=frozen_fn)
     augment = make_augment_fn(combos)
+    opt_sharding = None
+    if zero1 and mesh is not None:
+        # ZeRO-1: momentum stored 1/D over the data axis — jit reshards the
+        # init state on the first step and keeps it sharded thereafter
+        from ..parallel.sharding import zero1_state_shardings
+
+        opt_template = jax.eval_shape(optimizer.init, template)
+        opt_sharding = zero1_state_shardings(opt_template, mesh)
     train_step = make_train_step(
-        _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh
+        _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh,
+        opt_sharding=opt_sharding,
     )
     train_step_multi = make_train_step_multi(
-        _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh
+        _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh,
+        opt_sharding=opt_sharding,
     )
     eval_step = make_eval_step(_cast_inputs(forward_eval, compute_dtype), mesh=mesh)
     return FamilySetup(init_variables, optimizer, train_step, eval_step,
@@ -89,6 +99,7 @@ def setup_truncated_resnet50(
     mesh=None,
     pretrained: Optional[Dict] = None,
     compute_dtype=None,
+    zero1: bool = False,
 ) -> FamilySetup:
     t = config.truncate_layer
 
@@ -110,7 +121,7 @@ def setup_truncated_resnet50(
         return logits
 
     return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, compute_dtype=compute_dtype)
+                  mesh, compute_dtype=compute_dtype, zero1=zero1)
 
 
 def make_truncated_resnet50(
@@ -137,6 +148,7 @@ def setup_gram_attention(
     pretrained: Optional[Dict] = None,
     freeze_encoder: bool = False,
     compute_dtype=None,
+    zero1: bool = False,
 ) -> FamilySetup:
     t, s = config.truncate_layer, config.gram_matrix_size
 
@@ -165,7 +177,7 @@ def setup_gram_attention(
             path.startswith("classifier") or path.startswith("attention")
         )
     return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, frozen_fn, compute_dtype)
+                  mesh, frozen_fn, compute_dtype, zero1=zero1)
 
 
 def make_gram_attention(
@@ -192,6 +204,7 @@ def setup_multi_patchgan(
     mesh=None,
     pretrained: Optional[Dict] = None,
     compute_dtype=None,
+    zero1: bool = False,
 ) -> FamilySetup:
     norm = config.norm
 
@@ -214,7 +227,7 @@ def setup_multi_patchgan(
         return logits
 
     return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, compute_dtype=compute_dtype)
+                  mesh, compute_dtype=compute_dtype, zero1=zero1)
 
 
 def make_multi_patchgan(

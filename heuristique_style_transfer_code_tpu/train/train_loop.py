@@ -77,8 +77,14 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     augment_fn: Callable,
     mesh: Optional[Mesh] = None,
+    opt_sharding=None,
 ):
     """forward_train(variables, images) -> (logits, new_variables).
+
+    ``opt_sharding`` (a sharding tree for the optimiser state, e.g. from
+    ``parallel.sharding.zero1_state_shardings``) stores the state sharded —
+    ZeRO-1 — instead of replicated; jit reshards the initial state on first
+    call and keeps it sharded thereafter.
 
     Returns jitted step(variables, opt_state, images_u8, labels, combos, key)
     -> (variables, opt_state, loss).
@@ -88,10 +94,11 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        osh = repl if opt_sharding is None else opt_sharding
         return jax.jit(
             step,
-            in_shardings=(repl, repl, data, data, data, repl),
-            out_shardings=(repl, repl, repl),
+            in_shardings=(repl, osh, data, data, data, repl),
+            out_shardings=(repl, osh, repl),
             donate_argnums=(0, 1),
         )
     return jax.jit(step, donate_argnums=(0, 1))
@@ -102,6 +109,7 @@ def make_train_step_multi(
     optimizer: optax.GradientTransformation,
     augment_fn: Callable,
     mesh: Optional[Mesh] = None,
+    opt_sharding=None,
 ):
     """K train steps per dispatch: inputs stacked on a leading steps axis and
     scanned on-device, so per-dispatch host latency (a ~30 ms RTT when the
@@ -135,10 +143,11 @@ def make_train_step_multi(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(None, "data"))  # (steps, batch, ...)
+        osh = repl if opt_sharding is None else opt_sharding
         return jax.jit(
             multi,
-            in_shardings=(repl, repl, data, data, data, repl),
-            out_shardings=(repl, repl, repl),
+            in_shardings=(repl, osh, data, data, data, repl),
+            out_shardings=(repl, osh, repl),
             donate_argnums=(0, 1),
         )
     return jax.jit(multi, donate_argnums=(0, 1))

@@ -204,6 +204,63 @@ class TestZero1:
         np.testing.assert_allclose(k_single, k_zero, rtol=1e-4, atol=1e-6)
 
 
+    def test_factory_zero1_matches_and_cli_flag_parses(self):
+        """The --zero1 CLI path: FamilySetup(zero1=True) must train
+        identically to the replicated-state setup while the post-step state
+        is physically sharded."""
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import (
+            build_parser,
+        )
+        from heuristique_style_transfer_code_tpu.config.schema import (
+            TruncatedResNetConfig,
+        )
+        from heuristique_style_transfer_code_tpu.core.mesh import create_mesh
+        from heuristique_style_transfer_code_tpu.train.factories import (
+            setup_truncated_resnet50,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        args = build_parser().parse_args(
+            ["--data", "x", "--config_path", "y", "--zero1"]
+        )
+        assert args.zero1 is True
+
+        cfg = TruncatedResNetConfig(batch_size=8, lr=0.01, truncate_layer=5,
+                                    seed=0, dim=16)
+        mesh = create_mesh(8)
+        combos = [(None, None)]
+        key = jax.random.PRNGKey(0)
+        rng = np.random.RandomState(1)
+        images = rng.randint(0, 256, (8, 96, 96, 3), dtype=np.uint8)
+        labels = np.arange(8, dtype=np.int32) % 4
+        cmb = np.zeros(8, dtype=np.int32)
+        akey = jax.random.PRNGKey(2)
+
+        losses, states = [], []
+        for zero1 in (False, True):
+            setup = setup_truncated_resnet50(
+                cfg, 4, combos, mesh=mesh, zero1=zero1
+            )
+            v, o = setup.init(key)
+            v, o, loss = setup.train_step(v, o, images, labels, cmb, akey)
+            losses.append(float(loss))
+            states.append(o)
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+        big = [
+            m for m in jax.tree_util.tree_leaves(states[1])
+            if hasattr(m, "shape") and m.size >= 64
+        ]
+        assert big and all(
+            m.addressable_shards[0].data.size * 8 == m.size for m in big
+        )
+        repl = NamedSharding(mesh, P())
+        assert all(
+            m.sharding == repl
+            for m in jax.tree_util.tree_leaves(states[0])
+            if hasattr(m, "sharding")
+        )
+
+
 class TestShardedEval:
     def test_jit_eval_step_shards_batch_and_matches_single_device(self):
         """VERDICT r1 #3: the eval path must actually use the mesh — sharded
