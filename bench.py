@@ -240,11 +240,16 @@ def bench_tpu() -> dict:
     vid_delta = [yuv420_delta_encode(b) for b in vid_yuv]
     log("[tpu] compiling delta-transport batch-%d ..." % BATCH)
     video_delta_match = True
+    video_delta_max_prob_diff = 0.0
     for yb, db in zip(vid_yuv, vid_delta):
         p_y = np.asarray(inferY(variables, jnp.asarray(yb)))
         p_d = np.asarray(inferYd(variables, jnp.asarray(db)))
         video_delta_match &= bool((p_y.argmax(1) == p_d.argmax(1)).all())
-        max_prob_diff = max(max_prob_diff, float(np.abs(p_y - p_d).max()))
+        # keep this separate from yuv_max_prob_diff: that key measures
+        # rgb-vs-yuv420 fidelity; this one measures delta-vs-plain-yuv420
+        video_delta_max_prob_diff = max(
+            video_delta_max_prob_diff, float(np.abs(p_y - p_d).max())
+        )
     for i in range(WARMUP):
         np.asarray(inferYd(variables, jnp.asarray(vid_delta[i % 3])))
     video_delta_fps = (
@@ -449,6 +454,7 @@ def bench_tpu() -> dict:
         "video_yuv_fps": float(video_yuv_fps),
         "video_delta_fps": float(video_delta_fps),
         "video_delta_match": video_delta_match,
+        "video_delta_max_prob_diff": float(video_delta_max_prob_diff),
         "device_resident_fps": float(BATCH / dev_step),
         "device_resident_tflops": float(BATCH * 4.1e9 / dev_step / 1e12),
         "device_resident_fps_int8": int8_fps,
@@ -749,6 +755,9 @@ def main():
                 "streaming_fps_video_yuv": round(tpu["video_yuv_fps"], 1),
                 "streaming_fps_video_delta": round(tpu["video_delta_fps"], 1),
                 "video_delta_argmax_matches_yuv": tpu["video_delta_match"],
+                "video_delta_max_prob_diff": round(
+                    tpu["video_delta_max_prob_diff"], 4
+                ),
                 "baseline_cpu_fps": round(baseline_fps, 2) if baseline_fps else None,
                 "note": "value = end-to-end pipelined streaming (host "
                 "downscale, camera-native YUV420 transfer — argmax verified "

@@ -505,13 +505,11 @@ def _make_branch(spec: PipelineSpec, s: int, train: bool):
 
 
 def _masked_ce(logits, labels):
-    """masked_cross_entropy (train/train_loop.py) computed in the logits'
-    own dtype — identical for f32, stays f64 under the x64 equality tests."""
-    valid = (labels >= 0).astype(logits.dtype)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    ll = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
-    return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    """The shared masked CE (dtype-following: f32, or f64 under the x64
+    equality tests) — one definition with the single-device train step."""
+    from ..train.train_loop import masked_cross_entropy
+
+    return masked_cross_entropy(logits, labels)
 
 
 def _gpipe_schedule(spec: PipelineSpec, branches, pflat0, images, labels, train):

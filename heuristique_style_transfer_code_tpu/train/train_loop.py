@@ -35,9 +35,14 @@ def _merge_bn_stats(variables, new_variables):
 
 
 def masked_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean CE over entries with label >= 0 (pad entries are -1)."""
-    valid = (labels >= 0).astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    """Mean CE over entries with label >= 0 (pad entries are -1).
+
+    Computed in f32 (bf16 logits are upcast), except f64 logits stay f64 —
+    the pipeline-parallel equality tests compare schedules at f64 exactness
+    (tests/test_pipeline.py)."""
+    ctype = jnp.float64 if logits.dtype == jnp.float64 else jnp.float32
+    valid = (labels >= 0).astype(ctype)
+    logp = jax.nn.log_softmax(logits.astype(ctype), axis=-1)
     safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
     ll = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
     return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1.0)

@@ -1,36 +1,24 @@
 """Test config: force CPU backend with 8 virtual devices so mesh/sharding
 tests run without TPU hardware (SURVEY.md §4 test plan)."""
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Force CPU: the image's sitecustomize imports jax at interpreter start with
 # JAX_PLATFORMS=axon (TPU tunnel), so env vars alone are read too early —
-# update the live jax config before any backend initialises.
+# update the live jax config before any backend initialises. The XLA flag
+# set (virtual device count, collective timeouts, single-threaded Eigen on
+# oversubscribed hosts) is shared with the driver dryrun — ONE assembly.
+from __graft_entry__ import virtual_cpu_xla_flags
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
-    # XLA-CPU aborts the process when a collective rendezvous takes >40s.
-    # On few-core hosts 8 virtual devices serialise their compute, so a
-    # legitimate pipeline-parallel step can exceed that between ppermutes.
-    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-               " --xla_cpu_collective_timeout_seconds=1200")
-if (os.cpu_count() or 1) < 8 and "xla_cpu_multi_thread_eigen" not in _flags:
-    # Oversubscribed hosts: Eigen's intra-op pool spins while work-stealing,
-    # and with 8 virtual devices it burns ~95% of a 1-core host in
-    # tf_XLAEigen threads (measured: flagship pp train step 685 s -> 106 s
-    # with single-threaded Eigen). Real multi-core CI keeps the pool.
-    _flags += " --xla_cpu_multi_thread_eigen=false"
-os.environ["XLA_FLAGS"] = _flags
+os.environ["XLA_FLAGS"] = virtual_cpu_xla_flags(os.environ.get("XLA_FLAGS", ""), 8)
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent compile cache incl. XLA:CPU *executables* (JAX only caches
 # non-CPU backends by default): the 8-virtual-device SPMD programs take

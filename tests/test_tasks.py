@@ -460,7 +460,7 @@ class TestYuvDeltaTransport:
         np.testing.assert_array_equal(p_delta.argmax(-1), p_plain.argmax(-1))
         np.testing.assert_allclose(p_delta, p_plain, atol=1e-5)
 
-    def test_stateful_batch1_bit_identical(self, family1):
+    def test_stateful_batch1_matches_plain(self, family1):
         from heuristique_style_transfer_code_tpu.tasks.camera import (
             make_camera_infer_fn_yuv,
             make_camera_infer_fn_yuv_delta1,
@@ -478,7 +478,13 @@ class TestYuvDeltaTransport:
             prev_host = f
             probs, prev_dev = delta1(variables, prev_dev, jnp.asarray(payload))
             ref = np.asarray(plain(variables, jnp.asarray(f)))
-            np.testing.assert_array_equal(np.asarray(probs), ref)
+            # pixel reconstruction is bit-exact (asserted below via prev_dev),
+            # but probs come from two different XLA programs — hold them to
+            # the same rounding tolerance as the batched test, not bit-equal
+            np.testing.assert_array_equal(
+                np.asarray(probs).argmax(-1), ref.argmax(-1)
+            )
+            np.testing.assert_allclose(np.asarray(probs), ref, atol=1e-5)
         # the carried device frame is the exact last input
         np.testing.assert_array_equal(np.asarray(prev_dev), frames[-1])
 
