@@ -7,6 +7,7 @@ from .pipeline import (
     FLAGSHIP_UNITS,
     PipelineSpec,
     PipelineUnits,
+    make_flagship_units,
     make_mesh_pipeline,
     make_pipeline_eval_step,
     make_pipeline_spec,

@@ -71,17 +71,6 @@ PIPE_AXIS = "pipe"
 # accumulator and the optimiser state).
 from ..nn.resnet import _STAGES as _RESNET_STAGES  # (name, blocks, width, stride)
 
-_FLAGSHIP_DESCS: Tuple[Tuple, ...] = (
-    (("stem",),)
-    + tuple(
-        (name, b, st if b == 0 else 1)
-        for name, nb, _, st in _RESNET_STAGES
-        for b in range(nb)
-    )
-    + (("heads",),)
-)
-_NUM_UNITS = len(_FLAGSHIP_DESCS)  # 18
-
 
 @dataclasses.dataclass(frozen=True)
 class PipelineUnits:
@@ -108,70 +97,85 @@ def make_mesh_pipeline(n_devices: Optional[int] = None, pipe: int = 4) -> Mesh:
 
 
 # ---------------------------------------------------------------------------
-# depth units of the truncate-8 flagship
+# depth units of the family-1 flagship (any truncation with >= 1 res stage)
 
 
-def _unit_trees(variables) -> List[Dict[str, Any]]:
-    """Split the flagship tree {'moco': {'encoder', 'fc'}, 'classifier'} into
-    the block-granular depth units. Keys are disjoint so stage groups merge
-    cleanly (block b of layerL is keyed ``layerL_b``)."""
-    enc = variables["moco"]["encoder"]
-    units: List[Dict[str, Any]] = [{"conv1": enc["conv1"], "bn1": enc["bn1"]}]
-    for name, nb, _, _ in _RESNET_STAGES:
-        for b in range(nb):
-            units.append({f"{name}_{b}": enc[name][b]})
-    units.append(
-        {"moco_fc": variables["moco"]["fc"], "clf_fc": variables["classifier"]["fc"]}
+def make_flagship_units(truncate: int = 8) -> PipelineUnits:
+    """Depth units of TruncatedMoCoV3 + classifier at ``truncate``
+    (Models/Models_RESNET50_TRUNCATE.py:9-14, list(children())[:truncate]):
+    stem | each included bottleneck block | heads. truncate 5..8 (at least
+    layer1 kept — below that there is no depth to pipeline).
+
+    Splits the tree {'moco': {'encoder', 'fc'}, 'classifier'} into
+    disjoint-key block-granular units (block b of layerL keyed ``layerL_b``)
+    so stage groups merge cleanly."""
+    assert 5 <= truncate <= 8, truncate
+    stages = _RESNET_STAGES[: truncate - 4]
+    descs: Tuple[Tuple, ...] = (
+        (("stem",),)
+        + tuple(
+            (name, b, st if b == 0 else 1)
+            for name, nb, _, st in stages
+            for b in range(nb)
+        )
+        + (("heads",),)
     )
-    return units
+
+    def trees(variables) -> List[Dict[str, Any]]:
+        enc = variables["moco"]["encoder"]
+        units: List[Dict[str, Any]] = [{"conv1": enc["conv1"], "bn1": enc["bn1"]}]
+        for name, nb, _, _ in stages:
+            for b in range(nb):
+                units.append({f"{name}_{b}": enc[name][b]})
+        units.append(
+            {"moco_fc": variables["moco"]["fc"], "clf_fc": variables["classifier"]["fc"]}
+        )
+        return units
+
+    def apply(i: int, p, x, train: bool):
+        """Unit i forward. Returns (y, new_subtree_or_None); the new subtree
+        has exactly the unit's keys (and p's leaf structure) so stage groups
+        re-pack with the same meta."""
+        from ..nn.resnet import _bottleneck_apply
+        from ..ops.conv import conv2d, max_pool2d
+        from ..ops.linear import linear
+        from ..ops.norm import batch_norm
+        from ..ops.pooling import global_avg_pool
+
+        desc = descs[i]
+        if desc[0] == "stem":
+            h = conv2d(p["conv1"], x, stride=2, padding=3)
+            if train:
+                h, nb = batch_norm(p["bn1"], h, train=True)
+            else:
+                h = batch_norm(p["bn1"], h, train=False)
+                nb = None
+            h = jax.nn.relu(h)
+            h = max_pool2d(h, 3, 2, 1)
+            return h, ({"conv1": p["conv1"], "bn1": nb} if train else None)
+        if desc[0] == "heads":
+            logits = linear(p["clf_fc"], linear(p["moco_fc"], global_avg_pool(x)))
+            new = {"moco_fc": p["moco_fc"], "clf_fc": p["clf_fc"]} if train else None
+            return logits, new
+        name, b, stride = desc
+        h, nblk = _bottleneck_apply(p[f"{name}_{b}"], x, stride, train=train)
+        return h, ({f"{name}_{b}": nblk} if train else None)
+
+    def rebuild(merged: Dict[str, Any]) -> Dict[str, Any]:
+        enc: Dict[str, Any] = {"conv1": merged["conv1"], "bn1": merged["bn1"]}
+        for name, nb, _, _ in stages:
+            enc[name] = [merged[f"{name}_{b}"] for b in range(nb)]
+        return {
+            "moco": {"encoder": enc, "fc": merged["moco_fc"]},
+            "classifier": {"fc": merged["clf_fc"]},
+        }
+
+    return PipelineUnits(
+        num_units=len(descs), trees=trees, apply=apply, rebuild=rebuild
+    )
 
 
-def _unit_apply(i: int, p, x, train: bool):
-    """Unit i forward. Returns (y, new_subtree_or_None); the new subtree has
-    exactly the unit's keys (and p's leaf structure) so stage groups re-pack
-    with the same meta."""
-    from ..nn.resnet import _bottleneck_apply
-    from ..ops.conv import conv2d, max_pool2d
-    from ..ops.linear import linear
-    from ..ops.norm import batch_norm
-    from ..ops.pooling import global_avg_pool
-
-    desc = _FLAGSHIP_DESCS[i]
-    if desc[0] == "stem":
-        h = conv2d(p["conv1"], x, stride=2, padding=3)
-        if train:
-            h, nb = batch_norm(p["bn1"], h, train=True)
-        else:
-            h = batch_norm(p["bn1"], h, train=False)
-            nb = None
-        h = jax.nn.relu(h)
-        h = max_pool2d(h, 3, 2, 1)
-        return h, ({"conv1": p["conv1"], "bn1": nb} if train else None)
-    if desc[0] == "heads":
-        logits = linear(p["clf_fc"], linear(p["moco_fc"], global_avg_pool(x)))
-        new = {"moco_fc": p["moco_fc"], "clf_fc": p["clf_fc"]} if train else None
-        return logits, new
-    name, b, stride = desc
-    h, nblk = _bottleneck_apply(p[f"{name}_{b}"], x, stride, train=train)
-    return h, ({f"{name}_{b}": nblk} if train else None)
-
-
-def _flagship_rebuild(merged: Dict[str, Any]) -> Dict[str, Any]:
-    enc: Dict[str, Any] = {"conv1": merged["conv1"], "bn1": merged["bn1"]}
-    for name, nb, _, _ in _RESNET_STAGES:
-        enc[name] = [merged[f"{name}_{b}"] for b in range(nb)]
-    return {
-        "moco": {"encoder": enc, "fc": merged["moco_fc"]},
-        "classifier": {"fc": merged["clf_fc"]},
-    }
-
-
-FLAGSHIP_UNITS = PipelineUnits(
-    num_units=_NUM_UNITS,
-    trees=_unit_trees,
-    apply=_unit_apply,
-    rebuild=_flagship_rebuild,
-)
+FLAGSHIP_UNITS = make_flagship_units(8)
 
 
 def _group_bounds(n_units: int, n_stages: int) -> Tuple[Tuple[int, int], ...]:

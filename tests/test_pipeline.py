@@ -293,6 +293,45 @@ class TestPipelineFlagship:
         ])
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
+    def test_truncated_units_eval_equals_single_device(self):
+        """make_flagship_units(truncate<8): the pipeline decomposition must
+        follow the configured truncation (SURVEY M1 truncate_after_layer),
+        not just the truncate-8 flagship."""
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init, combined_apply, truncated_moco_init,
+        )
+
+        S, D, MB, M, IMG, TRUNC = 2, 4, 1, 2, 32, 5
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        variables = {
+            "moco": truncated_moco_init(k1, TRUNC, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+        units = pp.make_flagship_units(TRUNC)
+        assert units.num_units == 5  # stem + 3 layer1 blocks + heads
+        rng = np.random.RandomState(4)
+        images = jnp.asarray(rng.rand(M, MB * D, IMG, IMG, 3), jnp.float32)
+        mesh = pp.make_mesh_pipeline(S * D, pipe=S)
+        spec = pp.make_pipeline_spec(variables, S, MB, IMG, units=units)
+        stacked = jax.device_put(
+            pp.pack_pipeline_params(spec, variables), pp.pipeline_param_sharding(mesh)
+        )
+        imgs = jax.device_put(images, pp.pipeline_batch_sharding(mesh))
+        got = np.asarray(pp.make_pipeline_eval_step(spec, mesh)(stacked, imgs))
+        ref = np.stack([
+            np.asarray(
+                combined_apply(variables["moco"], variables["classifier"], images[m], TRUNC)[0]
+            )
+            for m in range(M)
+        ])
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+        # pack/unpack roundtrip with the truncated tree
+        rt = pp.unpack_pipeline_params(spec, pp.pack_pipeline_params(spec, variables))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            variables, rt,
+        )
+
     @pytest.mark.skipif(
         os.environ.get("RUN_SLOW") != "1",
         reason="flagship pp train step: ~2 min compile on 1-core CI; the "
