@@ -24,6 +24,8 @@ from .sharding import (
     make_mesh_2d,
     make_mesh_3d,
     make_mesh_spatial,
+    fsdp_variable_shardings,
+    make_fsdp_train_step,
     make_sharded_train_step,
     make_spatial_eval_step,
     make_zero1_train_step,

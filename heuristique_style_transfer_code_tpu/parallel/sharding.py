@@ -210,6 +210,50 @@ def make_zero1_train_step(
     )
 
 
+def fsdp_variable_shardings(variables, mesh: Mesh):
+    """FSDP/ZeRO-3 layout for the parameters themselves: every leaf stored
+    1/D over 'data' (largest divisible dim), tiny/indivisible leaves
+    replicated."""
+    d = mesh.shape[DATA_AXIS]
+    return jax.tree_util.tree_map(
+        lambda l: NamedSharding(mesh, _zero1_leaf_spec(l, d)), variables
+    )
+
+
+def make_fsdp_train_step(
+    forward_train, optimizer, augment_fn, mesh: Mesh, variables, opt_state
+):
+    """Fully-sharded data parallelism (ZeRO-3): parameters AND optimiser
+    state stored 1/D over 'data'. XLA all-gathers each weight at its use
+    sites (forward and backward) and reduce-scatters the gradients straight
+    into the sharded update — per-device parameter + momentum memory drops
+    to O(P/D), paid for with per-step all-gather traffic over ICI. Same
+    computation, same numerics, pure sharding annotations on the shared
+    step body (the TPU-native expression of FSDP — no wrapper modules, no
+    hand-written gather/scatter).
+
+    Returns (jitted step, variable sharding tree, optimizer-state sharding
+    tree); place initial trees with ``jax.device_put`` (or let jit reshard
+    on first call)."""
+    from ..train.train_loop import make_train_step_body
+
+    step = make_train_step_body(forward_train, optimizer, augment_fn)
+    v_shard = fsdp_variable_shardings(variables, mesh)
+    o_shard = zero1_state_shardings(opt_state, mesh)
+    repl = NamedSharding(mesh, P())
+    data = batch_sharding(mesh)
+    return (
+        jax.jit(
+            step,
+            in_shardings=(v_shard, o_shard, image_sharding(mesh), data, data, repl),
+            out_shardings=(v_shard, o_shard, repl),
+            donate_argnums=(0, 1),
+        ),
+        v_shard,
+        o_shard,
+    )
+
+
 def make_sharded_train_step(forward_train, optimizer, augment_fn, mesh: Mesh, variables):
     """Full training step jitted over the mesh: on-device augmentation ->
     forward -> CE -> grads -> SGD -> BN-stat merge, with the batch sharded

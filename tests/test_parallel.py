@@ -204,6 +204,83 @@ class TestZero1:
         np.testing.assert_allclose(k_single, k_zero, rtol=1e-4, atol=1e-6)
 
 
+    def test_fsdp_matches_single_device_and_shards_params(self):
+        """FSDP/ZeRO-3: params AND momentum stored 1/D; two steps must match
+        the single-device trajectory (all-gather at use + reduce-scatter
+        into the sharded update is a layout, not a semantics change)."""
+        from heuristique_style_transfer_code_tpu.data.augment import make_augment_fn
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            DATA_AXIS,
+            batch_sharding,
+            make_fsdp_train_step,
+        )
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+        from heuristique_style_transfer_code_tpu.train.train_loop import make_train_step
+        from jax.sharding import Mesh
+
+        truncate = 5
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        variables = {
+            "moco": truncated_moco_init(k1, truncate, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+
+        def forward_train(v, images):
+            logits, new_v = combined_apply(
+                v["moco"], v["classifier"], images, truncate, train=True
+            )
+            return logits, {"moco": new_v, "classifier": v["classifier"]}
+
+        optimizer = sgd_momentum(0.01, variables)
+        augment = make_augment_fn([(None, None)], crop=64)
+        rng = np.random.RandomState(0)
+        images = rng.randint(0, 256, (8, 96, 96, 3), dtype=np.uint8)
+        labels = np.arange(8, dtype=np.int32) % 4
+        combos = np.zeros(8, dtype=np.int32)
+        key = jax.random.PRNGKey(1)
+        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+
+        step1 = make_train_step(forward_train, optimizer, augment)
+        v1 = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        o1 = optimizer.init(v1)
+        v1, o1, loss1_a = step1(v1, o1, images, labels, combos, key)
+        v1, o1, loss1_b = step1(v1, o1, images, labels, combos, key)
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), (DATA_AXIS,))
+        vf = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        of_host = optimizer.init(vf)
+        stepf, v_shard, o_shard = make_fsdp_train_step(
+            forward_train, optimizer, augment, mesh, host_vars, of_host
+        )
+        vf = jax.device_put(vf, v_shard)
+        of = jax.device_put(of_host, o_shard)
+        data = batch_sharding(mesh)
+        imgs_s = jax.device_put(jnp.asarray(images), data)
+        lbl_s = jax.device_put(jnp.asarray(labels), data)
+        cmb_s = jax.device_put(jnp.asarray(combos), data)
+        vf, of, lossf_a = stepf(vf, of, imgs_s, lbl_s, cmb_s, key)
+
+        # parameter leaves are physically 1/8 per device (the FSDP claim)
+        big = [
+            m for m in jax.tree_util.tree_leaves(vf)
+            if hasattr(m, "shape") and m.size >= 64
+        ]
+        assert big and all(
+            m.addressable_shards[0].data.size * 8 == m.size for m in big
+        )
+
+        vf, of, lossf_b = stepf(vf, of, imgs_s, lbl_s, cmb_s, key)
+        np.testing.assert_allclose(float(loss1_a), float(lossf_a), rtol=1e-5)
+        np.testing.assert_allclose(float(loss1_b), float(lossf_b), rtol=1e-5)
+        k_single = np.asarray(v1["classifier"]["fc"]["kernel"])
+        k_fsdp = np.asarray(vf["classifier"]["fc"]["kernel"])
+        np.testing.assert_allclose(k_single, k_fsdp, rtol=1e-4, atol=1e-6)
+
     def test_factory_zero1_matches_and_cli_flag_parses(self):
         """The --zero1 CLI path: FamilySetup(zero1=True) must train
         identically to the replicated-state setup while the post-step state
