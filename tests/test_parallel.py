@@ -338,6 +338,112 @@ class TestZero1:
         )
 
 
+class TestElasticResharding:
+    def test_checkpoint_roundtrip_across_mesh_sizes(self, tmp_path):
+        """Elastic topology change: train a ZeRO-1-sharded step on an
+        8-device mesh, checkpoint through the ordinary npz path, restore
+        onto a 4-device mesh and continue — the trajectory must equal an
+        uninterrupted single-device run. Checkpoints are host trees, so
+        resharding is free by design; this pins that property."""
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+            save_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.data.augment import make_augment_fn
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            DATA_AXIS,
+            batch_sharding,
+            make_zero1_train_step,
+        )
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
+        from heuristique_style_transfer_code_tpu.train.train_loop import make_train_step
+        from jax.sharding import Mesh
+
+        truncate = 5
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        variables = {
+            "moco": truncated_moco_init(k1, truncate, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+
+        def forward_train(v, images):
+            logits, new_v = combined_apply(
+                v["moco"], v["classifier"], images, truncate, train=True
+            )
+            return logits, {"moco": new_v, "classifier": v["classifier"]}
+
+        optimizer = sgd_momentum(0.01, variables)
+        augment = make_augment_fn([(None, None)], crop=64)
+        rng = np.random.RandomState(3)
+        images = rng.randint(0, 256, (8, 96, 96, 3), dtype=np.uint8)
+        labels = np.arange(8, dtype=np.int32) % 4
+        combos = np.zeros(8, dtype=np.int32)
+        key = jax.random.PRNGKey(9)
+        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+
+        # uninterrupted single-device reference, two steps
+        step1 = make_train_step(forward_train, optimizer, augment)
+        v1 = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        o1 = optimizer.init(v1)
+        v1, o1, _ = step1(v1, o1, images, labels, combos, key)
+        v1, o1, loss_ref = step1(v1, o1, images, labels, combos, key)
+
+        # step 1 on an 8-device ZeRO-1 mesh
+        mesh8 = Mesh(np.asarray(jax.devices()).reshape(8), (DATA_AXIS,))
+        v8 = jax.tree_util.tree_map(jnp.asarray, host_vars)
+        o8h = optimizer.init(v8)
+        step8, osh8 = make_zero1_train_step(
+            forward_train, optimizer, augment, mesh8, host_vars, o8h
+        )
+        d8 = batch_sharding(mesh8)
+        v8, o8, _ = step8(
+            v8,
+            jax.device_put(o8h, osh8),
+            jax.device_put(jnp.asarray(images), d8),
+            jax.device_put(jnp.asarray(labels), d8),
+            jax.device_put(jnp.asarray(combos), d8),
+            key,
+        )
+
+        # checkpoint (ordinary npz host trees — gathers the shards)
+        save_pytree_npz(v8, str(tmp_path / "v.npz"))
+        save_pytree_npz(o8, str(tmp_path / "o.npz"))
+        vr = load_pytree_npz(str(tmp_path / "v.npz"))
+        orr = load_pytree_npz(str(tmp_path / "o.npz"))
+        # npz trees are flat-keyed dicts of arrays; opt state needs its
+        # original structure back
+        orr = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(o8h),
+            jax.tree_util.tree_leaves(orr),
+        )
+
+        # step 2 on a DIFFERENT topology: 4-device ZeRO-1 mesh
+        mesh4 = Mesh(np.asarray(jax.devices()[:4]).reshape(4), (DATA_AXIS,))
+        step4, osh4 = make_zero1_train_step(
+            forward_train, optimizer, augment, mesh4, host_vars, orr
+        )
+        d4 = batch_sharding(mesh4)
+        v4, o4, loss4 = step4(
+            jax.tree_util.tree_map(jnp.asarray, vr),
+            jax.device_put(orr, osh4),
+            jax.device_put(jnp.asarray(images), d4),
+            jax.device_put(jnp.asarray(labels), d4),
+            jax.device_put(jnp.asarray(combos), d4),
+            key,
+        )
+        np.testing.assert_allclose(float(loss4), float(loss_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(v4["classifier"]["fc"]["kernel"]),
+            np.asarray(v1["classifier"]["fc"]["kernel"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
 class TestShardedEval:
     def test_jit_eval_step_shards_batch_and_matches_single_device(self):
         """VERDICT r1 #3: the eval path must actually use the mesh — sharded
