@@ -76,6 +76,14 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "shards, params all-gathered). Same numerics as replicated state; "
         "no effect on a single device",
     )
+    parser.add_argument(
+        "--parallel_folds", action="store_true",
+        help="Train all --k_folds CV folds SIMULTANEOUSLY as one SPMD "
+        "program over a (fold, data) device mesh — per-fold trajectories "
+        "identical to sequential training, wall time ~1 fold's. Needs "
+        "multiple --devices to win; exclusive with --resume, "
+        "--steps_per_dispatch and --zero1",
+    )
 
 
 def resolve_class_names(
@@ -429,6 +437,27 @@ def build_mesh(n_devices: Optional[int], batch_size: Optional[int] = None):
         while n > 1 and batch_size % n != 0:
             n -= 1
     return create_mesh(n)
+
+
+def resolve_fold_parallel(args, setup, k_folds: int, batch_size: int):
+    """--parallel_folds: build the (fold, data) mesh and the fold-parallel
+    train step (all CV folds as one SPMD program). Returns
+    (foldwise_step, fold_mesh), both None when the flag is off."""
+    if not getattr(args, "parallel_folds", False):
+        return None, None
+    if getattr(args, "zero1", False):
+        raise SystemExit(
+            "--parallel_folds and --zero1 are exclusive (the optimiser "
+            "state is already sharded over the fold axis)"
+        )
+    from ..parallel.foldparallel import make_fold_mesh
+
+    mesh = make_fold_mesh(k_folds, args.devices, batch_size)
+    print(
+        "Fold-parallel training: mesh "
+        f"{dict(zip(mesh.axis_names, mesh.devices.shape))}"
+    )
+    return setup.foldwise_step(mesh), mesh
 
 
 def resolve_eval_mesh(n_devices: Optional[int], batch_size: int):

@@ -21,6 +21,7 @@ from ._common import (
     make_writer,
     make_save_fn,
     resolve_compute_dtype,
+    resolve_fold_parallel,
     resolve_seed,
 )
 
@@ -105,6 +106,10 @@ def main(argv=None):
         variables, opt_state = setup.init(key)
         return variables, opt_state, setup.train_step, setup.eval_step
 
+    foldwise_step, fold_mesh = resolve_fold_parallel(
+        args, setup, args.k_folds, cfg.batch_size
+    )
+
     def on_fold_end(fold, result, model_path):
         """Reference family-2 per-fold artifact surface
         (train_best_RESNET50_Truncate_gram_attention.py:98-127):
@@ -159,6 +164,8 @@ def main(argv=None):
         train_step_multi=setup.train_step_multi,
         steps_per_dispatch=args.steps_per_dispatch,
         resume=args.resume,
+        foldwise_step=foldwise_step,
+        fold_mesh=fold_mesh,
         on_fold_end=on_fold_end,
     )
     if writer:

@@ -21,6 +21,7 @@ from ._common import (
     make_writer,
     make_save_fn,
     resolve_compute_dtype,
+    resolve_fold_parallel,
     resolve_seed,
 )
 
@@ -82,6 +83,10 @@ def main(argv=None):
         variables, opt_state = setup.init(key)
         return variables, opt_state, setup.train_step, setup.eval_step
 
+    foldwise_step, fold_mesh = resolve_fold_parallel(
+        args, setup, args.k_folds, cfg.batch_size
+    )
+
     with maybe_profile(args.profile_dir):
         run_kfold(
         dataset,
@@ -99,6 +104,8 @@ def main(argv=None):
         train_step_multi=setup.train_step_multi,
         steps_per_dispatch=args.steps_per_dispatch,
         resume=args.resume,
+        foldwise_step=foldwise_step,
+        fold_mesh=fold_mesh,
         # reference family-3 protocol: fixed split seed, an unconditional
         # model_fold_<k> checkpoint per fold, retrained_performance.json
         # (train_best_Multi_PatchGAN.py:63,119-130)

@@ -24,6 +24,7 @@ from ._common import (
     make_writer,
     make_save_fn,
     resolve_compute_dtype,
+    resolve_fold_parallel,
     resolve_seed,
     select_augmentations,
 )
@@ -91,6 +92,10 @@ def main(argv=None):
         variables, opt_state = setup.init(key)
         return variables, opt_state, setup.train_step, setup.eval_step
 
+    foldwise_step, fold_mesh = resolve_fold_parallel(
+        args, setup, args.k_folds, cfg.batch_size
+    )
+
     with maybe_profile(args.profile_dir):
         run_kfold(
         dataset,
@@ -109,6 +114,8 @@ def main(argv=None):
         train_step_multi=setup.train_step_multi,
         steps_per_dispatch=args.steps_per_dispatch,
         resume=args.resume,
+        foldwise_step=foldwise_step,
+        fold_mesh=fold_mesh,
     )
     if writer:
         writer.close()

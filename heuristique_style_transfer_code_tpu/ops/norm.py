@@ -49,7 +49,10 @@ def batch_norm(params, x: jax.Array, train: bool = False, eps: float = EPS):
     xf = x.astype(ctype)
     axes = (0, 1, 2)
     mean = jnp.mean(xf, axis=axes)
-    var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)  # biased
+    # Two-pass variance, NOT E[x^2]-E[x]^2: the cancelling form loses
+    # ~half the mantissa when |mean| >> std and its error is reduction-order
+    # dependent, so resharding the same step changes running-var leaves.
+    var = jnp.mean(jnp.square(xf - mean), axis=axes)  # biased
     n = x.shape[0] * x.shape[1] * x.shape[2]
     unbiased = var * (n / max(n - 1, 1))
     inv = scale * jax.lax.rsqrt(var + eps)

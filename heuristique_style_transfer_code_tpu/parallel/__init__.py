@@ -1,3 +1,10 @@
+from .foldparallel import (
+    make_fold_mesh,
+    make_foldwise_train_step,
+    stack_fold_states,
+    train_folds_parallel,
+    unstack_fold_state,
+)
 from .multihost import (
     global_batch_dict,
     initialize_distributed,

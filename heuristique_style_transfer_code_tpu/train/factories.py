@@ -52,7 +52,8 @@ class FamilySetup:
     this wrapper shares one compiled train/eval step across all folds."""
 
     def __init__(self, init_variables, optimizer, train_step, eval_step,
-                 forward_eval, train_step_multi=None):
+                 forward_eval, train_step_multi=None, forward_train=None,
+                 augment=None):
         self._init_variables = init_variables
         self._optimizer = optimizer
         self.train_step = train_step
@@ -60,10 +61,22 @@ class FamilySetup:
         self.forward_eval = forward_eval
         # K-steps-per-dispatch variant (jit-lazy: costs nothing unless used)
         self.train_step_multi = train_step_multi
+        # raw step ingredients, for step variants built on demand
+        self._forward_train = forward_train
+        self._augment = augment
 
     def init(self, key: jax.Array):
         variables = self._init_variables(key)
         return variables, self._optimizer.init(variables)
+
+    def foldwise_step(self, fold_mesh):
+        """Fold-parallel train step (all CV folds as one SPMD program —
+        parallel.foldparallel) over a (fold, data) mesh."""
+        from ..parallel.foldparallel import make_foldwise_train_step
+
+        return make_foldwise_train_step(
+            self._forward_train, self._optimizer, self._augment, fold_mesh
+        )
 
 
 def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
@@ -79,17 +92,19 @@ def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
 
         opt_template = jax.eval_shape(optimizer.init, template)
         opt_sharding = zero1_state_shardings(opt_template, mesh)
+    forward_train_cast = _cast_inputs(forward_train, compute_dtype)
     train_step = make_train_step(
-        _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh,
+        forward_train_cast, optimizer, augment, mesh=mesh,
         opt_sharding=opt_sharding,
     )
     train_step_multi = make_train_step_multi(
-        _cast_inputs(forward_train, compute_dtype), optimizer, augment, mesh=mesh,
+        forward_train_cast, optimizer, augment, mesh=mesh,
         opt_sharding=opt_sharding,
     )
     eval_step = make_eval_step(_cast_inputs(forward_eval, compute_dtype), mesh=mesh)
     return FamilySetup(init_variables, optimizer, train_step, eval_step,
-                       forward_eval, train_step_multi)
+                       forward_eval, train_step_multi,
+                       forward_train=forward_train_cast, augment=augment)
 
 
 def setup_truncated_resnet50(

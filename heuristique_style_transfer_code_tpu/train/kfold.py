@@ -140,6 +140,8 @@ def run_kfold(
     train_step_multi: Optional[Callable] = None,
     steps_per_dispatch: int = 1,
     resume: bool = False,
+    foldwise_step: Optional[Callable] = None,
+    fold_mesh=None,
     on_fold_end: Optional[Callable] = None,
     # on_fold_end(fold, result_dict, best_model_path): per-family extra
     # artifacts (e.g. family 2's best_performance/hyperparameters_fold files)
@@ -162,7 +164,17 @@ def run_kfold(
     epoch, BIT-IDENTICAL to an uninterrupted run (tested). The in-progress
     files are removed on successful completion; runs without ``resume``
     pay no per-epoch checkpoint cost. ``_interrupt_after=(fold, epoch)``
-    is a test seam that raises right after that epoch's checkpoint."""
+    is a test seam that raises right after that epoch's checkpoint.
+
+    Fold-parallel training (TPU-native, beyond the reference): pass
+    ``foldwise_step`` (from ``parallel.foldparallel.make_foldwise_train_step``
+    or ``FamilySetup.foldwise_step``) and its ``fold_mesh`` — ALL folds then
+    train simultaneously as one SPMD program, the fold index sharded over the
+    mesh's 'fold' axis, and the per-fold evaluation/artifact protocol below
+    runs unchanged on the trained states. Per-fold trajectories match the
+    sequential driver (same init keys, per-step PRNG subkeys, and batch
+    sequences; tested in tests/test_foldparallel.py). Mutually exclusive
+    with ``resume`` and ``steps_per_dispatch > 1``."""
     from sklearn.model_selection import KFold
 
     from ..utils.logging import StructuredLogger
@@ -244,20 +256,23 @@ def run_kfold(
     if save_fn is None:
         save_fn = save_model_and_hyperparameters
 
-    for fold, (train_idx, val_idx) in enumerate(kf.split(np.arange(len(dataset)))):
-        # advance the per-fold key stream even when skipping (resume):
-        # a resumed run must consume the same splits as an uninterrupted one
+    splits = list(kf.split(np.arange(len(dataset))))
+    # the per-fold key stream is consumed upfront in split order — the same
+    # stream the sequential per-fold loop draws, so both paths (and resumed
+    # runs, which must skip folds without skipping splits) stay identical
+    fold_keys = []
+    for _ in splits:
         key, init_key, train_key = jax.random.split(key, 3)
-        if resume_fold is not None and fold < resume_fold:
-            continue  # fold fully done; its results were restored above
-        print(f"FOLD {fold}")
+        fold_keys.append((init_key, train_key))
+
+    def make_train_loader(fold: int, train_idx) -> HostLoader:
         # augmentation product expansion: each train sample x each combo
         train_samples, combo_ids = [], []
         for i in train_idx:
             for c in range(combos_per_sample):
                 train_samples.append(dataset.samples[i])
                 combo_ids.append(combo_of(c) if combo_of else c)
-        train_loader = HostLoader(
+        return HostLoader(
             train_samples,
             batch_size,
             combo_ids=combo_ids,
@@ -265,6 +280,40 @@ def run_kfold(
             seed=seed + fold,
             num_workers=num_workers,
         )
+
+    trained_folds, fold_eval_steps = None, None
+    if foldwise_step is not None:
+        # all folds trained at once as one SPMD program (see docstring);
+        # the per-fold loop below then only evaluates and writes artifacts
+        if resume:
+            raise ValueError("fold-parallel training does not support --resume")
+        if steps_per_dispatch > 1:
+            raise ValueError(
+                "fold-parallel training and --steps_per_dispatch are exclusive"
+            )
+        from ..parallel.foldparallel import train_folds_parallel
+
+        fold_states, fold_eval_steps = [], []
+        for fold in range(k_folds):
+            variables, opt_state, _, eval_step = init_fn(fold_keys[fold][0], fold)
+            fold_states.append((variables, opt_state))
+            fold_eval_steps.append(eval_step)
+        trained_folds = train_folds_parallel(
+            foldwise_step,
+            fold_states,
+            [make_train_loader(f, splits[f][0]) for f in range(k_folds)],
+            epochs,
+            [tk for _, tk in fold_keys],
+            fold_mesh,
+            verbose_batches=verbose_batches,
+            writer=writer,
+        )
+
+    for fold, (train_idx, val_idx) in enumerate(splits):
+        init_key, train_key = fold_keys[fold]
+        if resume_fold is not None and fold < resume_fold:
+            continue  # fold fully done; its results were restored above
+        print(f"FOLD {fold}")
         val_loader = HostLoader(
             [dataset.samples[i] for i in val_idx],
             batch_size,
@@ -272,46 +321,51 @@ def run_kfold(
             num_workers=num_workers,
         )
 
-        variables, opt_state, train_step, eval_step = init_fn(init_key, fold)
+        if trained_folds is not None:
+            variables, opt_state = trained_folds[fold]
+            eval_step = fold_eval_steps[fold]
+        else:
+            train_loader = make_train_loader(fold, train_idx)
+            variables, opt_state, train_step, eval_step = init_fn(init_key, fold)
 
-        start_epoch = 0
-        if resume_state is not None and fold == resume_fold and resume_epochs > 0:
-            variables = resume_state["variables"]
-            opt_state = _restore_opt_state(resume_state, opt_state)
-            train_key = resume_state["key"]
-            start_epoch = resume_epochs
-            train_loader.set_epoch(start_epoch)
+            start_epoch = 0
+            if resume_state is not None and fold == resume_fold and resume_epochs > 0:
+                variables = resume_state["variables"]
+                opt_state = _restore_opt_state(resume_state, opt_state)
+                train_key = resume_state["key"]
+                start_epoch = resume_epochs
+                train_loader.set_epoch(start_epoch)
 
-        on_epoch_end = None
-        if resume:
+            on_epoch_end = None
+            if resume:
 
-            def on_epoch_end(epoch, v, o, k, _fold=fold):
-                _save_inprogress_state(
-                    save_dir, v, o, k, _fold, epoch + 1, signature
-                )
-                if _interrupt_after is not None and (_fold, epoch) == tuple(
-                    _interrupt_after
-                ):
-                    raise RuntimeError(
-                        f"interrupted after fold {_fold} epoch {epoch} (test seam)"
+                def on_epoch_end(epoch, v, o, k, _fold=fold):
+                    _save_inprogress_state(
+                        save_dir, v, o, k, _fold, epoch + 1, signature
                     )
+                    if _interrupt_after is not None and (_fold, epoch) == tuple(
+                        _interrupt_after
+                    ):
+                        raise RuntimeError(
+                            f"interrupted after fold {_fold} epoch {epoch} (test seam)"
+                        )
 
-        variables, opt_state = train_epochs(
-            train_step,
-            variables,
-            opt_state,
-            train_loader,
-            epochs,
-            train_key,
-            fold=fold,
-            writer=writer,
-            verbose_batches=verbose_batches,
-            mesh=mesh,
-            train_step_multi=train_step_multi,
-            steps_per_dispatch=steps_per_dispatch,
-            start_epoch=start_epoch,
-            on_epoch_end=on_epoch_end,
-        )
+            variables, opt_state = train_epochs(
+                train_step,
+                variables,
+                opt_state,
+                train_loader,
+                epochs,
+                train_key,
+                fold=fold,
+                writer=writer,
+                verbose_batches=verbose_batches,
+                mesh=mesh,
+                train_step_multi=train_step_multi,
+                steps_per_dispatch=steps_per_dispatch,
+                start_epoch=start_epoch,
+                on_epoch_end=on_epoch_end,
+            )
         result = evaluate(
             eval_step, variables, val_loader, num_classes, fold=fold,
             writer=writer, step=max(epochs - 1, 0),

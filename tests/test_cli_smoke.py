@@ -76,6 +76,41 @@ class TestTrainCLIs:
             assert hp["gram_matrix_size"] == 4
             assert hp["model_path"].endswith(f"best_model_fold_{k}.npz")
 
+    def test_train_parallel_folds_matches_sequential(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """--parallel_folds trains both CV folds as ONE SPMD program over a
+        (fold, data) mesh; the per-fold validation results must match the
+        sequential run (same args/seed as the trained_f1 fixture)."""
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
+
+        save_dir = str(tmp_path / "f1_parallel")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--epochs", "1", "--k_folds", "2", "--save_dir", save_dir,
+            "--seed", "0", "--parallel_folds", "--devices", "8",
+        ])
+        with open(os.path.join(trained_f1, "training_info.json")) as f:
+            seq = json.load(f)
+        with open(os.path.join(save_dir, "training_info.json")) as f:
+            par = json.load(f)
+        assert len(par["fold_results"]) == 2
+        for s, p in zip(seq["fold_results"], par["fold_results"]):
+            assert p["fold"] == s["fold"]
+            for k in ("val_loss", "val_accuracy", "val_f1"):
+                np.testing.assert_allclose(p[k], s[k], rtol=1e-4, atol=1e-5)
+
+    def test_parallel_folds_rejects_zero1(self, tiny_imagefolder, cfg_file, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
+
+        with pytest.raises(SystemExit, match="exclusive"):
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+                "--epochs", "1", "--k_folds", "2",
+                "--save_dir", str(tmp_path / "x"),
+                "--seed", "0", "--parallel_folds", "--zero1",
+            ])
+
     def test_train_multi_patchgan(self, tiny_imagefolder, cfg_file, tmp_path):
         from heuristique_style_transfer_code_tpu.cli.train_multi_patchgan import main
 
