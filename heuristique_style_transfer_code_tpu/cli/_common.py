@@ -80,8 +80,9 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "--parallel_folds", action="store_true",
         help="Train all --k_folds CV folds SIMULTANEOUSLY as one SPMD "
         "program over a (fold, data) device mesh — per-fold trajectories "
-        "identical to sequential training, wall time ~1 fold's. Needs "
-        "multiple --devices to win; exclusive with --resume, "
+        "identical to sequential training, wall time ~1 fold's. Needs a "
+        "--devices count k_folds divides to win (folds sharing a device "
+        "measured 0.76x sequential — PERF.md); exclusive with --resume, "
         "--steps_per_dispatch and --zero1",
     )
 
@@ -457,7 +458,25 @@ def resolve_fold_parallel(args, setup, k_folds: int, batch_size: int):
         "Fold-parallel training: mesh "
         f"{dict(zip(mesh.axis_names, mesh.devices.shape))}"
     )
+    warn_partial_fold_sharding(mesh, k_folds)
     return setup.foldwise_step(mesh), mesh
+
+
+def warn_partial_fold_sharding(mesh, k_folds: int) -> bool:
+    """Warn when the fold axis can't fully shard. Measured on a v5e chip
+    (PERF.md): vmapping folds that SHARE a device turns the per-fold-weight
+    convs into batched-kernel convs the MXU runs ~25% slower than sequential
+    folds — the win comes from sharding the fold axis (local fold width 1)."""
+    fold_dim = mesh.devices.shape[0]
+    if fold_dim >= k_folds:
+        return False
+    print(
+        f"WARNING: only {fold_dim} of {k_folds} folds shard onto "
+        "devices (fold axis = gcd(k_folds, devices)); folds sharing a "
+        "device run ~0.76x sequential speed on TPU (PERF.md). "
+        "Use a device count that k_folds divides for the full win."
+    )
+    return True
 
 
 def resolve_eval_mesh(n_devices: Optional[int], batch_size: int):

@@ -21,6 +21,14 @@ augmentation product), so folds whose epoch ends early go *inactive*: their
 stacked state passes through ``jnp.where`` unchanged rather than receiving
 a zero-gradient step — which would still move SGD momentum and BatchNorm
 running statistics (equality-tested in tests/test_foldparallel.py).
+
+The speedup REQUIRES the fold axis to actually shard (local fold width 1).
+Measured on one v5e chip (PERF.md): vmapping 4 folds that share a device is
+0.76x the 4 sequential steps — the vmap turns per-fold-weight convolutions
+into batched-kernel (grouped) convolutions the MXU runs less efficiently,
+and the per-fold batch is too small to recover it. ``make_fold_mesh`` puts
+``gcd(k_folds, n_devices)`` on the fold axis; pick a device count the fold
+count divides.
 """
 from __future__ import annotations
 

@@ -191,3 +191,23 @@ class TestFoldParallelDriver:
             run_kfold(idx, resume=True, **kwargs)
         with pytest.raises(ValueError, match="steps_per_dispatch"):
             run_kfold(idx, steps_per_dispatch=4, **kwargs)
+
+
+class TestPartialFoldShardingWarning:
+    def test_warns_only_when_folds_share_a_device(self, capsys):
+        """Folds that share a device run the vmapped (grouped-conv) body —
+        measured 0.76x sequential on a v5e chip (PERF.md) — so the CLI must
+        warn whenever gcd(k_folds, devices) < k_folds, and stay quiet when
+        the fold axis fully shards."""
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            warn_partial_fold_sharding,
+        )
+
+        full = make_fold_mesh(4, 8, batch_size=8)  # fold axis = 4 = k_folds
+        assert not warn_partial_fold_sharding(full, 4)
+        assert "WARNING" not in capsys.readouterr().out
+
+        partial = make_fold_mesh(3, 8, batch_size=8)  # gcd(3, 8) = 1
+        assert warn_partial_fold_sharding(partial, 3)
+        out = capsys.readouterr().out
+        assert "only 1 of 3 folds" in out and "0.76x" in out
