@@ -35,8 +35,33 @@ def build_parser():
         description="HTTP inference server with dynamic batching"
     )
     parser.add_argument("--family", choices=FAMILIES, default="truncated_resnet50")
-    parser.add_argument("--config_path", type=str, required=True)
-    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--config_path", type=str,
+                        help="Required unless --artifact is given")
+    parser.add_argument("--model_path", type=str,
+                        help="Required unless --artifact is given")
+    parser.add_argument(
+        "--artifact", type=str, default=None,
+        help="Serve from an AOT artifact (deploy/artifact.py): the fused "
+        "program + weights as one StableHLO file — no model code, config "
+        "or checkpoint needed (transport/crop/classes come from its "
+        "metadata; precision is baked in)",
+    )
+    parser.add_argument(
+        "--export_artifact", type=str, default=None,
+        help="Export the serving program (with the current --precision/"
+        "--transport) to this path and exit instead of serving",
+    )
+    parser.add_argument(
+        "--export_batch", type=str, default="any",
+        help="Batch size baked into the exported artifact; 'any' (default) "
+        "exports a symbolic batch dimension valid for every batch size",
+    )
+    parser.add_argument(
+        "--export_platforms", type=str, default=None,
+        help="Comma-separated lowering platforms for the artifact "
+        "(e.g. 'tpu,cpu' for one artifact served on TPU and smoke-tested "
+        "on CPU); default: the current backend",
+    )
     parser.add_argument("--classes", nargs="+", type=str)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000,
@@ -120,12 +145,13 @@ def _build_forward(family: str, config_path: str, model_path: str):
     return forward_eval, variables, config
 
 
-def start(args):
-    """Build the batcher + HTTP server and start both (returns (srv, batcher);
-    used by main() and callable programmatically/from tests)."""
-    from ..tasks.serving import BatchingInferenceServer
-    from ..tasks.serving_http import make_http_server
-
+def _resolve_forward(args):
+    """(forward_eval, variables, config, class_names) with the precision
+    path (bf16 cast / int8 PTQ) already applied — shared by the serving and
+    artifact-export flows so the exported program IS the served program."""
+    if not args.config_path or not args.model_path:
+        raise ValueError("--config_path and --model_path are required "
+                         "unless --artifact is given")
     forward_eval, variables, config = _build_forward(
         args.family, args.config_path, args.model_path
     )
@@ -176,17 +202,82 @@ def start(args):
         forward_eval = cast_forward(
             forward_eval, resolve_compute_dtype(args.precision)
         )
-    start_profile(args.profile_dir)
+    return forward_eval, variables, config, class_names
 
-    batcher = BatchingInferenceServer(
-        forward_eval,
-        variables,
-        batch_size=args.batch_size,
-        max_delay_ms=args.max_delay_ms,
-        max_in_flight=args.max_in_flight,
-        transport=args.transport,
-        mesh=resolve_eval_mesh(args.devices, args.batch_size),
-    ).start()
+
+def export_artifact(args) -> None:
+    """--export_artifact flow: trace+lower the exact serving program (same
+    precision/transport knobs as `start`) and write one deployable file."""
+    from ..deploy import export_infer_artifact, save_infer_artifact
+
+    forward_eval, variables, config, class_names = _resolve_forward(args)
+    batch = None if args.export_batch == "any" else int(args.export_batch)
+    platforms = (
+        [p.strip() for p in args.export_platforms.split(",") if p.strip()]
+        if args.export_platforms else None
+    )
+    blob, meta = export_infer_artifact(
+        forward_eval, variables,
+        transport=args.transport, batch_size=batch, platforms=platforms,
+        class_names=class_names,
+        extra_meta={"family": args.family, "precision": args.precision},
+    )
+    save_infer_artifact(args.export_artifact, blob, meta)
+    print(f"Artifact exported to {args.export_artifact} "
+          f"(platforms {meta['platforms']}, batch "
+          f"{'symbolic' if batch is None else batch}, "
+          f"{len(blob) / 1e6:.1f} MB)")
+
+
+def start(args):
+    """Build the batcher + HTTP server and start both (returns (srv, batcher);
+    used by main() and callable programmatically/from tests)."""
+    from ..tasks.serving import BatchingInferenceServer
+    from ..tasks.serving_http import make_http_server
+
+    if args.artifact:
+        from ..deploy import load_infer_artifact
+
+        art = load_infer_artifact(args.artifact)
+        meta = art.meta
+        if meta["batch_size"] is not None and meta["batch_size"] != args.batch_size:
+            print(f"Note: artifact pins batch_size={meta['batch_size']} "
+                  f"(overriding --batch_size {args.batch_size})")
+        batch_size = meta["batch_size"] or args.batch_size
+        if meta["transport"] != args.transport:
+            print(f"Note: artifact transport is '{meta['transport']}' "
+                  f"(overriding --transport {args.transport})")
+        class_names = resolve_class_names(
+            args.classes, {"classes": meta["class_names"]}
+            if meta.get("class_names") else {}, None,
+        )
+        if args.devices:
+            print("Note: --devices is ignored with --artifact (the program "
+                  "is sealed; shard at export time instead)")
+        start_profile(args.profile_dir)
+        batcher = BatchingInferenceServer(
+            None, None,
+            batch_size=batch_size,
+            max_delay_ms=args.max_delay_ms,
+            max_in_flight=args.max_in_flight,
+            transport=meta["transport"],
+            crop=meta["crop"],
+            infer_fn=art.server_infer_fn(),
+        ).start()
+    else:
+        forward_eval, variables, config, class_names = _resolve_forward(args)
+        batch_size = args.batch_size
+        start_profile(args.profile_dir)
+
+        batcher = BatchingInferenceServer(
+            forward_eval,
+            variables,
+            batch_size=args.batch_size,
+            max_delay_ms=args.max_delay_ms,
+            max_in_flight=args.max_in_flight,
+            transport=args.transport,
+            mesh=resolve_eval_mesh(args.devices, args.batch_size),
+        ).start()
     if not args.no_warmup:
         # pay the jit compile (minutes on a remote-compile backend) BEFORE
         # the port opens, so no live request ever times out on it
@@ -206,14 +297,26 @@ def start(args):
 
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     host, port = srv.server_address
-    print(f"Serving {args.family} on http://{host}:{port} "
-          f"(batch {args.batch_size}, deadline {args.max_delay_ms} ms)")
+    served = (
+        f"artifact {args.artifact} [{art.meta.get('family', 'unknown')}]"
+        if args.artifact else args.family
+    )
+    print(f"Serving {served} on http://{host}:{port} "
+          f"(batch {batch_size}, deadline {args.max_delay_ms} ms)")
     return srv, batcher
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     apply_debug_flags(args)
+    if args.export_artifact:
+        if args.artifact:
+            raise ValueError("--export_artifact and --artifact are exclusive")
+        export_artifact(args)
+        return
+    if args.artifact and args.precision != "float32":
+        raise ValueError("--precision is baked into the artifact at export "
+                         "time; do not pass it with --artifact")
     # SIGTERM = orchestrated shutdown (systemd/k8s): stop accepting, drain
     # everything already submitted, then exit — same path as Ctrl-C.
     # Registered BEFORE the (slow) warmup so a signal landing mid-compile

@@ -1,0 +1,177 @@
+"""AOT-compiled serving artifacts (``jax.export`` / StableHLO).
+
+TPU-native deployment counterpart of the reference's "ship a ``.pth`` plus
+the model class" flow (``/root/reference/README.md`` usage +
+``functions/functions_RESNET50_Truncate.py`` ``load_model``): the entire
+fused serving program — uint8 ingest, optional YUV→RGB, normalise, forward,
+softmax — together with the trained weights is serialised as ONE portable
+StableHLO artifact. The serving host needs no model code, no checkpoint
+file and no config: :func:`load_infer_artifact` returns a callable that XLA
+compiles for whatever platform it lands on.
+
+Why this is the TPU-first shape for deployment:
+
+- the artifact is the *traced* program, so what was validated is exactly
+  what serves — no Python-side drift, no dependency skew, no accidental
+  retrace with different dtypes;
+- the weights are embedded as StableHLO constants, so model + code version
+  atomically (one file, one hash);
+- a symbolic batch dimension (``batch_size=None``) exports one artifact
+  valid for EVERY batch size — ``jax.export`` shape polymorphism; XLA
+  specialises per concrete shape at call time and the persistent compile
+  cache (core/cache.py) makes repeat loads cheap;
+- multi-platform export (``platforms=("tpu", "cpu")``) lets one artifact be
+  smoke-tested on a CPU host and served on TPU slices.
+
+The int8 PTQ path exports too: the quantised encoder tree is closed over
+like any other variables, so the artifact ships the int8 weights and the
+fused requant program.
+"""
+from __future__ import annotations
+
+import json
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+ARTIFACT_FORMAT = "hst-infer-artifact"
+ARTIFACT_VERSION = 1
+
+
+def _fused_infer(forward_eval: Callable, *, crop: int, transport: str,
+                 compute_dtype=None) -> Callable:
+    """The exact fused batch pipeline the serving batcher dispatches
+    (tasks/serving.py): uint8 frames → probabilities, one program."""
+    if transport == "yuv420":
+        from ..tasks.camera import make_camera_infer_fn_yuv
+
+        return make_camera_infer_fn_yuv(
+            forward_eval, crop, compute_dtype=compute_dtype, batch=-1
+        )
+    if transport == "rgb":
+        from ..tasks.camera import make_camera_infer_fn
+
+        return make_camera_infer_fn(
+            forward_eval, compute_dtype=compute_dtype, batch=-1,
+            host_downscale=True,
+        )
+    raise ValueError("transport must be 'rgb' or 'yuv420'")
+
+
+def _input_shape_tail(crop: int, transport: str) -> tuple:
+    """Per-frame shape the artifact expects after the host-side prep that
+    ``BatchingInferenceServer.submit`` performs (downscale to crop², then
+    optional planar I420 packing)."""
+    if transport == "yuv420":
+        return (crop * 3 // 2, crop)
+    return (crop, crop, 3)
+
+
+def export_infer_artifact(
+    forward_eval: Callable,
+    variables,
+    *,
+    crop: int = 224,
+    transport: str = "rgb",
+    compute_dtype=None,
+    batch_size: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    class_names: Optional[Sequence[str]] = None,
+    extra_meta: Optional[dict] = None,
+) -> tuple:
+    """Trace + lower the fused serving program with ``variables`` baked in.
+
+    Returns ``(blob, meta)``: the serialised ``jax.export.Exported`` bytes
+    and the artifact metadata dict. ``batch_size=None`` exports a symbolic
+    batch dimension (one artifact, any batch size); an int pins it.
+    ``platforms=None`` lowers for the current default backend; pass e.g.
+    ``("tpu", "cpu")`` for a cross-platform artifact.
+    """
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    infer = _fused_infer(
+        forward_eval, crop=crop, transport=transport, compute_dtype=compute_dtype
+    )
+
+    @jax.jit
+    def serving_program(batch_u8):
+        return infer(variables, batch_u8)
+
+    tail = _input_shape_tail(crop, transport)
+    if batch_size is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    spec = jax.ShapeDtypeStruct((b,) + tail, jnp.uint8)
+    exp = jexport.export(
+        serving_program,
+        platforms=tuple(platforms) if platforms is not None else None,
+    )(spec)
+    meta = {
+        "format": ARTIFACT_FORMAT,
+        "version": ARTIFACT_VERSION,
+        "crop": int(crop),
+        "transport": transport,
+        "batch_size": batch_size,
+        "input_shape": ["b" if batch_size is None else int(batch_size), *tail],
+        "num_outputs": int(np.prod(exp.out_avals[0].shape[1:])),
+        "platforms": list(exp.platforms),
+        "class_names": list(class_names) if class_names is not None else None,
+        "compute_dtype": (
+            jnp.dtype(compute_dtype).name if compute_dtype is not None else None
+        ),
+        "jax_version": jax.__version__,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    return exp.serialize(), meta
+
+
+class InferenceArtifact:
+    """A loaded serving artifact: ``artifact(batch_u8) -> probs``.
+
+    ``batch_u8`` is ``(B, crop, crop, 3)`` RGB for the ``rgb`` transport or
+    ``(B, crop*3//2, crop)`` planar I420 for ``yuv420`` — the same frames
+    the batching server ships. The call is jitted, so each concrete batch
+    shape compiles once (symbolic-batch artifacts accept any B).
+    """
+
+    def __init__(self, exported, meta: dict):
+        import jax
+
+        self.meta = dict(meta)
+        self.exported = exported
+        self._call = jax.jit(exported.call)
+
+    def __call__(self, batch_u8):
+        return self._call(batch_u8)
+
+    def server_infer_fn(self) -> Callable:
+        """Adapter matching ``BatchingInferenceServer(infer_fn=...)``:
+        ``fn(variables, batch) -> probs`` with variables ignored (they are
+        constants inside the artifact)."""
+        return lambda _variables, batch_u8: self._call(batch_u8)
+
+
+def save_infer_artifact(path: str, blob: bytes, meta: dict) -> None:
+    """One self-contained file: the StableHLO blob + JSON metadata (npz
+    container — stdlib-loadable, atomic to replace)."""
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            stablehlo=np.frombuffer(blob, dtype=np.uint8),
+            meta=np.asarray(json.dumps(meta)),
+        )
+
+
+def load_infer_artifact(path: str) -> InferenceArtifact:
+    from jax import export as jexport
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta.get("format") != ARTIFACT_FORMAT:
+            raise ValueError(f"{path} is not a {ARTIFACT_FORMAT} file")
+        blob = z["stablehlo"].tobytes()
+    return InferenceArtifact(jexport.deserialize(bytearray(blob)), meta)

@@ -83,10 +83,18 @@ class BatchingInferenceServer:
         crop: int = 224,
         transport: str = "rgb",
         mesh=None,
+        infer_fn: Optional[Callable] = None,
     ):
         """``mesh``: a jax Mesh — each batch is placed batch-sharded over its
         'data' axis, so one server saturates several chips (jit respects the
-        input sharding; numerics identical to single-device, tested)."""
+        input sharding; numerics identical to single-device, tested).
+
+        ``infer_fn``: a prebuilt fused program ``fn(variables, batch_u8) ->
+        probs`` used INSTEAD of building one from ``forward_eval`` — the hook
+        for AOT serving artifacts (deploy/artifact.py), where the whole
+        pipeline+weights ship as one StableHLO blob and ``variables`` may be
+        ``None``. The batch it receives matches ``transport`` (RGB frames or
+        planar I420), exactly what this server would otherwise build."""
         if transport not in ("rgb", "yuv420"):
             raise ValueError("transport must be 'rgb' or 'yuv420'")
         self._sharding = None
@@ -95,7 +103,9 @@ class BatchingInferenceServer:
 
             self._sharding = batch_sharding(mesh)  # shard the batch axis only
         self.transport = transport
-        if transport == "yuv420":
+        if infer_fn is not None:
+            self._infer = infer_fn
+        elif transport == "yuv420":
             from .camera import make_camera_infer_fn_yuv
 
             self._infer = make_camera_infer_fn_yuv(

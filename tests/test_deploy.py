@@ -1,0 +1,302 @@
+"""AOT serving artifacts (deploy/artifact.py): export → file → load →
+bit-identical serving, including through the batching server and the CLI.
+
+TPU-native deployment counterpart of the reference's .pth + model-class
+flow (functions/functions_RESNET50_Truncate.py load_model): one StableHLO
+file carries the fused program AND the weights.
+"""
+import http.client
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heuristique_style_transfer_code_tpu.deploy import (
+    export_infer_artifact,
+    load_infer_artifact,
+    save_infer_artifact,
+)
+from heuristique_style_transfer_code_tpu.tasks.camera import (
+    make_camera_infer_fn,
+    make_camera_infer_fn_yuv,
+)
+
+CROP = 32
+CLASSES = 4
+
+
+def _variables():
+    rng = np.random.RandomState(0)
+    return {
+        "w": jnp.asarray(rng.randn(CROP * CROP * 3, CLASSES).astype(np.float32) * 0.01),
+        "b": jnp.asarray(rng.randn(CLASSES).astype(np.float32)),
+    }
+
+
+def _forward(variables, images):
+    flat = images.reshape(images.shape[0], -1)
+    return flat @ variables["w"] + variables["b"]
+
+
+def _rgb_batch(n, seed=0):
+    return np.random.RandomState(seed).randint(
+        0, 256, (n, CROP, CROP, 3), dtype=np.uint8
+    )
+
+
+class TestArtifactRoundTrip:
+    def test_symbolic_batch_exact(self, tmp_path):
+        """One artifact, every batch size — exported weights baked in, the
+        loaded program matches the live fused pipeline bit-for-bit."""
+        variables = _variables()
+        blob, meta = export_infer_artifact(
+            _forward, variables, crop=CROP, class_names=list("abcd")
+        )
+        path = str(tmp_path / "model.hstart.npz")
+        save_infer_artifact(path, blob, meta)
+        art = load_infer_artifact(path)
+        assert art.meta["batch_size"] is None
+        assert art.meta["class_names"] == list("abcd")
+        assert art.meta["num_outputs"] == CLASSES
+        for n, seed in ((2, 1), (5, 2)):
+            batch = _rgb_batch(n, seed)
+            ref = make_camera_infer_fn(_forward, batch=n, host_downscale=True)(
+                variables, jnp.asarray(batch)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(art(jnp.asarray(batch))), np.asarray(ref)
+            )
+
+    def test_static_batch_pins_shape(self, tmp_path):
+        blob, meta = export_infer_artifact(
+            _forward, _variables(), crop=CROP, batch_size=3
+        )
+        assert meta["input_shape"] == [3, CROP, CROP, 3]
+        path = str(tmp_path / "static.npz")
+        save_infer_artifact(path, blob, meta)
+        art = load_infer_artifact(path)
+        assert art(jnp.asarray(_rgb_batch(3))).shape == (3, CLASSES)
+        with pytest.raises(Exception):  # wrong batch: sealed program refuses
+            art(jnp.asarray(_rgb_batch(4)))
+
+    def test_yuv420_transport(self, tmp_path):
+        variables = _variables()
+        blob, meta = export_infer_artifact(
+            _forward, variables, crop=CROP, transport="yuv420"
+        )
+        assert meta["input_shape"] == ["b", CROP * 3 // 2, CROP]
+        path = str(tmp_path / "yuv.npz")
+        save_infer_artifact(path, blob, meta)
+        art = load_infer_artifact(path)
+        yuv = np.random.RandomState(3).randint(
+            0, 256, (3, CROP * 3 // 2, CROP), dtype=np.uint8
+        )
+        ref = make_camera_infer_fn_yuv(_forward, CROP, batch=3)(
+            variables, jnp.asarray(yuv)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(art(jnp.asarray(yuv))), np.asarray(ref)
+        )
+
+    def test_multi_platform_lowering(self, tmp_path):
+        """A ('tpu', 'cpu') artifact lowers from a CPU-only process and still
+        executes on CPU — the deploy-on-TPU / smoke-on-CPU story."""
+        blob, meta = export_infer_artifact(
+            _forward, _variables(), crop=CROP, platforms=("tpu", "cpu")
+        )
+        assert meta["platforms"] == ["tpu", "cpu"]
+        path = str(tmp_path / "mp.npz")
+        save_infer_artifact(path, blob, meta)
+        probs = np.asarray(load_infer_artifact(path)(jnp.asarray(_rgb_batch(2))))
+        np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+
+    def test_load_rejects_foreign_file(self, tmp_path):
+        path = str(tmp_path / "not_art.npz")
+        np.savez(path, x=np.zeros(3))
+        with pytest.raises((ValueError, KeyError)):
+            load_infer_artifact(path)
+
+    def test_family1_resnet_artifact(self, tmp_path):
+        """Real flagship model: the exported truncate-5 combined forward
+        equals the live path exactly, through the file."""
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply,
+            truncated_moco_init,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        variables = {
+            "moco": truncated_moco_init(k1, 5, dim=16),
+            "classifier": classifier_init(k2, 16, CLASSES),
+        }
+
+        def forward_eval(v, images):
+            return combined_apply(v["moco"], v["classifier"], images, 5)[0]
+
+        blob, meta = export_infer_artifact(forward_eval, variables, crop=CROP)
+        path = str(tmp_path / "f1.npz")
+        save_infer_artifact(path, blob, meta)
+        art = load_infer_artifact(path)
+        batch = _rgb_batch(2, seed=7)
+        ref = make_camera_infer_fn(forward_eval, batch=2, host_downscale=True)(
+            variables, jnp.asarray(batch)
+        )
+        # not bit-exact: the deserialized StableHLO module is a different
+        # program to XLA (one sealed call op), so fusion choices can differ
+        # by a ULP on a 50-layer net — observed max 3e-8 abs
+        np.testing.assert_allclose(
+            np.asarray(art(jnp.asarray(batch))), np.asarray(ref),
+            rtol=1e-6, atol=1e-7,
+        )
+
+
+class TestInt8Artifact:
+    def test_int8_ptq_exports_identically(self, tmp_path):
+        """The PTQ path (int8 weights + calibrated scales, requant fused)
+        exports like any other program: the artifact closes over the
+        quantised tree and matches the live int8 forward."""
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            combined_apply_int8,
+            prepare_combined_int8,
+            truncated_moco_init,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        variables = {
+            "moco": truncated_moco_init(k1, 5, dim=16),
+            "classifier": classifier_init(k2, 16, CLASSES),
+        }
+        rng = np.random.RandomState(1)
+        calib = [rng.randn(4, CROP, CROP, 3).astype(np.float32) for _ in range(2)]
+        q_encoder = prepare_combined_int8(variables["moco"], 5, calib)
+
+        def forward_eval(_v, images):  # quantised tree closed over
+            return combined_apply_int8(
+                q_encoder, variables["moco"], variables["classifier"], images
+            )[0]
+
+        blob, meta = export_infer_artifact(
+            forward_eval, None, crop=CROP, extra_meta={"precision": "int8"}
+        )
+        path = str(tmp_path / "int8.npz")
+        save_infer_artifact(path, blob, meta)
+        art = load_infer_artifact(path)
+        assert art.meta["precision"] == "int8"
+        batch = _rgb_batch(2, seed=11)
+        ref = make_camera_infer_fn(forward_eval, batch=2, host_downscale=True)(
+            None, jnp.asarray(batch)
+        )
+        np.testing.assert_allclose(
+            np.asarray(art(jnp.asarray(batch))), np.asarray(ref),
+            rtol=1e-6, atol=1e-7,
+        )
+
+
+class TestArtifactServing:
+    def test_server_from_artifact_matches_model_server(self):
+        """BatchingInferenceServer(infer_fn=artifact) resolves the same
+        probabilities as the model-backed server."""
+        from heuristique_style_transfer_code_tpu.tasks.serving import (
+            BatchingInferenceServer,
+        )
+
+        variables = _variables()
+        blob, meta = export_infer_artifact(_forward, variables, crop=CROP)
+        # in-memory load (no temp file needed for this test)
+        from jax import export as jexport
+
+        from heuristique_style_transfer_code_tpu.deploy.artifact import (
+            InferenceArtifact,
+        )
+
+        artifact = InferenceArtifact(jexport.deserialize(bytearray(blob)), meta)
+        frames = [f for f in _rgb_batch(6, seed=9)]
+
+        def run(server):
+            with server:
+                futs = [server.submit(f) for f in frames]
+                return np.stack([f.result(timeout=60) for f in futs])
+
+        got = run(
+            BatchingInferenceServer(
+                None, None, batch_size=4, max_delay_ms=20, crop=CROP,
+                infer_fn=artifact.server_infer_fn(),
+            )
+        )
+        ref = run(
+            BatchingInferenceServer(
+                _forward, variables, batch_size=4, max_delay_ms=20, crop=CROP
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestArtifactCLI:
+    def test_export_then_serve(self, tmp_path):
+        """serve CLI --export_artifact writes the file; --artifact serves it
+        over HTTP with classes from the artifact metadata."""
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            save_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.serve import (
+            build_parser,
+            export_artifact,
+            start,
+        )
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            truncated_moco_init,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        tree = {
+            "moco": truncated_moco_init(k1, 5, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }
+        ckpt = str(tmp_path / "model.npz")
+        save_pytree_npz(tree, ckpt)
+        cfg = str(tmp_path / "cfg.json")
+        with open(cfg, "w") as f:
+            json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                       "seed": 0, "dim": 16}, f)
+        art_path = str(tmp_path / "deploy.npz")
+
+        export_artifact(build_parser().parse_args([
+            "--config_path", cfg, "--model_path", ckpt,
+            "--export_artifact", art_path, "--classes",
+            "fog", "rain", "snow", "sun",
+        ]))
+
+        args = build_parser().parse_args([
+            "--artifact", art_path, "--port", "0", "--batch_size", "2",
+            "--max_delay_ms", "5",
+        ])
+        srv, batcher = start(args)
+        try:
+            host, port = srv.server_address
+            conn = http.client.HTTPConnection(host, port, timeout=300)
+            frame = np.random.RandomState(2).randint(
+                0, 256, (224, 224, 3), dtype=np.uint8
+            )
+            conn.request(
+                "POST", "/predict", body=frame.tobytes(),
+                headers={"X-Raw-Shape": "224,224,3"},
+            )
+            r = conn.getresponse()
+            assert r.status == 200
+            out = json.loads(r.read())
+            assert out["class"] in ["fog", "rain", "snow", "sun"]
+            np.testing.assert_allclose(sum(out["probs"]), 1.0, rtol=1e-4)
+        finally:
+            srv.shutdown()
+            batcher.stop(drain=True)
+
+    def test_artifact_rejects_precision_flag(self, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.serve import main
+
+        with pytest.raises(ValueError, match="baked into the artifact"):
+            main(["--artifact", str(tmp_path / "x.npz"), "--precision", "bf16"])
