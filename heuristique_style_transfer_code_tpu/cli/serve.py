@@ -216,10 +216,17 @@ def export_artifact(args) -> None:
         [p.strip() for p in args.export_platforms.split(",") if p.strip()]
         if args.export_platforms else None
     )
+    mesh = None
+    if args.devices:
+        if batch is None:
+            raise ValueError("--devices with --export_artifact needs a "
+                             "concrete --export_batch (sharded SPMD export "
+                             "cannot use a symbolic batch)")
+        mesh = resolve_eval_mesh(args.devices, batch)
     blob, meta = export_infer_artifact(
         forward_eval, variables,
         transport=args.transport, batch_size=batch, platforms=platforms,
-        class_names=class_names,
+        class_names=class_names, mesh=mesh,
         extra_meta={"family": args.family, "precision": args.precision},
     )
     save_infer_artifact(args.export_artifact, blob, meta)
@@ -253,7 +260,8 @@ def start(args):
         )
         if args.devices:
             print("Note: --devices is ignored with --artifact (the program "
-                  "is sealed; shard at export time instead)")
+                  "is sealed; shard at export time: --export_artifact with "
+                  "--devices N --export_batch B)")
         start_profile(args.profile_dir)
         batcher = BatchingInferenceServer(
             None, None,

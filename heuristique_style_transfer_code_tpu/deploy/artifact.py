@@ -78,6 +78,7 @@ def export_infer_artifact(
     platforms: Optional[Sequence[str]] = None,
     class_names: Optional[Sequence[str]] = None,
     extra_meta: Optional[dict] = None,
+    mesh=None,
 ) -> tuple:
     """Trace + lower the fused serving program with ``variables`` baked in.
 
@@ -86,6 +87,12 @@ def export_infer_artifact(
     batch dimension (one artifact, any batch size); an int pins it.
     ``platforms=None`` lowers for the current default backend; pass e.g.
     ``("tpu", "cpu")`` for a cross-platform artifact.
+
+    ``mesh``: a jax Mesh — the program is exported batch-sharded over the
+    mesh's 'data' axis (SPMD with the collectives baked into the artifact);
+    sharding is per-dimension metadata, so this requires a concrete
+    ``batch_size``. Serving the artifact then needs exactly ``mesh.size``
+    devices.
     """
     import jax
     from jax import export as jexport
@@ -95,9 +102,24 @@ def export_infer_artifact(
         forward_eval, crop=crop, transport=transport, compute_dtype=compute_dtype
     )
 
-    @jax.jit
-    def serving_program(batch_u8):
-        return infer(variables, batch_u8)
+    if mesh is not None:
+        if batch_size is None:
+            raise ValueError(
+                "mesh-sharded export needs a concrete batch_size (a symbolic "
+                "batch dimension cannot carry a sharding constraint)"
+            )
+        from ..parallel.sharding import batch_sharding
+
+        sh = batch_sharding(mesh)
+        serving_program = jax.jit(
+            lambda batch_u8: infer(variables, batch_u8),
+            in_shardings=sh, out_shardings=sh,
+        )
+    else:
+
+        @jax.jit
+        def serving_program(batch_u8):
+            return infer(variables, batch_u8)
 
     tail = _input_shape_tail(crop, transport)
     if batch_size is None:
@@ -122,6 +144,7 @@ def export_infer_artifact(
         "compute_dtype": (
             jnp.dtype(compute_dtype).name if compute_dtype is not None else None
         ),
+        "n_devices": int(exp.nr_devices),
         "jax_version": jax.__version__,
     }
     if extra_meta:
@@ -146,6 +169,14 @@ class InferenceArtifact:
         self._call = jax.jit(exported.call)
 
     def __call__(self, batch_u8):
+        import jax
+
+        need = int(self.exported.nr_devices)
+        if need > len(jax.devices()):
+            raise RuntimeError(
+                f"artifact was exported SPMD over {need} devices but only "
+                f"{len(jax.devices())} are visible"
+            )
         return self._call(batch_u8)
 
     def server_infer_fn(self) -> Callable:

@@ -112,6 +112,42 @@ class TestArtifactRoundTrip:
         probs = np.asarray(load_infer_artifact(path)(jnp.asarray(_rgb_batch(2))))
         np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
 
+    def test_mesh_sharded_artifact(self, tmp_path):
+        """SPMD export: the artifact carries the batch sharding over the
+        8-device mesh and matches the single-device program."""
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            batch_sharding,
+            make_mesh_2d,
+        )
+
+        variables = _variables()
+        mesh = make_mesh_2d(8)
+        blob, meta = export_infer_artifact(
+            _forward, variables, crop=CROP, batch_size=16, mesh=mesh
+        )
+        assert meta["n_devices"] == 8
+        path = str(tmp_path / "spmd.npz")
+        save_infer_artifact(path, blob, meta)
+        art = load_infer_artifact(path)
+        batch = _rgb_batch(16, seed=5)
+        got = art(jax.device_put(jnp.asarray(batch), batch_sharding(mesh)))
+        ref = make_camera_infer_fn(_forward, batch=16, host_downscale=True)(
+            variables, jnp.asarray(batch)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-7
+        )
+
+    def test_mesh_requires_concrete_batch(self):
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_2d,
+        )
+
+        with pytest.raises(ValueError, match="concrete batch_size"):
+            export_infer_artifact(
+                _forward, _variables(), crop=CROP, mesh=make_mesh_2d(8)
+            )
+
     def test_load_rejects_foreign_file(self, tmp_path):
         path = str(tmp_path / "not_art.npz")
         np.savez(path, x=np.zeros(3))
