@@ -1,3 +1,4 @@
+from .async_io import AsyncCheckpointWriter
 from .io import (
     load_hyperparameters,
     load_pytree_npz,

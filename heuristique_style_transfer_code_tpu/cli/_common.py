@@ -70,6 +70,13 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "checkpoint the trainer writes every epoch in --save_dir)",
     )
     parser.add_argument(
+        "--async_checkpoint", action="store_true",
+        help="With --resume: write the per-epoch in-progress checkpoint in "
+        "a background thread (device-side snapshot at submit, so the next "
+        "epoch starts immediately; same atomic on-disk format). A crash "
+        "can lose only the newest epoch's checkpoint, never corrupt one",
+    )
+    parser.add_argument(
         "--zero1", action="store_true",
         help="ZeRO-1 optimiser-state sharding: store the SGD momentum 1/N "
         "over the --devices data mesh (grads reduce-scattered into the "

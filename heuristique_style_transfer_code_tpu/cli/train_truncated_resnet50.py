@@ -114,6 +114,7 @@ def main(argv=None):
         train_step_multi=setup.train_step_multi,
         steps_per_dispatch=args.steps_per_dispatch,
         resume=args.resume,
+        async_checkpoint=args.async_checkpoint,
         foldwise_step=foldwise_step,
         fold_mesh=fold_mesh,
     )

@@ -59,27 +59,33 @@ def _run_signature(seed, k_folds, epochs, split_seed, hyperparameters) -> str:
     )
 
 
-def _save_inprogress_state(
-    save_dir, variables, opt_state, key, fold, epochs_done, signature
-):
+def _inprogress_tree(variables, opt_state, key, fold, epochs_done, signature):
     """ONE atomic artifact per epoch: variables + flattened optimiser leaves
     + the evolved PRNG key + the position (fold, epochs_done) + the run
     signature. Position and state living in the same file means no crash
     window can pair epoch-E+1 weights with an epoch-E position."""
+    return {
+        "variables": variables,
+        "opt_leaves": list(jax.tree_util.tree_leaves(opt_state)),
+        "key": np.asarray(key),
+        "fold": int(fold),
+        "epochs_done": int(epochs_done),
+        "signature": np.asarray(signature),
+    }
+
+
+def _save_inprogress_state(
+    save_dir, variables, opt_state, key, fold, epochs_done, signature,
+    async_writer=None,
+):
     from ..checkpoint.io import save_pytree_npz
 
-    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(opt_state)]
-    save_pytree_npz(
-        {
-            "variables": variables,
-            "opt_leaves": leaves,
-            "key": np.asarray(key),
-            "fold": int(fold),
-            "epochs_done": int(epochs_done),
-            "signature": np.asarray(signature),
-        },
-        os.path.join(save_dir, _INPROGRESS_STATE),
-    )
+    tree = _inprogress_tree(variables, opt_state, key, fold, epochs_done, signature)
+    path = os.path.join(save_dir, _INPROGRESS_STATE)
+    if async_writer is not None:
+        async_writer.submit(tree, path)  # device snapshot; write overlapped
+    else:
+        save_pytree_npz(tree, path)
 
 
 def _load_inprogress_state(save_dir):
@@ -140,6 +146,7 @@ def run_kfold(
     train_step_multi: Optional[Callable] = None,
     steps_per_dispatch: int = 1,
     resume: bool = False,
+    async_checkpoint: bool = False,
     foldwise_step: Optional[Callable] = None,
     fold_mesh=None,
     on_fold_end: Optional[Callable] = None,
@@ -163,7 +170,11 @@ def run_kfold(
     boundaries), and an interrupted run continues from the last completed
     epoch, BIT-IDENTICAL to an uninterrupted run (tested). The in-progress
     files are removed on successful completion; runs without ``resume``
-    pay no per-epoch checkpoint cost. ``_interrupt_after=(fold, epoch)``
+    pay no per-epoch checkpoint cost. ``async_checkpoint=True`` moves the
+    per-epoch write to a background thread (device-side snapshot at submit,
+    checkpoint/async_io.py): the next epoch starts immediately, files and
+    resume numerics are unchanged, and a crash can lose only the newest
+    epoch's checkpoint, never corrupt one. ``_interrupt_after=(fold, epoch)``
     is a test seam that raises right after that epoch's checkpoint.
 
     Fold-parallel training (TPU-native, beyond the reference): pass
@@ -199,6 +210,11 @@ def run_kfold(
     signature = _run_signature(
         seed, k_folds, epochs, split_seed, hyperparameters
     )
+    acw = None
+    if resume and async_checkpoint:
+        from ..checkpoint.async_io import AsyncCheckpointWriter
+
+        acw = AsyncCheckpointWriter()  # flushes via atexit even on a crash
     resume_state, resume_fold, resume_epochs = None, None, 0
     if resume:
         meta = load_training_info(save_dir, _INPROGRESS_META)
@@ -341,11 +357,15 @@ def run_kfold(
 
                 def on_epoch_end(epoch, v, o, k, _fold=fold):
                     _save_inprogress_state(
-                        save_dir, v, o, k, _fold, epoch + 1, signature
+                        save_dir, v, o, k, _fold, epoch + 1, signature,
+                        async_writer=acw,
                     )
                     if _interrupt_after is not None and (_fold, epoch) == tuple(
                         _interrupt_after
                     ):
+                        if acw is not None:
+                            acw.wait()  # the seam models a crash boundary;
+                            # atexit would flush in a real process anyway
                         raise RuntimeError(
                             f"interrupted after fold {_fold} epoch {epoch} (test seam)"
                         )
@@ -456,6 +476,9 @@ def run_kfold(
             )
     save_training_info(training_info, save_dir, "training_info.json")
     save_training_info(best_model_results, save_dir, "best_model_results.json")
+    if acw is not None:
+        acw.close()  # drain BEFORE clearing: a pending write must not
+        # re-materialise the in-progress file after the cleanup
     _clear_inprogress(save_dir)
     if best_global_path:
         print(
