@@ -70,6 +70,16 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "checkpoint the trainer writes every epoch in --save_dir)",
     )
     parser.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="Gradient accumulation: run the configured batch as this many "
+        "sequential micro-batches with ONE optimiser update — train "
+        "effective batches whose activations exceed HBM. Loss/grads equal "
+        "the full-batch step (global masked mean); BatchNorm models use "
+        "micro-batch statistics (ghost BN, as in pipeline parallelism). "
+        "batch_size must divide; exclusive with --steps_per_dispatch>1 "
+        "and --parallel_folds",
+    )
+    parser.add_argument(
         "--async_checkpoint", action="store_true",
         help="With --resume: write the per-epoch in-progress checkpoint in "
         "a background thread (device-side snapshot at submit, so the next "
@@ -445,6 +455,27 @@ def build_mesh(n_devices: Optional[int], batch_size: Optional[int] = None):
         while n > 1 and batch_size % n != 0:
             n -= 1
     return create_mesh(n)
+
+
+def apply_grad_accum(args, setup, batch_size: int):
+    """--grad_accum K: replace setup.train_step with the accumulation step
+    (train_loop.make_train_step_accum). Validates divisibility and the
+    exclusive flags here so misuse fails before any compile."""
+    n = int(getattr(args, "grad_accum", 1) or 1)
+    if n <= 1:
+        return
+    if getattr(args, "steps_per_dispatch", 1) > 1:
+        raise SystemExit("--grad_accum and --steps_per_dispatch>1 are "
+                         "exclusive (pick one batching of the dispatch)")
+    if getattr(args, "parallel_folds", False):
+        raise SystemExit("--grad_accum and --parallel_folds are exclusive")
+    if batch_size % n:
+        raise SystemExit(
+            f"--grad_accum {n} does not divide batch_size {batch_size}"
+        )
+    setup.train_step = setup.accum_step(n)
+    print(f"Gradient accumulation: {n} micro-batches of "
+          f"{batch_size // n} per optimiser step")
 
 
 def resolve_fold_parallel(args, setup, k_folds: int, batch_size: int):

@@ -21,6 +21,7 @@ from ._common import (
     make_writer,
     make_save_fn,
     resolve_compute_dtype,
+    apply_grad_accum,
     resolve_fold_parallel,
     resolve_seed,
 )
@@ -106,6 +107,7 @@ def main(argv=None):
         variables, opt_state = setup.init(key)
         return variables, opt_state, setup.train_step, setup.eval_step
 
+    apply_grad_accum(args, setup, cfg.batch_size)
     foldwise_step, fold_mesh = resolve_fold_parallel(
         args, setup, args.k_folds, cfg.batch_size
     )

@@ -53,7 +53,7 @@ class FamilySetup:
 
     def __init__(self, init_variables, optimizer, train_step, eval_step,
                  forward_eval, train_step_multi=None, forward_train=None,
-                 augment=None):
+                 augment=None, mesh=None, opt_sharding=None):
         self._init_variables = init_variables
         self._optimizer = optimizer
         self.train_step = train_step
@@ -64,6 +64,8 @@ class FamilySetup:
         # raw step ingredients, for step variants built on demand
         self._forward_train = forward_train
         self._augment = augment
+        self._mesh = mesh
+        self._opt_sharding = opt_sharding
 
     def init(self, key: jax.Array):
         variables = self._init_variables(key)
@@ -76,6 +78,18 @@ class FamilySetup:
 
         return make_foldwise_train_step(
             self._forward_train, self._optimizer, self._augment, fold_mesh
+        )
+
+    def accum_step(self, n_accum: int):
+        """Gradient-accumulation train step (train_loop.make_train_step_accum):
+        the configured batch runs as n_accum sequential micro-batches with
+        one optimiser update — for effective batches whose activations
+        exceed HBM."""
+        from .train_loop import make_train_step_accum
+
+        return make_train_step_accum(
+            self._forward_train, self._optimizer, self._augment, n_accum,
+            mesh=self._mesh, opt_sharding=self._opt_sharding,
         )
 
 
@@ -104,7 +118,8 @@ def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
     eval_step = make_eval_step(_cast_inputs(forward_eval, compute_dtype), mesh=mesh)
     return FamilySetup(init_variables, optimizer, train_step, eval_step,
                        forward_eval, train_step_multi,
-                       forward_train=forward_train_cast, augment=augment)
+                       forward_train=forward_train_cast, augment=augment,
+                       mesh=mesh, opt_sharding=opt_sharding)
 
 
 def setup_truncated_resnet50(

@@ -34,18 +34,27 @@ def _merge_bn_stats(variables, new_variables):
     return jax.tree_util.tree_map_with_path(pick, variables, new_variables)
 
 
+def _masked_nll_parts(logits: jax.Array, labels: jax.Array):
+    """(unnormalised masked NLL sum, valid count) — the two accumulable
+    pieces of ``masked_cross_entropy``: summing each over micro-batches and
+    dividing at the end reproduces the GLOBAL masked mean exactly, even when
+    pad entries (-1) land unevenly across micro-batches."""
+    ctype = jnp.float64 if logits.dtype == jnp.float64 else jnp.float32
+    valid = (labels >= 0).astype(ctype)
+    logp = jax.nn.log_softmax(logits.astype(ctype), axis=-1)
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    ll = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    return -jnp.sum(ll * valid), jnp.sum(valid)
+
+
 def masked_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean CE over entries with label >= 0 (pad entries are -1).
 
     Computed in f32 (bf16 logits are upcast), except f64 logits stay f64 —
     the pipeline-parallel equality tests compare schedules at f64 exactness
     (tests/test_pipeline.py)."""
-    ctype = jnp.float64 if logits.dtype == jnp.float64 else jnp.float32
-    valid = (labels >= 0).astype(ctype)
-    logp = jax.nn.log_softmax(logits.astype(ctype), axis=-1)
-    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    ll = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
-    return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    nll, cnt = _masked_nll_parts(logits, labels)
+    return nll / jnp.maximum(cnt, 1.0)
 
 
 def make_train_step_body(
@@ -107,6 +116,109 @@ def make_train_step(
             donate_argnums=(0, 1),
         )
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_train_step_accum(
+    forward_train: Callable,
+    optimizer: optax.GradientTransformation,
+    augment_fn: Callable,
+    n_accum: int,
+    mesh: Optional[Mesh] = None,
+    opt_sharding=None,
+):
+    """Gradient accumulation: one optimiser step from ``n_accum``
+    sequentially-computed micro-batch gradients — the big-effective-batch
+    step when activations for the full batch don't fit in HBM.
+
+    Same signature/semantics surface as ``make_train_step`` with the batch
+    axis B split into n_accum micro-batches of B/n_accum (B must divide):
+
+    - the FULL batch is augmented up front with the same key stream as the
+      plain step, so the pixels fed to the model are identical;
+    - gradients of the unnormalised masked NLL and the valid counts are
+      accumulated across micro-batches and normalised once at the end, so
+      the loss/grads equal the plain full-batch step exactly up to f32
+      reassociation for batch-stat-free models (tested at 1e-6);
+    - BatchNorm models get micro-batch statistics (each micro-batch
+      normalises by its own batch stats — the same ghost-BN semantics as
+      the pipeline-parallel microbatch schedule, parallel/pipeline.py),
+      with the running stats chained through the scan in sequence. Only
+      the stat leaves ride the scan carry (params are loop constants —
+      the pipeline-parallel lesson, PERF.md).
+
+    Returns jitted step(variables, opt_state, images_u8, labels, combos,
+    key) -> (variables, opt_state, loss).
+    """
+    n_accum = int(n_accum)
+
+    def body(variables, opt_state, images_u8, labels, combos, key):
+        images = augment_fn(images_u8, combos, key)  # full batch, plain keys
+        b = images.shape[0]
+        if b % n_accum:
+            raise ValueError(f"batch {b} not divisible by n_accum {n_accum}")
+        mb = b // n_accum
+        imgs = images.reshape((n_accum, mb) + images.shape[1:])
+        labs = labels.reshape(n_accum, mb)
+
+        # stat leaves are carried; everything else is a scan constant
+        flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+        stat_idx = [
+            i for i, (p, _) in enumerate(flat)
+            if _leaf_name(p) in BN_STAT_KEYS
+        ]
+
+        def insert_stats(tree, stat_leaves):
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            for i, leaf in zip(stat_idx, stat_leaves):
+                leaves[i] = leaf
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        def extract_stats(tree):
+            leaves = jax.tree_util.tree_leaves(tree)
+            return [leaves[i] for i in stat_idx]
+
+        def micro(carry, xs):
+            stats, g_acc, nll_acc, cnt_acc = carry
+            im, lb = xs
+
+            def nll_fn(v):
+                logits, new_v = forward_train(insert_stats(v, stats), im)
+                nll, cnt = _masked_nll_parts(logits, lb)
+                return nll, (cnt, new_v)
+
+            (nll, (cnt, new_v)), g = jax.value_and_grad(
+                nll_fn, has_aux=True
+            )(variables)
+            if new_v is not None and stat_idx:
+                stats = extract_stats(new_v)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            return (stats, g_acc, nll_acc + nll, cnt_acc + cnt), None
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, variables)
+        (stats, g_sum, nll, cnt), _ = jax.lax.scan(
+            micro,
+            (extract_stats(variables), g0, jnp.zeros(()), jnp.zeros(())),
+            (imgs, labs),
+        )
+        denom = jnp.maximum(cnt, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
+        loss = nll / denom
+        updates, opt_state = optimizer.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        variables = insert_stats(variables, stats)
+        return variables, opt_state, loss
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        osh = repl if opt_sharding is None else opt_sharding
+        return jax.jit(
+            body,
+            in_shardings=(repl, osh, data, data, data, repl),
+            out_shardings=(repl, osh, repl),
+            donate_argnums=(0, 1),
+        )
+    return jax.jit(body, donate_argnums=(0, 1))
 
 
 def make_train_step_multi(
