@@ -331,6 +331,60 @@ class TestArtifactCLI:
             srv.shutdown()
             batcher.stop(drain=True)
 
+    def test_export_families_2_and_3(self, tmp_path):
+        """Every family the serve CLI can build exports: gram+attention and
+        the multi-scale PatchGAN both round-trip through the artifact."""
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            save_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.serve import (
+            build_parser,
+            export_artifact,
+        )
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+        from heuristique_style_transfer_code_tpu.models.multi_patchgan import (
+            multiscale_init,
+        )
+
+        cfg2 = str(tmp_path / "f2.json")
+        with open(cfg2, "w") as f:
+            json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                       "gram_matrix_size": 4, "num_classes": 4, "seed": 0}, f)
+        ck2 = str(tmp_path / "f2.npz")
+        save_pytree_npz(gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4), ck2)
+
+        patch_sizes = {"small": 10, "medium": 16, "large": 20}
+        cfg3 = str(tmp_path / "f3.json")
+        with open(cfg3, "w") as f:
+            json.dump({"batch_size": 4, "lr": 0.01, "seed": 0,
+                       "num_classes": 4, "patch_sizes": patch_sizes,
+                       "ndf": 16, "norm": "instance"}, f)
+        ck3 = str(tmp_path / "f3.npz")
+        save_pytree_npz(
+            multiscale_init(jax.random.PRNGKey(1), patch_sizes, ndf=16,
+                            num_classes=4, norm="instance"), ck3,
+        )
+
+        for family, cfg, ck in (
+            ("gram_attention", cfg2, ck2),
+            ("multi_patchgan", cfg3, ck3),
+        ):
+            path = str(tmp_path / f"{family}.art.npz")
+            export_artifact(build_parser().parse_args([
+                "--family", family, "--config_path", cfg,
+                "--model_path", ck, "--export_artifact", path,
+            ]))
+            art = load_infer_artifact(path)
+            assert art.meta["family"] == family
+            probs = np.asarray(art(jnp.asarray(
+                np.random.RandomState(3).randint(
+                    0, 256, (2, 224, 224, 3), dtype=np.uint8
+                )
+            )))
+            np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+
     def test_artifact_rejects_precision_flag(self, tmp_path):
         from heuristique_style_transfer_code_tpu.cli.serve import main
 
