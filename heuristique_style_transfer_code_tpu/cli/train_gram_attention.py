@@ -149,8 +149,11 @@ def main(argv=None):
             )
         print(f"Fold {fold} hyperparameters saved to {hp_path}")
 
-    with maybe_profile(args.profile_dir):
-        run_kfold(
+    from ..train.preemption import PreemptedError
+
+    try:
+        with maybe_profile(args.profile_dir):
+            run_kfold(
         dataset,
         k_folds=args.k_folds,
         seed=seed,
@@ -170,7 +173,14 @@ def main(argv=None):
         foldwise_step=foldwise_step,
         fold_mesh=fold_mesh,
         on_fold_end=on_fold_end,
-    )
+        )
+    except PreemptedError as e:
+        # SIGTERM on a preemptible fleet: the last completed epoch's
+        # checkpoint is durable; the same command + --resume continues
+        print(f"Preempted: {e}")
+        if writer:
+            writer.close()
+        return
     if writer:
         writer.close()
 

@@ -89,8 +89,11 @@ def main(argv=None):
         args, setup, args.k_folds, cfg.batch_size
     )
 
-    with maybe_profile(args.profile_dir):
-        run_kfold(
+    from ..train.preemption import PreemptedError
+
+    try:
+        with maybe_profile(args.profile_dir):
+            run_kfold(
         dataset,
         k_folds=args.k_folds,
         seed=seed,
@@ -115,7 +118,14 @@ def main(argv=None):
         kfold_random_state=42,
         save_every_fold=True,
         performance_filename="retrained_performance.json",
-    )
+        )
+    except PreemptedError as e:
+        # SIGTERM on a preemptible fleet: the last completed epoch's
+        # checkpoint is durable; the same command + --resume continues
+        print(f"Preempted: {e}")
+        if writer:
+            writer.close()
+        return
     # retrained hyperparameters round-trip (train_best_Multi_PatchGAN.py:125-126)
     cfg.save(os.path.join(args.save_dir, "retrained_hyperparameters.json"))
     if writer:

@@ -98,8 +98,11 @@ def main(argv=None):
         args, setup, args.k_folds, cfg.batch_size
     )
 
-    with maybe_profile(args.profile_dir):
-        run_kfold(
+    from ..train.preemption import PreemptedError
+
+    try:
+        with maybe_profile(args.profile_dir):
+            run_kfold(
         dataset,
         k_folds=args.k_folds,
         seed=seed,
@@ -119,7 +122,14 @@ def main(argv=None):
         async_checkpoint=args.async_checkpoint,
         foldwise_step=foldwise_step,
         fold_mesh=fold_mesh,
-    )
+        )
+    except PreemptedError as e:
+        # SIGTERM on a preemptible fleet: the last completed epoch's
+        # checkpoint is durable; the same command + --resume continues
+        print(f"Preempted: {e}")
+        if writer:
+            writer.close()
+        return
     if writer:
         writer.close()
 

@@ -215,6 +215,14 @@ def run_kfold(
         from ..checkpoint.async_io import AsyncCheckpointWriter
 
         acw = AsyncCheckpointWriter()  # flushes via atexit even on a crash
+    if resume:
+        # preemptible-fleet support: SIGTERM stops the run at the next safe
+        # point (PreemptedError out of the batch loop) with the last epoch's
+        # checkpoint durable — the CLIs catch it and print the resume hint
+        from .preemption import clear_preemption, install_sigterm_handler
+
+        clear_preemption()
+        install_sigterm_handler()
     resume_state, resume_fold, resume_epochs = None, None, 0
     if resume:
         meta = load_training_info(save_dir, _INPROGRESS_META)

@@ -370,6 +370,16 @@ def train_epochs(
                     f"Batch [{batch_idx + 1}/{n_batches}], Loss: {loss_f:.4f}"
                 )
 
+        # preemption (SIGTERM on a preemptible fleet): stop BEFORE the next
+        # dispatch — the partial epoch is discarded by design (resume is
+        # epoch-granular and bit-identical), so the exit is immediate and
+        # `epoch` epochs are durable on disk (train/preemption.py)
+        from .preemption import PreemptedError, preemption_requested
+
+        def check_preempt():
+            if preemption_requested():
+                raise PreemptedError(fold, epoch)
+
         if use_multi:
             chunk = []
             batch_idx = 0
@@ -378,18 +388,21 @@ def train_epochs(
                 chunk.append((batch, sub))
                 if len(chunk) < steps_per_dispatch:
                     continue
+                check_preempt()
                 variables, opt_state, batch_idx = _dispatch_chunk(
                     train_step_multi, variables, opt_state, chunk,
                     batch_idx, emit, sharding,
                 )
                 chunk = []
             if chunk:
+                check_preempt()
                 variables, opt_state, batch_idx = _dispatch_chunk(
                     train_step_multi, variables, opt_state, chunk,
                     batch_idx, emit, sharding,
                 )
         else:
             for batch_idx, batch in enumerate(device_prefetch(loader, mesh)):
+                check_preempt()
                 key, sub = jax.random.split(key)
                 variables, opt_state, loss = train_step(
                     variables,
