@@ -73,6 +73,47 @@ class TestExactEquivalence:
                 v_a, v_b,
             )
 
+    def test_mesh_sharded_accum_matches_unsharded(self):
+        """Batch-sharding the accumulation step over the 8-device mesh is a
+        layout, not a semantics change (micro-batches shard over 'data')."""
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_2d,
+        )
+
+        def fwd(v, images):
+            flat = images.reshape(images.shape[0], -1)
+            return flat @ v["w"] + v["b"], None
+
+        dim = CROP * CROP * 3
+        k = jax.random.PRNGKey(1)
+        variables = {
+            "w": jax.random.normal(k, (dim, 2), jnp.float32) * 0.01,
+            "b": jnp.zeros((2,), jnp.float32),
+        }
+        opt = sgd_momentum(0.05, variables)
+        augment = make_augment_fn([(None, None)], crop=CROP)
+        images, labels, combos = _batch(16, seed=2, n_pad=2)
+        key = jax.random.PRNGKey(4)
+
+        plain = make_train_step_accum(fwd, opt, augment, 4)
+        v_a, _, loss_a = plain(
+            jax.tree_util.tree_map(jnp.array, variables),
+            opt.init(variables), images, labels, combos, key,
+        )
+        mesh = make_mesh_2d(8)
+        sharded = make_train_step_accum(fwd, opt, augment, 4, mesh=mesh)
+        v_b, _, loss_b = sharded(
+            jax.tree_util.tree_map(jnp.array, variables),
+            opt.init(variables), images, labels, combos, key,
+        )
+        np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            ),
+            v_a, v_b,
+        )
+
     def test_all_pad_batch_is_finite(self):
         def fwd(v, images):
             return images.reshape(images.shape[0], -1) @ v["w"], None
