@@ -56,6 +56,18 @@ def add_tpu_args(parser: argparse.ArgumentParser, precisions=("float32", "bf16")
     )
 
 
+def add_eval_dispatch_arg(parser: argparse.ArgumentParser):
+    """Eval-side K-batches-per-dispatch (the eval counterpart of the train
+    CLIs' --steps_per_dispatch)."""
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=1,
+        help="Évaluer K batches par dispatch device (un lax.scan on-device "
+        "du même programme par batch — résultats bit-identiques). Supprime "
+        "(K-1)/K du coût aller-retour par batch sur un device distant. "
+        "Incompatible avec --measure_time (times_test.json est par batch)",
+    )
+
+
 def add_train_tpu_args(parser: argparse.ArgumentParser):
     """Train-only extras (kept off the eval CLIs so no flag parses without
     effect)."""

@@ -60,6 +60,9 @@ def build_parser():
                         "host-downscaling frames before transfer (prefer when "
                         "the TPU is directly attached)")
     add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
+    from ._common import add_eval_dispatch_arg
+
+    add_eval_dispatch_arg(parser)
     from ._common import add_calib_data_arg
 
     add_calib_data_arg(parser)
@@ -165,23 +168,23 @@ def main(argv=None):
 
         import numpy as np
         import jax.numpy as jnp
-        from ..core.mesh import jit_eval_step
+        from ..core.mesh import scanned_eval_iter
         from ..data.augment import eval_preprocess
 
         def step(v, images_u8):
             images = eval_preprocess(images_u8)
-            emb, logits = apply_eval(v, images)
-            return emb, jnp.argmax(logits, axis=-1)
-
-        step = jit_eval_step(
-            step, resolve_eval_mesh(args.devices, loader.batch_size)
-        )
+            _, logits = apply_eval(v, images)
+            return jnp.argmax(logits, axis=-1)
 
         preds, labels = [], []
-        for batch in loader:
-            _, p = step(variables, jnp.asarray(batch["image"]))
+        for batch, p in scanned_eval_iter(
+            step, variables, loader,
+            resolve_eval_mesh(args.devices, loader.batch_size),
+            input_keys=("image",),
+            steps_per_dispatch=args.steps_per_dispatch,
+        ):
             n = batch["n_valid"]
-            preds.extend(np.asarray(p)[:n].tolist())
+            preds.extend(p[:n].tolist())
             labels.extend(batch["label"][:n].tolist())
 
         results = {
@@ -200,6 +203,7 @@ def main(argv=None):
         emb, labels, img_paths = compute_embeddings_with_paths(
             embed_fn, variables, loader, samples,
             mesh=resolve_eval_mesh(args.devices, loader.batch_size),
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         if args.mode == "tsne":
             from ..tasks.tsne import perform_tsne

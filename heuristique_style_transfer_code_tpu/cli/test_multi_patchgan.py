@@ -56,6 +56,9 @@ def build_parser():
                         "host-downscaling frames before transfer (prefer when "
                         "the TPU is directly attached)")
     add_tpu_args(parser)
+    from ._common import add_eval_dispatch_arg
+
+    add_eval_dispatch_arg(parser)
     return parser
 
 
@@ -138,6 +141,7 @@ def main(argv=None):
         emb, labels, img_paths = compute_embeddings_with_paths(
             embed_fn, variables, loader, samples,
             mesh=resolve_eval_mesh(args.devices, loader.batch_size),
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         if args.mode == "tsne":
             from ..tasks.tsne import perform_tsne
@@ -166,30 +170,38 @@ def main(argv=None):
         import jax.numpy as jnp
         from sklearn.metrics import confusion_matrix, f1_score, precision_score, recall_score
 
-        from ..core.mesh import jit_eval_step
+        from ..core.mesh import scanned_eval_iter
         from ..data.augment import eval_preprocess
         from ..tasks.classification import plot_and_save_confusion_matrix
 
         import time
+
+        if args.steps_per_dispatch > 1 and args.measure_time:
+            raise SystemExit(
+                "--steps_per_dispatch > 1 dispatche K batches à la fois; le "
+                "temps par image ne peut pas être mesuré — utilisez "
+                "--steps_per_dispatch 1 avec --measure_time"
+            )
 
         def step(v, images_u8):
             images = eval_preprocess(images_u8)
             _, logits, _ = multiscale_test_apply(v, images, gdim, norm=norm)
             return jnp.argmax(logits, axis=-1)
 
-        step = jit_eval_step(
-            step, resolve_eval_mesh(args.devices, loader.batch_size)
-        )
-
         all_preds, all_labels, times = [], [], []
-        for batch in loader:
-            t0 = time.perf_counter()
-            p = np.asarray(step(variables, jnp.asarray(batch["image"])))
+        t0 = time.perf_counter()
+        for batch, p in scanned_eval_iter(
+            step, variables, loader,
+            resolve_eval_mesh(args.devices, loader.batch_size),
+            input_keys=("image",),
+            steps_per_dispatch=args.steps_per_dispatch,
+        ):
             n = batch["n_valid"]
             if args.measure_time:
                 times.append((time.perf_counter() - t0) / max(n, 1))
             all_preds.extend(p[:n].tolist())
             all_labels.extend(batch["label"][:n].tolist())
+            t0 = time.perf_counter()
         if args.measure_time and times:
             # per-image average, like evaluate_model_test
             # (functions_Multi_PatchGAN.py:167-174,188)

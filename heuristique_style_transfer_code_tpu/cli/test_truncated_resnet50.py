@@ -74,7 +74,9 @@ def build_parser():
     parser.add_argument("--classes", nargs="+", type=str)
     parser.add_argument("--afficher_params", action="store_true")
     add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
-    from ._common import add_calib_data_arg
+    from ._common import add_calib_data_arg, add_eval_dispatch_arg
+
+    add_eval_dispatch_arg(parser)
 
     add_calib_data_arg(parser)
     parser.add_argument(
@@ -195,6 +197,7 @@ def main(argv=None):
             save_test_images=args.save_test_images, compute_auc=args.compute_auc,
             gradcam_fn=gradcam_fn, save_gradcam_images=args.save_gradcam_images,
             colormap=args.colormap, writer=writer, mesh=mesh,
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         print(
             f"Précision du test: {res['accuracy']}, Perte du test: {res['loss']}, "
@@ -210,6 +213,7 @@ def main(argv=None):
         emb, labels, img_paths = compute_embeddings_with_paths(
             embed_fn, variables, loader, samples,
             mesh=resolve_eval_mesh(args.devices, loader.batch_size),
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         # embeddings export (test_RESNET50_Truncate.py:161-165); strip any
         # checkpoint suffix (.pth/.npz/orbax dir) from the artifact name

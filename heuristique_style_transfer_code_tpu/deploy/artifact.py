@@ -188,13 +188,27 @@ class InferenceArtifact:
 
 def save_infer_artifact(path: str, blob: bytes, meta: dict) -> None:
     """One self-contained file: the StableHLO blob + JSON metadata (npz
-    container — stdlib-loadable, atomic to replace)."""
-    with open(path, "wb") as f:
-        np.savez(
-            f,
-            stablehlo=np.frombuffer(blob, dtype=np.uint8),
-            meta=np.asarray(json.dumps(meta)),
-        )
+    container — stdlib-loadable). Written via temp-file + rename like
+    ``checkpoint.io.save_pytree_npz`` so a crash mid-export can never leave
+    a torn artifact at ``path``."""
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".hst.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                stablehlo=np.frombuffer(blob, dtype=np.uint8),
+                meta=np.asarray(json.dumps(meta)),
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def load_infer_artifact(path: str) -> InferenceArtifact:

@@ -77,18 +77,34 @@ def run_classification_test(
     writer=None,
     log_fn=print,
     mesh=None,
+    steps_per_dispatch: int = 1,
 ) -> Dict:
     """Returns the reference's tuple as a dict:
     accuracy, loss, precision, recall, f1, cm, auc (+ features if embed_fn).
 
     ``mesh``: optional data-parallel mesh (--devices) — the eval batch is
     sharded over its 'data' axis, variables replicated; metrics are identical
-    to the single-device run."""
+    to the single-device run.
+
+    ``steps_per_dispatch``: evaluate K loader batches per device dispatch
+    (an on-device ``lax.scan`` of the same per-batch program — the eval
+    counterpart of the train loop's ``steps_per_dispatch``). Results are
+    bit-identical to K=1; only the dispatch/fetch granularity changes, which
+    removes (K-1)/K of the per-batch round-trip overhead on remote-attached
+    devices. Incompatible with ``measure_time`` (times_test.json is
+    per-batch by contract)."""
+    steps_per_dispatch = max(1, int(steps_per_dispatch))
+    if steps_per_dispatch > 1 and measure_time:
+        raise ValueError(
+            "steps_per_dispatch > 1 dispatches K batches at a time, so the "
+            "per-batch times_test.json cannot be measured; use "
+            "steps_per_dispatch=1 with measure_time"
+        )
     os.makedirs(save_dir, exist_ok=True)
     for cls in class_names:
         os.makedirs(os.path.join(save_dir, cls), exist_ok=True)
 
-    def step(v, images_u8, labels):
+    def step_body(v, images_u8, labels):
         images = eval_preprocess(images_u8)
         logits = forward_eval(v, images)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -99,9 +115,22 @@ def run_classification_test(
         # full round trip when the device sits behind a network relay)
         return jnp.concatenate([loss[:, None], probs], axis=1)
 
-    from ..core.mesh import jit_eval_step
+    from ..core.mesh import jit_eval_step, jit_scanned_eval_step
 
-    step = jit_eval_step(step, mesh, n_batch_inputs=2)
+    step = jit_eval_step(step_body, mesh, n_batch_inputs=2)
+    embed_body = embed_step = None
+    if embed_fn is not None:
+        # jit (and shard, when a mesh is given) the feature extraction like
+        # the main step — an unjitted apply would dispatch op-by-op
+        def embed_body(v, images_u8):
+            return embed_fn(v, eval_preprocess(images_u8))
+
+        embed_step = jit_eval_step(embed_body, mesh, n_batch_inputs=1)
+    scan_step = scan_embed = None
+    if steps_per_dispatch > 1:
+        scan_step = jit_scanned_eval_step(step_body, mesh, n_batch_inputs=2)
+        if embed_body is not None:
+            scan_embed = jit_scanned_eval_step(embed_body, mesh, n_batch_inputs=1)
 
     timer = Timer()
     total = correct = 0
@@ -109,12 +138,8 @@ def run_classification_test(
     n_batches = 0
     all_preds, all_targets, all_probs, all_features = [], [], [], []
 
-    for bi, batch in enumerate(loader):
-        timer.start()
-        packed = np.asarray(
-            step(variables, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]))
-        )
-        timer.stop()
+    def consume(bi, batch, packed, emb):
+        nonlocal total, correct, total_loss, n_batches
         n = batch["n_valid"]
         labels = batch["label"][:n]
         loss = packed[:n, 0]
@@ -132,9 +157,8 @@ def run_classification_test(
         all_probs.extend(probs.tolist())
         all_preds.extend(preds_thresh.tolist())
 
-        if embed_fn is not None:
-            emb = embed_fn(variables, eval_preprocess(jnp.asarray(batch["image"])))
-            all_features.append(np.asarray(emb)[:n])
+        if emb is not None:
+            all_features.append(emb[:n])
 
         if save_test_images:
             import cv2
@@ -173,6 +197,43 @@ def run_classification_test(
                         overlay_path if save_gradcam_images else None,
                         colormap=colormap,
                     )
+
+    def dispatch_one(bi, batch):
+        timer.start()
+        packed = np.asarray(
+            step(variables, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]))
+        )
+        timer.stop()
+        emb = None
+        if embed_step is not None:
+            emb = np.asarray(embed_step(variables, jnp.asarray(batch["image"])))
+        consume(bi, batch, packed, emb)
+
+    def dispatch_scanned(pending):
+        # K loader batches -> ONE scanned program dispatch (+ one for the
+        # embeddings when requested), then the same per-batch bookkeeping
+        imgs = jnp.asarray(np.stack([b["image"] for _, b in pending]))
+        labs = jnp.asarray(np.stack([b["label"] for _, b in pending]))
+        packed_k = np.asarray(scan_step(variables, imgs, labs))
+        embs_k = (
+            np.asarray(scan_embed(variables, imgs)) if scan_embed is not None else None
+        )
+        for t, (bi, batch) in enumerate(pending):
+            consume(bi, batch, packed_k[t], None if embs_k is None else embs_k[t])
+
+    pending = []
+    for bi, batch in enumerate(loader):
+        if steps_per_dispatch == 1:
+            dispatch_one(bi, batch)
+            continue
+        pending.append((bi, batch))
+        if len(pending) == steps_per_dispatch:
+            dispatch_scanned(pending)
+            pending = []
+    # remainder batches (< K left over) go one at a time through the same
+    # per-batch program — identical numerics, no padding games
+    for bi, batch in pending:
+        dispatch_one(bi, batch)
 
     accuracy = 100.0 * correct / max(total, 1)
     average_loss = total_loss / max(n_batches, 1)

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from typing import Callable, List, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..data.augment import eval_preprocess
@@ -18,22 +17,25 @@ def compute_embeddings_with_paths(
     loader,
     samples,
     mesh=None,
+    steps_per_dispatch: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """embed_fn(variables, images) -> embeddings. Returns
     (embeddings (N, D), labels (N,), img_paths). ``mesh``: optional
-    data-parallel mesh (--devices) sharding the batch over 'data'."""
-    from ..core.mesh import jit_eval_step
+    data-parallel mesh (--devices) sharding the batch over 'data'.
+    ``steps_per_dispatch``: extract K loader batches per device dispatch
+    (bit-identical results, (K-1)/K less per-batch round-trip overhead)."""
+    from ..core.mesh import scanned_eval_iter
 
     def step(v, images_u8):
         return embed_fn(v, eval_preprocess(images_u8))
 
-    step = jit_eval_step(step, mesh, n_batch_inputs=1)
-
     all_emb, all_labels, img_paths = [], [], []
-    for batch in loader:
-        emb = step(variables, jnp.asarray(batch["image"]))
+    for batch, emb in scanned_eval_iter(
+        step, variables, loader, mesh,
+        input_keys=("image",), steps_per_dispatch=steps_per_dispatch,
+    ):
         n = batch["n_valid"]
-        all_emb.append(np.asarray(emb)[:n])
+        all_emb.append(emb[:n])
         all_labels.append(batch["label"][:n])
         img_paths.extend(samples[i][0] for i in batch["indices"][:n])
     return np.concatenate(all_emb), np.concatenate(all_labels), img_paths

@@ -288,6 +288,27 @@ class TestTestCLIs:
                 assert a == b, (a, b)
         assert len(outs["single"]) == len(outs["mesh8"])
 
+    def test_classification_steps_per_dispatch_matches(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """--steps_per_dispatch 2 scans K eval batches per device dispatch;
+        every artifact line must equal the per-batch-dispatch run (the scan
+        body is the same program at the same partitioning — bit-exact)."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        outs = {}
+        for name, extra in (("k1", []), ("k2", ["--steps_per_dispatch", "2"])):
+            out = str(tmp_path / name)
+            main([
+                "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+                "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+                "--mode", "classification", "--save_dir", out,
+                "--batch_size", "4", "--compute_auc",
+            ] + extra)
+            with open(os.path.join(out, "metrics.txt")) as f:
+                outs[name] = f.read()
+        assert outs["k1"] == outs["k2"]
+
     def test_orbax_checkpoint_train_then_eval(self, tiny_imagefolder, cfg_file, tmp_path):
         """--checkpoint_format orbax checkpoints must load back through the
         eval CLI (directory-type model_path)."""
