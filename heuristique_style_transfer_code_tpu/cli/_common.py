@@ -490,6 +490,15 @@ def apply_grad_accum(args, setup, batch_size: int):
           f"{batch_size // n} per optimiser step")
 
 
+def signature_extra_from_args(args) -> Optional[dict]:
+    """Numerics-changing step configuration for the resume run-signature
+    (run_kfold(signature_extra=)): resuming a --grad_accum K run under a
+    different K would change ghost-BN statistics mid-run, so K is part of
+    the run identity. Falsy for plain runs (signatures unchanged)."""
+    n = int(getattr(args, "grad_accum", 1) or 1)
+    return {"grad_accum": n} if n > 1 else None
+
+
 def resolve_fold_parallel(args, setup, k_folds: int, batch_size: int):
     """--parallel_folds: build the (fold, data) mesh and the fold-parallel
     train step (all CV folds as one SPMD program). Returns

@@ -217,11 +217,19 @@ def export_artifact(args) -> None:
         if args.export_platforms else None
     )
     mesh = None
-    if args.devices:
+    if args.devices and args.devices > 1:
         if batch is None:
             raise ValueError("--devices with --export_artifact needs a "
                              "concrete --export_batch (sharded SPMD export "
                              "cannot use a symbolic batch)")
+        if batch % args.devices:
+            # never silently seal a smaller mesh than asked for — the
+            # artifact would then REQUIRE that clamped device count forever
+            raise ValueError(
+                f"--export_batch {batch} is not divisible by --devices "
+                f"{args.devices}; pick a dividing batch (the device count "
+                "is sealed into the artifact)"
+            )
         mesh = resolve_eval_mesh(args.devices, batch)
     blob, meta = export_infer_artifact(
         forward_eval, variables,
@@ -258,10 +266,29 @@ def start(args):
             args.classes, {"classes": meta["class_names"]}
             if meta.get("class_names") else {}, None,
         )
-        if args.devices:
-            print("Note: --devices is ignored with --artifact (the program "
-                  "is sealed; shard at export time: --export_artifact with "
-                  "--devices N --export_batch B)")
+        # a mesh-sharded artifact seals its device count: rebuild a mesh of
+        # that size so the batcher ships batch-sharded inputs (the sealed
+        # program is SPMD — feeding it single-device batches cannot work)
+        n_dev = int(art.exported.nr_devices)
+        mesh = None
+        if n_dev > 1:
+            import jax
+
+            from ..core.mesh import create_mesh
+
+            if len(jax.devices()) < n_dev:
+                raise SystemExit(
+                    f"artifact was exported SPMD over {n_dev} devices but "
+                    f"only {len(jax.devices())} are visible"
+                )
+            mesh = create_mesh(n_dev)
+            if args.devices and args.devices != n_dev:
+                print(f"Note: artifact seals its sharding over {n_dev} "
+                      f"devices (--devices {args.devices} ignored)")
+        elif args.devices:
+            print("Note: --devices is ignored with an unsharded --artifact "
+                  "(the program is sealed; shard at export time: "
+                  "--export_artifact with --devices N --export_batch B)")
         start_profile(args.profile_dir)
         batcher = BatchingInferenceServer(
             None, None,
@@ -270,6 +297,7 @@ def start(args):
             max_in_flight=args.max_in_flight,
             transport=meta["transport"],
             crop=meta["crop"],
+            mesh=mesh,
             infer_fn=art.server_infer_fn(),
         ).start()
     else:

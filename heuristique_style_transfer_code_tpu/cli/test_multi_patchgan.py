@@ -170,7 +170,7 @@ def main(argv=None):
         import jax.numpy as jnp
         from sklearn.metrics import confusion_matrix, f1_score, precision_score, recall_score
 
-        from ..core.mesh import scanned_eval_iter
+        from ..core.mesh import jit_eval_step, scanned_eval_iter
         from ..data.augment import eval_preprocess
         from ..tasks.classification import plot_and_save_confusion_matrix
 
@@ -188,20 +188,29 @@ def main(argv=None):
             _, logits, _ = multiscale_test_apply(v, images, gdim, norm=norm)
             return jnp.argmax(logits, axis=-1)
 
+        mesh = resolve_eval_mesh(args.devices, loader.batch_size)
         all_preds, all_labels, times = [], [], []
-        t0 = time.perf_counter()
-        for batch, p in scanned_eval_iter(
-            step, variables, loader,
-            resolve_eval_mesh(args.devices, loader.batch_size),
-            input_keys=("image",),
-            steps_per_dispatch=args.steps_per_dispatch,
-        ):
-            n = batch["n_valid"]
-            if args.measure_time:
+        if args.measure_time:
+            # time the step only (batch already in hand), like the
+            # reference's evaluate_model_test — the loader pull stays
+            # outside the measured window
+            jstep = jit_eval_step(step, mesh, n_batch_inputs=1)
+            for batch in loader:
+                t0 = time.perf_counter()
+                p = np.asarray(jstep(variables, jnp.asarray(batch["image"])))
+                n = batch["n_valid"]
                 times.append((time.perf_counter() - t0) / max(n, 1))
-            all_preds.extend(p[:n].tolist())
-            all_labels.extend(batch["label"][:n].tolist())
-            t0 = time.perf_counter()
+                all_preds.extend(p[:n].tolist())
+                all_labels.extend(batch["label"][:n].tolist())
+        else:
+            for batch, p in scanned_eval_iter(
+                step, variables, loader, mesh,
+                input_keys=("image",),
+                steps_per_dispatch=args.steps_per_dispatch,
+            ):
+                n = batch["n_valid"]
+                all_preds.extend(p[:n].tolist())
+                all_labels.extend(batch["label"][:n].tolist())
         if args.measure_time and times:
             # per-image average, like evaluate_model_test
             # (functions_Multi_PatchGAN.py:167-174,188)

@@ -22,6 +22,7 @@ from ._common import (
     make_save_fn,
     resolve_compute_dtype,
     apply_grad_accum,
+    signature_extra_from_args,
     resolve_fold_parallel,
     resolve_seed,
 )
@@ -172,6 +173,7 @@ def main(argv=None):
         async_checkpoint=args.async_checkpoint,
         foldwise_step=foldwise_step,
         fold_mesh=fold_mesh,
+        signature_extra=signature_extra_from_args(args),
         on_fold_end=on_fold_end,
         )
     except PreemptedError as e:

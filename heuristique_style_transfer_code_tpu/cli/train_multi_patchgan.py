@@ -22,6 +22,7 @@ from ._common import (
     make_save_fn,
     resolve_compute_dtype,
     apply_grad_accum,
+    signature_extra_from_args,
     resolve_fold_parallel,
     resolve_seed,
 )
@@ -112,6 +113,7 @@ def main(argv=None):
         async_checkpoint=args.async_checkpoint,
         foldwise_step=foldwise_step,
         fold_mesh=fold_mesh,
+        signature_extra=signature_extra_from_args(args),
         # reference family-3 protocol: fixed split seed, an unconditional
         # model_fold_<k> checkpoint per fold, retrained_performance.json
         # (train_best_Multi_PatchGAN.py:63,119-130)

@@ -25,6 +25,7 @@ from ._common import (
     make_save_fn,
     resolve_compute_dtype,
     apply_grad_accum,
+    signature_extra_from_args,
     resolve_fold_parallel,
     resolve_seed,
     select_augmentations,
@@ -122,6 +123,7 @@ def main(argv=None):
         async_checkpoint=args.async_checkpoint,
         foldwise_step=foldwise_step,
         fold_mesh=fold_mesh,
+        signature_extra=signature_extra_from_args(args),
         )
     except PreemptedError as e:
         # SIGTERM on a preemptible fleet: the last completed epoch's

@@ -182,8 +182,11 @@ class InferenceArtifact:
     def server_infer_fn(self) -> Callable:
         """Adapter matching ``BatchingInferenceServer(infer_fn=...)``:
         ``fn(variables, batch) -> probs`` with variables ignored (they are
-        constants inside the artifact)."""
-        return lambda _variables, batch_u8: self._call(batch_u8)
+        constants inside the artifact). Routes through ``__call__`` so the
+        nr_devices guard applies; for an SPMD artifact pass the batcher a
+        ``mesh`` of ``exported.nr_devices`` devices so batches arrive
+        sharded (cli/serve.py does this)."""
+        return lambda _variables, batch_u8: self(batch_u8)
 
 
 def save_infer_artifact(path: str, blob: bytes, meta: dict) -> None:

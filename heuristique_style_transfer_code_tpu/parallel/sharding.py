@@ -213,11 +213,9 @@ def make_zero1_train_step(
 def fsdp_variable_shardings(variables, mesh: Mesh):
     """FSDP/ZeRO-3 layout for the parameters themselves: every leaf stored
     1/D over 'data' (largest divisible dim), tiny/indivisible leaves
-    replicated."""
-    d = mesh.shape[DATA_AXIS]
-    return jax.tree_util.tree_map(
-        lambda l: NamedSharding(mesh, _zero1_leaf_spec(l, d)), variables
-    )
+    replicated — the SAME per-leaf policy as the optimiser state, so the
+    two layouts can never drift apart."""
+    return zero1_state_shardings(variables, mesh)
 
 
 def make_fsdp_train_step(

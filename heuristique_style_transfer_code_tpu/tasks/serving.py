@@ -99,9 +99,19 @@ class BatchingInferenceServer:
             raise ValueError("transport must be 'rgb' or 'yuv420'")
         self._sharding = None
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
             from ..parallel.sharding import batch_sharding
 
-            self._sharding = batch_sharding(mesh)  # shard the batch axis only
+            if int(batch_size) % int(mesh.shape.get("data", 1) or 1):
+                # batch doesn't divide the data axis (e.g. an SPMD artifact
+                # exported over a different mesh shape): place the batch
+                # replicated on the mesh's devices — still a committed
+                # multi-device array, and the program's own input sharding
+                # (sealed in an artifact, or jit in_shardings) reshards it
+                self._sharding = NamedSharding(mesh, PartitionSpec())
+            else:
+                self._sharding = batch_sharding(mesh)  # shard the batch axis
         self.transport = transport
         if infer_fn is not None:
             self._infer = infer_fn

@@ -42,21 +42,26 @@ _INPROGRESS_STATE = "_inprogress_state.npz"
 _INPROGRESS_META = "_inprogress_meta.json"
 
 
-def _run_signature(seed, k_folds, epochs, split_seed, hyperparameters) -> str:
+def _run_signature(
+    seed, k_folds, epochs, split_seed, hyperparameters, extra=None
+) -> str:
     """Identity of a training run: resuming under a different configuration
     would silently stitch old state into new splits, so the signature is
-    stored with every in-progress artifact and checked on resume."""
-    return json.dumps(
-        {
-            "seed": seed,
-            "k_folds": k_folds,
-            "epochs": epochs,
-            "split_seed": split_seed,
-            "hyperparameters": hyperparameters,
-        },
-        sort_keys=True,
-        default=str,
-    )
+    stored with every in-progress artifact and checked on resume. ``extra``
+    carries numerics-changing step configuration that lives outside the
+    model hyperparameters (e.g. --grad_accum, whose ghost-BN micro-batch
+    statistics change the trajectory); omitted when falsy so signatures of
+    plain runs are unchanged."""
+    d = {
+        "seed": seed,
+        "k_folds": k_folds,
+        "epochs": epochs,
+        "split_seed": split_seed,
+        "hyperparameters": hyperparameters,
+    }
+    if extra:
+        d["extra"] = extra
+    return json.dumps(d, sort_keys=True, default=str)
 
 
 def _inprogress_tree(variables, opt_state, key, fold, epochs_done, signature):
@@ -149,6 +154,7 @@ def run_kfold(
     async_checkpoint: bool = False,
     foldwise_step: Optional[Callable] = None,
     fold_mesh=None,
+    signature_extra: Optional[Dict] = None,
     on_fold_end: Optional[Callable] = None,
     # on_fold_end(fold, result_dict, best_model_path): per-family extra
     # artifacts (e.g. family 2's best_performance/hyperparameters_fold files)
@@ -208,20 +214,23 @@ def run_kfold(
     # fold-boundary meta carries the completed folds' results. Either may be
     # absent (crash in fold 0 / crash before the first epoch checkpoint).
     signature = _run_signature(
-        seed, k_folds, epochs, split_seed, hyperparameters
+        seed, k_folds, epochs, split_seed, hyperparameters, signature_extra
     )
     acw = None
     if resume and async_checkpoint:
         from ..checkpoint.async_io import AsyncCheckpointWriter
 
         acw = AsyncCheckpointWriter()  # flushes via atexit even on a crash
+    # the preemption flag is module-global: clear any stale request from an
+    # earlier run in this process UNCONDITIONALLY (a non-resume run would
+    # otherwise raise PreemptedError claiming progress was checkpointed)
+    from .preemption import clear_preemption, install_sigterm_handler
+
+    clear_preemption()
     if resume:
         # preemptible-fleet support: SIGTERM stops the run at the next safe
         # point (PreemptedError out of the batch loop) with the last epoch's
         # checkpoint durable — the CLIs catch it and print the resume hint
-        from .preemption import clear_preemption, install_sigterm_handler
-
-        clear_preemption()
         install_sigterm_handler()
     resume_state, resume_fold, resume_epochs = None, None, 0
     if resume:

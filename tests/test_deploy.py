@@ -7,6 +7,7 @@ file carries the fused program AND the weights.
 """
 import http.client
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -270,6 +271,54 @@ class TestArtifactServing:
         )
         np.testing.assert_array_equal(got, ref)
 
+    def test_mesh_sharded_artifact_through_batcher(self, tmp_path):
+        """A mesh-exported (SPMD) artifact serves through the batching
+        server when the batcher ships batch-sharded inputs — the wiring
+        cli/serve.py rebuilds from exported.nr_devices. Guards the
+        review-found failure where the batcher fed a multi-device program
+        single-device host batches."""
+        from heuristique_style_transfer_code_tpu.core.mesh import create_mesh
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_2d,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.serving import (
+            BatchingInferenceServer,
+        )
+
+        variables = _variables()
+        for batch_size, mesh in (
+            (16, make_mesh_2d(8, model_parallel=1)),  # batch divides: P('data')
+            (4, make_mesh_2d(8)),  # (4×2) export served on a 1-D mesh:
+            # batch 4 doesn't divide 8 — the batcher falls back to
+            # replicated placement and the sealed sharding takes over
+        ):
+            blob, meta = export_infer_artifact(
+                _forward, variables, crop=CROP, batch_size=batch_size, mesh=mesh
+            )
+            path = str(tmp_path / f"spmd_srv_{batch_size}.npz")
+            save_infer_artifact(path, blob, meta)
+            art = load_infer_artifact(path)
+            assert int(art.exported.nr_devices) == 8
+
+            frames = [f for f in _rgb_batch(2 * batch_size, seed=13)]
+            with BatchingInferenceServer(
+                None, None, batch_size=batch_size, max_delay_ms=20, crop=CROP,
+                mesh=create_mesh(8), infer_fn=art.server_infer_fn(),
+            ) as server:
+                futs = [server.submit(f) for f in frames]
+                got = np.stack([f.result(timeout=120) for f in futs])
+            ref = make_camera_infer_fn(
+                _forward, batch=batch_size, host_downscale=True
+            )
+            expect = np.concatenate([
+                np.asarray(ref(
+                    variables,
+                    jnp.asarray(np.stack(frames[i: i + batch_size])),
+                ))
+                for i in (0, batch_size)
+            ])
+            np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
 
 class TestArtifactCLI:
     def test_export_then_serve(self, tmp_path):
@@ -330,6 +379,50 @@ class TestArtifactCLI:
         finally:
             srv.shutdown()
             batcher.stop(drain=True)
+
+    def test_export_devices_semantics(self, tmp_path):
+        """--devices 1 is the ordinary unsharded export (symbolic batch OK);
+        a device count that doesn't divide --export_batch errors instead of
+        silently sealing a smaller mesh into the artifact."""
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            save_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.serve import (
+            build_parser,
+            export_artifact,
+        )
+        from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+            classifier_init,
+            truncated_moco_init,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        ckpt = str(tmp_path / "model.npz")
+        save_pytree_npz({
+            "moco": truncated_moco_init(k1, 5, dim=16),
+            "classifier": classifier_init(k2, 16, 4),
+        }, ckpt)
+        cfg = str(tmp_path / "cfg.json")
+        with open(cfg, "w") as f:
+            json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                       "seed": 0, "dim": 16}, f)
+        base = ["--config_path", cfg, "--model_path", ckpt,
+                "--classes", "fog", "rain", "snow", "sun"]
+
+        # --devices 1 + symbolic batch: plain unsharded export, no error
+        p1 = str(tmp_path / "d1.npz")
+        export_artifact(build_parser().parse_args(
+            base + ["--export_artifact", p1, "--devices", "1"]
+        ))
+        assert load_infer_artifact(p1).meta["n_devices"] == 1
+
+        # non-dividing device count: hard error, nothing written
+        with pytest.raises(ValueError, match="not divisible"):
+            export_artifact(build_parser().parse_args(
+                base + ["--export_artifact", str(tmp_path / "bad.npz"),
+                        "--devices", "8", "--export_batch", "12"]
+            ))
+        assert not os.path.exists(str(tmp_path / "bad.npz"))
 
     def test_export_families_2_and_3(self, tmp_path):
         """Every family the serve CLI can build exports: gram+attention and

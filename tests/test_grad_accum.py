@@ -285,3 +285,31 @@ class TestCLI:
         Args.steps_per_dispatch, Args.parallel_folds = 1, True
         with pytest.raises(SystemExit, match="exclusive"):
             apply_grad_accum(Args(), None, 4)
+
+    def test_grad_accum_is_part_of_the_resume_signature(self):
+        """--grad_accum changes numerics (ghost-BN micro-batch statistics),
+        so resuming under a different K must be rejected by the run
+        signature — while plain runs keep their historical signature."""
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            signature_extra_from_args,
+        )
+        from heuristique_style_transfer_code_tpu.train.kfold import (
+            _run_signature,
+        )
+
+        class Args:
+            grad_accum = 4
+
+        class Plain:
+            grad_accum = 1
+
+        base = _run_signature(0, 2, 1, 0, {"lr": 0.01})
+        plain = _run_signature(
+            0, 2, 1, 0, {"lr": 0.01}, signature_extra_from_args(Plain())
+        )
+        accum = _run_signature(
+            0, 2, 1, 0, {"lr": 0.01}, signature_extra_from_args(Args())
+        )
+        assert plain == base  # K=1 leaves signatures unchanged (back-compat)
+        assert accum != base
+        assert "grad_accum" in accum

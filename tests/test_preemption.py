@@ -95,22 +95,55 @@ class TestInProcess:
         np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
 
     def test_flag_cleared_at_run_start(self, tmp_path):
-        """A stale preemption flag must not kill a fresh run."""
+        """A stale preemption flag (e.g. left by an earlier preempted run in
+        the same process) must not kill a fresh run — including a NON-resume
+        run, which writes no checkpoints and must not claim progress was
+        checkpointed."""
+        from heuristique_style_transfer_code_tpu.data.augment import (
+            make_augment_fn,
+        )
+        from heuristique_style_transfer_code_tpu.data.imagefolder import (
+            ImageFolderIndex,
+        )
+        from heuristique_style_transfer_code_tpu.train.kfold import run_kfold
+        from heuristique_style_transfer_code_tpu.train.optim import sgd_momentum
         from heuristique_style_transfer_code_tpu.train.preemption import (
             preemption_requested,
             request_preemption,
         )
+        from heuristique_style_transfer_code_tpu.train.train_loop import (
+            make_eval_step,
+            make_train_step,
+        )
+
+        dataset = ImageFolderIndex(str(_dataset(tmp_path) / "train"))
+
+        def tiny_forward(v, images):
+            return images.reshape(images.shape[0], -1) @ v["w"], None
+
+        def init_fn(key, fold):
+            k1, _ = jax.random.split(key)
+            variables = {
+                "w": jax.random.normal(k1, (32 * 32 * 3, 2), jnp.float32) * 0.01
+            }
+            opt = sgd_momentum(0.05, variables)
+            augment = make_augment_fn([(None, None)], crop=32)
+            return (
+                variables, opt.init(variables),
+                make_train_step(tiny_forward, opt, augment),
+                make_eval_step(lambda v, x: tiny_forward(v, x)[0], crop=32),
+            )
 
         request_preemption()
         assert preemption_requested()
-        # run_kfold's install path clears it; exercised above — here just
-        # the primitive:
-        from heuristique_style_transfer_code_tpu.train.preemption import (
-            clear_preemption,
+        info = run_kfold(
+            dataset, save_dir=str(tmp_path / "fresh"), resume=False,
+            k_folds=2, seed=3, epochs=1, batch_size=4,
+            hyperparameters={"lr": 0.05}, init_fn=init_fn,
+            verbose_batches=False, num_workers=2,
         )
-
-        clear_preemption()
-        assert not preemption_requested()
+        assert len(info["fold_results"]) == 2  # completed, not preempted
+        assert not preemption_requested()  # cleared at run start
 
 
 class TestRealSignal:
