@@ -492,11 +492,31 @@ def apply_grad_accum(args, setup, batch_size: int):
 
 def signature_extra_from_args(args) -> Optional[dict]:
     """Numerics-changing step configuration for the resume run-signature
-    (run_kfold(signature_extra=)): resuming a --grad_accum K run under a
-    different K would change ghost-BN statistics mid-run, so K is part of
-    the run identity. Falsy for plain runs (signatures unchanged)."""
+    (run_kfold(signature_extra=)): resuming under a different --grad_accum
+    (ghost-BN statistics), --precision (compute dtype), or augmentation
+    selection (different combo product → different batches per epoch)
+    would silently stitch two incompatible trajectories together — so all
+    of them are part of the run identity. Every entry is omitted at its
+    default, so plain-run signatures are unchanged (back-compat with
+    existing in-progress checkpoints)."""
+    extra = {}
     n = int(getattr(args, "grad_accum", 1) or 1)
-    return {"grad_accum": n} if n > 1 else None
+    if n > 1:
+        extra["grad_accum"] = n
+    precision = getattr(args, "precision", "float32") or "float32"
+    if precision != "float32":
+        extra["precision"] = precision
+    for flag, default in (
+        ("color_aug", False),
+        ("geom_aug", False),
+        ("num_color_transforms", 0),
+        ("num_geom_transforms", 0),
+        ("geom_transforms", None),
+    ):
+        val = getattr(args, flag, default)
+        if val != default and val is not None:
+            extra[flag] = val
+    return extra or None
 
 
 def resolve_fold_parallel(args, setup, k_folds: int, batch_size: int):

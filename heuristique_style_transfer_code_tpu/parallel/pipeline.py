@@ -398,7 +398,14 @@ def unpack_pipeline_params(spec: PipelineSpec, stacked) -> Dict[str, Any]:
 
 def pack_pipeline_masks(spec: PipelineSpec, variables, frozen_fn=None):
     """(train_mask, stat_mask) as (S, maxP) f32 — the flat-buffer form of
-    train/optim.label_tree (BN stats frozen; optional extra freezing)."""
+    train/optim.label_tree (BN stats frozen; optional extra freezing).
+
+    CAUTION: ``frozen_fn`` receives PACKED-UNIT paths ('clf_fc.kernel',
+    'layer1_0.bn1.scale', ...), NOT the model-tree paths label_tree uses
+    ('classifier.fc.kernel', 'moco.encoder.layer1.0...'). A predicate
+    written for label_tree (e.g. factories.setup_gram_attention's
+    freeze_encoder) will silently match nothing here — write the predicate
+    against the unit names in ``spec.units`` instead."""
     from ..train.optim import BN_STAT_KEYS, _leaf_name, _path_str
 
     units = spec.units.trees(variables)

@@ -41,11 +41,9 @@ def make_mesh_2d(n_devices: Optional[int] = None, model_parallel: Optional[int] 
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
-    return ".".join(parts)
+# one dotted-path rendering for the whole codebase: endswith/startswith
+# rules here must agree with train/optim.label_tree's masks on the same tree
+from ..train.optim import _path_str  # noqa: E402
 
 
 def variable_shardings(variables, mesh: Mesh):

@@ -94,8 +94,14 @@ class FamilySetup:
 
 
 def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
-           frozen_fn=None, compute_dtype=None, zero1=False) -> FamilySetup:
-    template = jax.eval_shape(init_variables, jax.random.PRNGKey(0))
+           frozen_fn=None, compute_dtype=None, zero1=False,
+           template_init=None) -> FamilySetup:
+    # the optimiser/sharding templates need only shapes+paths: derive them
+    # from the FRESH-init function (identical tree structure/shapes), never
+    # from a closure over a concrete pretrained tree — eval_shape would
+    # execute _fresh_copy's per-leaf device copies for real (one dispatch
+    # per leaf through a remote-attached device, review finding)
+    template = jax.eval_shape(template_init or init_variables, jax.random.PRNGKey(0))
     optimizer = sgd_momentum(lr, template, frozen_fn=frozen_fn)
     augment = make_augment_fn(combos)
     opt_sharding = None
@@ -133,14 +139,17 @@ def setup_truncated_resnet50(
 ) -> FamilySetup:
     t = config.truncate_layer
 
-    def init_variables(key):
-        if pretrained is not None:
-            return _fresh_copy(pretrained)
+    def fresh_init(key):
         k1, k2 = jax.random.split(key)
         return {
             "moco": truncated_moco_init(k1, t, dim=config.dim),
             "classifier": classifier_init(k2, config.dim, num_classes),
         }
+
+    def init_variables(key):
+        if pretrained is not None:
+            return _fresh_copy(pretrained)
+        return fresh_init(key)
 
     def forward_train(v, images):
         logits, new_moco = combined_apply(v["moco"], v["classifier"], images, t, train=True)
@@ -151,7 +160,8 @@ def setup_truncated_resnet50(
         return logits
 
     return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, compute_dtype=compute_dtype, zero1=zero1)
+                  mesh, compute_dtype=compute_dtype, zero1=zero1,
+                  template_init=fresh_init)
 
 
 def make_truncated_resnet50(
@@ -182,8 +192,11 @@ def setup_gram_attention(
 ) -> FamilySetup:
     t, s = config.truncate_layer, config.gram_matrix_size
 
+    def fresh_init(key):
+        return gram_attention_init(key, t, num_classes, s)
+
     def init_variables(key):
-        variables = gram_attention_init(key, t, num_classes, s)
+        variables = fresh_init(key)
         if pretrained is not None:
             from ..checkpoint.pth_converter import shape_filtered_update
 
@@ -207,7 +220,8 @@ def setup_gram_attention(
             path.startswith("classifier") or path.startswith("attention")
         )
     return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, frozen_fn, compute_dtype, zero1=zero1)
+                  mesh, frozen_fn, compute_dtype, zero1=zero1,
+                  template_init=fresh_init)
 
 
 def make_gram_attention(
@@ -238,11 +252,14 @@ def setup_multi_patchgan(
 ) -> FamilySetup:
     norm = config.norm
 
-    def init_variables(key):
-        variables = multiscale_init(
+    def fresh_init(key):
+        return multiscale_init(
             key, config.patch_sizes, ndf=config.ndf,
             num_classes=num_classes, norm=norm,
         )
+
+    def init_variables(key):
+        variables = fresh_init(key)
         if pretrained is not None:
             from ..checkpoint.pth_converter import shape_filtered_update
 
@@ -257,7 +274,8 @@ def setup_multi_patchgan(
         return logits
 
     return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, compute_dtype=compute_dtype, zero1=zero1)
+                  mesh, compute_dtype=compute_dtype, zero1=zero1,
+                  template_init=fresh_init)
 
 
 def make_multi_patchgan(

@@ -236,10 +236,17 @@ def run_kfold(
     if resume:
         meta = load_training_info(save_dir, _INPROGRESS_META)
         state_path = os.path.join(save_dir, _INPROGRESS_STATE)
+        # load the (potentially large) state npz at most ONCE; its signature
+        # check and the state restore below share the same load
+        loaded_state = (
+            _load_inprogress_state(save_dir)
+            if os.path.exists(state_path)
+            else None
+        )
         for found in (
             meta.get("signature") if meta else None,
-            str(np.asarray(_load_inprogress_state(save_dir)["signature"]))
-            if os.path.exists(state_path)
+            str(np.asarray(loaded_state["signature"]))
+            if loaded_state is not None
             else None,
         ):
             if found is not None and found != signature:
@@ -248,7 +255,7 @@ def run_kfold(
                     "interrupted run's (seed/k_folds/epochs/split/"
                     f"hyperparameters differ).\n  was: {found}\n  now: {signature}"
                 )
-        if meta is not None or os.path.exists(state_path):
+        if meta is not None or loaded_state is not None:
             if meta is not None:
                 fold_results = list(meta["fold_results"])
                 # cross-run list as of the interrupted run's fold boundary;
@@ -259,8 +266,8 @@ def run_kfold(
             if fold_results:
                 best_performance = min(r["val_loss"] for r in fold_results)
             resume_fold = len(fold_results)  # first fold not in the meta
-            if os.path.exists(state_path):
-                resume_state = _load_inprogress_state(save_dir)
+            if loaded_state is not None:
+                resume_state = loaded_state
                 # the state is for the in-progress fold only; a stale state
                 # from an already-completed fold means resume at the next
                 # fold from a fresh init
@@ -402,6 +409,7 @@ def run_kfold(
                 steps_per_dispatch=steps_per_dispatch,
                 start_epoch=start_epoch,
                 on_epoch_end=on_epoch_end,
+                preemptible=resume,  # PreemptedError promises a checkpoint
             )
         result = evaluate(
             eval_step, variables, val_loader, num_classes, fold=fold,
@@ -466,16 +474,16 @@ def run_kfold(
                 },
             )
 
-    keys = ("val_loss", "val_accuracy", "val_precision", "val_recall", "val_f1")
-    avg = {f"avg_{k.replace('val_', '') if k != 'val_loss' else 'val_loss'}":
-           float(np.mean([r[k] for r in fold_results])) for k in keys}
-    training_info["average_results"] = {
-        "avg_val_loss": avg["avg_val_loss"],
-        "avg_accuracy": avg["avg_accuracy"],
-        "avg_precision": avg["avg_precision"],
-        "avg_recall": avg["avg_recall"],
-        "avg_f1": avg["avg_f1"],
+    # reference key names (train_best_RESNET50_Truncate.py:246-255):
+    # avg_val_loss keeps its val_ prefix, the other metrics drop it
+    avg = {
+        "avg_val_loss": float(np.mean([r["val_loss"] for r in fold_results])),
+        "avg_accuracy": float(np.mean([r["val_accuracy"] for r in fold_results])),
+        "avg_precision": float(np.mean([r["val_precision"] for r in fold_results])),
+        "avg_recall": float(np.mean([r["val_recall"] for r in fold_results])),
+        "avg_f1": float(np.mean([r["val_f1"] for r in fold_results])),
     }
+    training_info["average_results"] = dict(avg)
     print(
         "Average Validation Loss: {:.4f}, Accuracy: {:.4f}, Precision: {:.4f}, "
         "Recall: {:.4f}, F1 Score: {:.4f}".format(

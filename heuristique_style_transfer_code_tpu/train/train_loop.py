@@ -339,6 +339,7 @@ def train_epochs(
     steps_per_dispatch: int = 1,
     start_epoch: int = 0,
     on_epoch_end: Optional[Callable] = None,
+    preemptible: bool = False,
 ):
     """Reference train loop semantics (functions_RESNET50_Truncate.py:63-87):
     per-batch loss prints, per-epoch mean loss (+ optional TB scalar).
@@ -373,11 +374,15 @@ def train_epochs(
         # preemption (SIGTERM on a preemptible fleet): stop BEFORE the next
         # dispatch — the partial epoch is discarded by design (resume is
         # epoch-granular and bit-identical), so the exit is immediate and
-        # `epoch` epochs are durable on disk (train/preemption.py)
+        # `epoch` epochs are durable on disk (train/preemption.py).
+        # Only honoured when the caller actually writes resumable
+        # checkpoints (preemptible=True, i.e. run_kfold(resume=True)) —
+        # PreemptedError's "progress is checkpointed" promise would be a
+        # lie in a non-resume run
         from .preemption import PreemptedError, preemption_requested
 
         def check_preempt():
-            if preemption_requested():
+            if preemptible and preemption_requested():
                 raise PreemptedError(fold, epoch)
 
         if use_multi:

@@ -313,3 +313,31 @@ class TestCLI:
         assert plain == base  # K=1 leaves signatures unchanged (back-compat)
         assert accum != base
         assert "grad_accum" in accum
+
+    def test_precision_and_augmentation_join_the_signature(self):
+        """--precision and the augmentation selection change numerics /
+        batch structure, so they are part of the run identity too; defaults
+        keep the historical signature (back-compat)."""
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            signature_extra_from_args,
+        )
+
+        class Defaults:
+            grad_accum = 1
+            precision = "float32"
+            color_aug = False
+            geom_aug = False
+            num_color_transforms = 0
+            num_geom_transforms = 0
+            geom_transforms = None
+
+        class Bf16Aug(Defaults):
+            precision = "bf16"
+            color_aug = True
+            num_color_transforms = 2
+
+        assert signature_extra_from_args(Defaults()) is None
+        extra = signature_extra_from_args(Bf16Aug())
+        assert extra == {
+            "precision": "bf16", "color_aug": True, "num_color_transforms": 2
+        }

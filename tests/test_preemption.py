@@ -141,9 +141,12 @@ class TestInProcess:
             k_folds=2, seed=3, epochs=1, batch_size=4,
             hyperparameters={"lr": 0.05}, init_fn=init_fn,
             verbose_batches=False, num_workers=2,
+            # a request arriving MID-run must also be ignored without
+            # resume: no checkpoints exist, so PreemptedError's "progress
+            # is checkpointed" promise would be false
+            on_fold_end=lambda *a: request_preemption(),
         )
         assert len(info["fold_results"]) == 2  # completed, not preempted
-        assert not preemption_requested()  # cleared at run start
 
 
 class TestRealSignal:
