@@ -31,8 +31,10 @@ class ImageFolderIndex:
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
         for cls in self.classes:
             cdir = os.path.join(self.root, cls)
+            # sorted(os.walk(...)) exhausts the walk up front, so dirpath
+            # order (and with sorted(filenames), full sample order) is
+            # already deterministic — torchvision-compatible
             for dirpath, dirnames, filenames in sorted(os.walk(cdir)):
-                dirnames.sort()
                 for fname in sorted(filenames):
                     if fname.lower().endswith(IMG_EXTENSIONS):
                         self.samples.append(

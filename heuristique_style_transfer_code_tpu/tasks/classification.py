@@ -115,22 +115,14 @@ def run_classification_test(
         # full round trip when the device sits behind a network relay)
         return jnp.concatenate([loss[:, None], probs], axis=1)
 
-    from ..core.mesh import jit_eval_step, jit_scanned_eval_step
+    from ..core.mesh import jit_eval_step, scanned_eval_iter
 
-    step = jit_eval_step(step_body, mesh, n_batch_inputs=2)
-    embed_body = embed_step = None
+    embed_body = None
     if embed_fn is not None:
         # jit (and shard, when a mesh is given) the feature extraction like
         # the main step — an unjitted apply would dispatch op-by-op
         def embed_body(v, images_u8):
             return embed_fn(v, eval_preprocess(images_u8))
-
-        embed_step = jit_eval_step(embed_body, mesh, n_batch_inputs=1)
-    scan_step = scan_embed = None
-    if steps_per_dispatch > 1:
-        scan_step = jit_scanned_eval_step(step_body, mesh, n_batch_inputs=2)
-        if embed_body is not None:
-            scan_embed = jit_scanned_eval_step(embed_body, mesh, n_batch_inputs=1)
 
     timer = Timer()
     total = correct = 0
@@ -198,42 +190,41 @@ def run_classification_test(
                         colormap=colormap,
                     )
 
-    def dispatch_one(bi, batch):
-        timer.start()
-        packed = np.asarray(
-            step(variables, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]))
+    if measure_time:
+        # per-batch dispatch with the step timed alone (times_test.json
+        # semantics; embeddings fetched by a separate program so the timer
+        # matches the reference's model-forward-only window). K == 1 here
+        # (guarded above)
+        step = jit_eval_step(step_body, mesh, n_batch_inputs=2)
+        embed_step = (
+            jit_eval_step(embed_body, mesh, n_batch_inputs=1)
+            if embed_body is not None else None
         )
-        timer.stop()
-        emb = None
-        if embed_step is not None:
-            emb = np.asarray(embed_step(variables, jnp.asarray(batch["image"])))
-        consume(bi, batch, packed, emb)
-
-    def dispatch_scanned(pending):
-        # K loader batches -> ONE scanned program dispatch (+ one for the
-        # embeddings when requested), then the same per-batch bookkeeping
-        imgs = jnp.asarray(np.stack([b["image"] for _, b in pending]))
-        labs = jnp.asarray(np.stack([b["label"] for _, b in pending]))
-        packed_k = np.asarray(scan_step(variables, imgs, labs))
-        embs_k = (
-            np.asarray(scan_embed(variables, imgs)) if scan_embed is not None else None
-        )
-        for t, (bi, batch) in enumerate(pending):
-            consume(bi, batch, packed_k[t], None if embs_k is None else embs_k[t])
-
-    pending = []
-    for bi, batch in enumerate(loader):
-        if steps_per_dispatch == 1:
-            dispatch_one(bi, batch)
-            continue
-        pending.append((bi, batch))
-        if len(pending) == steps_per_dispatch:
-            dispatch_scanned(pending)
-            pending = []
-    # remainder batches (< K left over) go one at a time through the same
-    # per-batch program — identical numerics, no padding games
-    for bi, batch in pending:
-        dispatch_one(bi, batch)
+        for bi, batch in enumerate(loader):
+            timer.start()
+            packed = np.asarray(step(
+                variables, jnp.asarray(batch["image"]), jnp.asarray(batch["label"])
+            ))
+            timer.stop()
+            emb = None
+            if embed_step is not None:
+                emb = np.asarray(embed_step(variables, jnp.asarray(batch["image"])))
+            consume(bi, batch, packed, emb)
+    else:
+        # the shared K-batches-per-dispatch driver (core/mesh.py); with
+        # embeddings requested they ride the SAME program — one dispatch
+        # and one fetch per K batches for everything
+        if embed_body is not None:
+            def fused(v, images_u8, labels):
+                return step_body(v, images_u8, labels), embed_body(v, images_u8)
+        else:
+            fused = step_body
+        for bi, (batch, out) in enumerate(scanned_eval_iter(
+            fused, variables, loader, mesh,
+            input_keys=("image", "label"), steps_per_dispatch=steps_per_dispatch,
+        )):
+            packed, emb = out if embed_body is not None else (out, None)
+            consume(bi, batch, packed, emb)
 
     accuracy = 100.0 * correct / max(total, 1)
     average_loss = total_loss / max(n_batches, 1)
@@ -256,16 +247,21 @@ def run_classification_test(
             f.write(f"Score AUC: {auc}\n")
         f.write(f"Matrice de confusion:\n{m['confusion_matrix']}\n")
 
+    # console order is part of the parity surface (reference :866-879):
+    # metrics line, Score AUC, confusion-matrix message, then the
+    # auc_score.txt save notice
     log_fn(
         f"Précision du test: {accuracy}, Perte du test: {average_loss}, "
         f"Précision: {m['precision']}, Rappel: {m['recall']}, Score F1: {m['f1']}"
     )
+    if auc is not None:
+        log_fn(f"Score AUC: {auc}")
     plot_and_save_confusion_matrix(m["confusion_matrix"], class_names, save_dir)
 
     if compute_auc and auc is not None:
         with open(os.path.join(save_dir, "auc_score.txt"), "w") as f:
             f.write(f"AUC Score: {auc}\n")
-        log_fn(f"Score AUC: {auc}")
+        log_fn("AUC Score sauvegardé dans 'auc_score.txt'")
 
     if measure_time:
         timer.dump(os.path.join(save_dir, "times_test.json"))

@@ -39,8 +39,12 @@ def run_clustering(
     for mcs in min_cluster_sizes:
         for ms in min_samples_list:
             print(f"Testing HDBSCAN with min_cluster_size={mcs}, min_samples={ms}")
+            # clamp BOTH knobs to the class size (the reference crashes on
+            # small classes; sklearn needs min_samples ≤ n_samples and
+            # min_cluster_size ≥ 2) and record what actually ran
             mcs_eff = min(mcs, max(2, len(class_embeddings)))
-            clustering = HDBSCAN(min_cluster_size=mcs_eff, min_samples=ms).fit(
+            ms_eff = min(ms, max(1, len(class_embeddings)))
+            clustering = HDBSCAN(min_cluster_size=mcs_eff, min_samples=ms_eff).fit(
                 class_embeddings
             )
             cl = clustering.labels_
@@ -48,7 +52,7 @@ def run_clustering(
             print(f"Number of clusters found: {num}")
             if num > best_num:
                 best_num, best_labels = num, cl
-                best_params = {"min_cluster_size": mcs, "min_samples": ms}
+                best_params = {"min_cluster_size": mcs_eff, "min_samples": ms_eff}
 
     if best_labels is None:
         raise ValueError("No clusters found with the provided HDBSCAN parameters.")

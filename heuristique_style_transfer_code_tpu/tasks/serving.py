@@ -193,7 +193,18 @@ class BatchingInferenceServer:
     def stop(self, drain: bool = True):
         """Stop the server. With ``drain`` (default) everything already
         submitted is processed first; otherwise pending futures are
-        cancelled."""
+        cancelled. Safe on a server that was never start()ed (teardown
+        paths on startup failures): cancels anything queued and returns."""
+        if self._started is None:
+            self._stop.set()
+            try:
+                while True:
+                    item = self._requests.get_nowait()
+                    if item is not None:
+                        item[1].cancel()
+            except queue.Empty:
+                pass
+            return
         if not drain:
             self._stop.set()
         self._requests.put(None)  # sentinel: dispatcher exits after queue

@@ -174,6 +174,10 @@ def style_transfer_gram_attention(
     optimise = make_style_transfer_optimizer(
         gram_fn, learning_rate, num_iterations, threshold, mesh=mesh
     )
+    # one compiled program for the per-batch target Grams (an unjitted
+    # gram_fn would dispatch the encoder op-by-op); the device arrays feed
+    # the jitted optimise directly — no host round trip
+    gram_target = jax.jit(gram_fn)
 
     current_date = datetime.now().strftime("%Y-%m-%d")
     out_dir = os.path.join(save_dir, f"style_transfer_{current_date}")
@@ -184,10 +188,10 @@ def style_transfer_gram_attention(
     for batch in loader:
         n = batch["n_valid"]
         images = eval_preprocess(jnp.asarray(batch["image"]))  # (B,224,224,3)
-        targets = [jax.device_get(g) for g in gram_fn(images)]
+        targets = gram_target(images)
         key, sub = jax.random.split(key)
         noise0 = jax.random.normal(sub, images.shape, dtype=jnp.float32)
-        noise, iters, per_loss = optimise(noise0, [jnp.asarray(t) for t in targets])
+        noise, iters, per_loss = optimise(noise0, targets)
         log_fn(
             f"Batch optimised in {int(iters)} iterations, "
             f"final losses: {np.asarray(per_loss)[:n].round(6).tolist()}"
@@ -257,6 +261,7 @@ def style_transfer_patches(
     optimise = make_style_transfer_optimizer(
         gram_fn, learning_rate, num_iterations, threshold
     )
+    gram_target = jax.jit(gram_fn)  # one program, not op-by-op dispatch
 
     current_date = datetime.now().strftime("%Y-%m-%d")
     out_dir = os.path.join(save_dir, f"style_transfer_{current_date}")
@@ -272,7 +277,7 @@ def style_transfer_patches(
                 log_fn(f"Maximum number of images ({max_images}) reached.")
                 return saved
         images = eval_preprocess(jnp.asarray(batch["image"]))
-        targets = gram_fn(images)
+        targets = gram_target(images)
         key, sub = jax.random.split(key)
         noise0 = jax.random.normal(sub, images.shape, dtype=jnp.float32)
         noise, iters, per_loss = optimise(noise0, targets)
