@@ -64,7 +64,12 @@ def main(argv=None):
 
     target = args.to or args.format
     if target is None:
-        target = "pth" if args.output.endswith((".pth", ".pt")) else "npz"
+        if args.output.endswith((".pth", ".pt")):
+            target = "pth"
+        elif args.output.endswith(".orbax"):
+            target = "orbax"  # an npz blob at a .orbax path would mislead
+        else:
+            target = "npz"
 
     from ._common import count_params
 

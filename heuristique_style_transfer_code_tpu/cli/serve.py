@@ -231,6 +231,18 @@ def export_artifact(args) -> None:
                 "is sealed into the artifact)"
             )
         mesh = resolve_eval_mesh(args.devices, batch)
+        got = mesh.size if mesh is not None else 1
+        if got != args.devices:
+            import jax
+
+            # resolve_eval_mesh clamps to the VISIBLE device count — an
+            # export host smaller than the target slice would otherwise
+            # silently seal the clamped mesh into the artifact forever
+            raise ValueError(
+                f"--devices {args.devices} requested but only a {got}-device "
+                f"mesh could be built here ({len(jax.devices())} visible); "
+                "export on a host that sees the target device count"
+            )
     blob, meta = export_infer_artifact(
         forward_eval, variables,
         transport=args.transport, batch_size=batch, platforms=platforms,

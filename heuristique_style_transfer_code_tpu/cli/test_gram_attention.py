@@ -19,7 +19,6 @@ from ._common import (
     count_params,
     load_checkpoint_tree,
     maybe_subset,
-    resolve_class_names,
     resolve_eval_mesh,
 )
 
@@ -221,14 +220,15 @@ def main(argv=None):
     elif args.mode == "camera":
         from ..tasks.camera import run_camera
 
-        class_names = resolve_class_names(args.classes, config, args.data)
+        # reference parity (test_RESNET50_Truncate_gram_attention.py:125-130):
+        # camera mode requires --classes explicitly, no config/data fallback
         if args.classes is None:
             raise ValueError(
                 "You must specify classes with the --classes option for camera mode."
             )
         cam_index = int(args.camera_index) if args.camera_index.isdigit() else args.camera_index
         run_camera(
-            forward_eval, variables, class_names,
+            forward_eval, variables, args.classes,
             save_video=args.save_camera_video, save_dir=args.save_dir,
             prob_threshold=args.prob_threshold, measure_time=args.measure_time,
             camera_index=cam_index, host_downscale=not args.device_preprocess,

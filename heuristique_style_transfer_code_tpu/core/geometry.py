@@ -16,10 +16,15 @@ from typing import Tuple
 
 def resize_target(h: int, w: int, shorter: int) -> Tuple[int, int]:
     """torchvision Resize(int): scale the shorter side to ``shorter``,
-    keep aspect ratio. Returns (target_h, target_w)."""
+    keep aspect ratio. Returns (target_h, target_w).
+
+    The long side TRUNCATES (torchvision F_pil.resize /
+    _compute_resized_output_size both compute ``int(size * long / short)``)
+    — round() deviated on every image whose scaled long side has fractional
+    part >= 0.5 (review finding; e.g. 333x499 @256 is (256, 383), not 384)."""
     if h <= w:
-        return shorter, max(1, round(w * shorter / h))
-    return max(1, round(h * shorter / w)), shorter
+        return shorter, max(1, int(w * shorter / h))
+    return max(1, int(h * shorter / w)), shorter
 
 
 def center_crop_offsets(h: int, w: int, size: int) -> Tuple[int, int]:

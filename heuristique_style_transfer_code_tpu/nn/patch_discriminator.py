@@ -104,21 +104,14 @@ def patch_discriminator_apply(params, x: jax.Array, norm: str = "instance", trai
     (Models/Models_Multi_PatchGAN.py:56-61)."""
     new_params = {"convs": [], "final": None, "out_conv": params["out_conv"]} if train else None
 
-    def apply_norm(norm_params, h):
-        if norm == "batch":
-            if train:
-                return batch_norm(norm_params, h, train=True)
-            return batch_norm(norm_params, h, train=False), norm_params
-        return instance_norm(h), norm_params
-
     for entry in params["convs"]:
         x = conv2d(entry["conv"], x, stride=2, padding=1)
-        x, n_norm = apply_norm(entry["norm"], x)
+        x, n_norm = _apply_norm(norm, entry["norm"], x, train)
         if train:
             new_params["convs"].append({"conv": entry["conv"], "norm": n_norm})
         x = jax.nn.leaky_relu(x, 0.2)
     x = conv2d(params["final"]["conv"], x, stride=1, padding=1)
-    x, n_norm = apply_norm(params["final"]["norm"], x)
+    x, n_norm = _apply_norm(norm, params["final"]["norm"], x, train)
     if train:
         new_params["final"] = {"conv": params["final"]["conv"], "norm": n_norm}
     x = jax.nn.leaky_relu(x, 0.2)
@@ -201,7 +194,11 @@ def patch_discriminator_test_apply(
         pooled = adaptive_avg_pool2d(fm.transpose(0, 3, 1, 2), S)  # (N, C, 4, 4)
         pooled = layer_norm_tail(pooled)
         f = pooled.reshape(pooled.shape[0], gram_matrix_dim, -1)  # (N, C, 16)
-        g = jnp.einsum("ncl,ndl->ncd", f, f, preferred_element_type=jnp.float32) / (
+        # PET rule (CLAUDE.md / ops/conv.py:_pet): explicit f32 PET only for
+        # f32 operands — bf16 f flows through here on the --precision bf16
+        # style-transfer grad path
+        pet = jnp.float32 if f.dtype == jnp.float32 else None
+        g = jnp.einsum("ncl,ndl->ncd", f, f, preferred_element_type=pet) / (
             f.shape[-1] + GRAM_EPS
         )
         gram_norms.append(jnp.sqrt(jnp.sum(jnp.square(g), axis=(1, 2))))

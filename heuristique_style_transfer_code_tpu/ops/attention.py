@@ -25,7 +25,9 @@ def multihead_attention_init(key: jax.Array, embed_dim: int, num_heads: int, dty
     k1, k2 = jax.random.split(key)
     # torch init: xavier_uniform on in_proj_weight, zeros on in_proj_bias,
     # out_proj = NonDynamicallyQuantizableLinear default init, bias zeroed.
-    bound_in = (6.0 / (embed_dim + embed_dim)) ** 0.5
+    # xavier on the PACKED (3E, E) tensor: fan_in=E, fan_out=3E, so the
+    # bound is sqrt(6/(E+3E)) — verified against torch (0.15308 at E=64)
+    bound_in = (6.0 / (embed_dim + 3 * embed_dim)) ** 0.5
     bound_out = 1.0 / (embed_dim ** 0.5)
     return {
         "in_proj_weight": jax.random.uniform(

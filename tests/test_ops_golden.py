@@ -152,6 +152,21 @@ class TestAttention:
         np.testing.assert_allclose(got, want.detach().numpy(), rtol=1e-3, atol=1e-4)
 
 
+    def test_init_bound_matches_torch_xavier_on_packed_qkv(self):
+        """torch xavier_uniform_ on the PACKED (3E, E) in_proj tensor uses
+        fan_in+fan_out = E+3E, so the bound is sqrt(6/(4E)) — NOT the
+        sqrt(6/(2E)) of a square tensor (review finding: init was sqrt(2)x
+        too wide vs torch.nn.MultiheadAttention)."""
+        E = 64
+        torch.manual_seed(0)
+        want_bound = float(torch.nn.MultiheadAttention(E, 8).in_proj_weight.abs().max())
+        params = ops.multihead_attention_init(jax.random.PRNGKey(0), E, 8)
+        got = np.abs(_np(params["in_proj_weight"]))
+        assert got.max() <= want_bound * 1.001, (got.max(), want_bound)
+        # and actually fills the range (not accidentally much narrower)
+        assert got.max() > want_bound * 0.95
+
+
 class TestGram:
     def test_gram_nhwc_matches_reference_formula(self, rng):
         x = rng.randn(2, 5, 7, 16).astype(np.float32)  # NHWC
@@ -198,6 +213,21 @@ class TestResize:
         got = _np(ops.resize_shorter_side(jnp.asarray(img).astype(jnp.float32) / 255.0, shorter))
         # PIL quantises to uint8 between H and V passes; allow 1/255 slack
         np.testing.assert_allclose(got, want, atol=2.5 / 255.0)
+
+    def test_resize_target_truncates_like_torchvision(self):
+        """torchvision Resize(int) computes the long side as
+        int(size * long / short) — TRUNCATION (F_pil.resize and
+        _compute_resized_output_size agree). round() deviated whenever the
+        fractional part was >= .5 (review finding)."""
+        from heuristique_style_transfer_code_tpu.core.geometry import resize_target
+
+        # 256 * 499 / 333 = 383.51...: torchvision says 383
+        assert resize_target(333, 499, 256) == (256, 383)
+        # transposed orientation
+        assert resize_target(499, 333, 256) == (383, 256)
+        # exact ratio unaffected
+        assert resize_target(48, 64, 32) == (32, 42)  # 42.67 truncates
+        assert resize_target(100, 100, 56) == (56, 56)
 
     def test_upscale_matches_pil(self, rng):
         from PIL import Image
