@@ -164,17 +164,17 @@ def bench_tpu() -> dict:
     for i in range(WARMUP):
         np.asarray(inferY(variables, jnp.asarray(yuv_batches[i % 3])))
     yuv_fps = ITERS_BATCH * BATCH / pipelined(inferY, yuv_batches, ITERS_BATCH)
+    # on a parity failure the headline falls back to the RGB transport; the
+    # transport key below makes that visible (the note text describes the
+    # verified-YUV420 pipeline, which would otherwise silently mislead)
     bN_fps = yuv_fps if yuv_match_b64 else rgb_fps
+    b64_transport = "yuv420" if yuv_match_b64 else "rgb (yuv argmax mismatch)"
 
     # larger streaming batch (multi-stream serving: e.g. 8 cameras x 32
     # frames): per-batch relay fetch overhead amortises over more images —
     # measured ~10-17% above batch 64 in back-to-back runs
     inferY2 = make_camera_infer_fn_yuv(
         forward_eval, 224, compute_dtype=jnp.bfloat16, batch=BATCH_LARGE
-    )
-    inferN2 = make_camera_infer_fn(
-        forward_eval, compute_dtype=jnp.bfloat16, batch=BATCH_LARGE,
-        host_downscale=True,
     )
     big_rgb = [
         np.stack([
@@ -187,7 +187,14 @@ def bench_tpu() -> dict:
     ]
     big_yuv = [np.stack([rgb_to_yuv420(f) for f in b]) for b in big_rgb]
     log("[tpu] compiling batch-%d ..." % BATCH_LARGE)
-    p_rgb = np.asarray(inferN2(variables, jnp.asarray(big_rgb[0])))
+    # RGB parity reference via the ALREADY-compiled batch-64 program in
+    # chunks — per-image compute is batch-independent, and a dedicated
+    # batch-256 RGB program would cost a whole extra axon remote compile
+    # (1.6 s-10 min, CLAUDE.md) just for this one comparison
+    p_rgb = np.concatenate([
+        np.asarray(inferN(variables, jnp.asarray(big_rgb[0][i: i + BATCH])))
+        for i in range(0, BATCH_LARGE, BATCH)
+    ])
     p_yuv = np.asarray(inferY2(variables, jnp.asarray(big_yuv[0])))
     yuv_match_b256 = bool((p_rgb.argmax(1) == p_yuv.argmax(1)).all())
     max_prob_diff = max(max_prob_diff, float(np.abs(p_rgb - p_yuv).max()))
@@ -443,6 +450,7 @@ def bench_tpu() -> dict:
         "batched_fps": float(max(bN_fps, big_fps)),
         "batch_used": BATCH_LARGE if big_fps > bN_fps else BATCH,
         "streaming_fps_b64": float(bN_fps),
+        "streaming_fps_b64_transport": b64_transport,
         "streaming_fps_b256": float(big_fps),
         "rgb_streaming_fps": float(rgb_fps),
         # the flag reported alongside the headline describes the batch size
@@ -624,14 +632,19 @@ def bench_torch_cpu() -> dict:
     ]
 
     def one(frame):
+        # the ONE geometry definition (core/geometry.py) — torchvision
+        # truncates the scaled long side and round()s the crop offsets;
+        # hand-rolled round()///2 here deviated at some frame shapes
+        from heuristique_style_transfer_code_tpu.core.geometry import (
+            center_crop_offsets,
+            resize_target,
+        )
+
         img = Image.fromarray(frame)
         w, h = img.size
-        if h <= w:
-            tw, th = round(w * 256 / h), 256
-        else:
-            tw, th = 256, round(h * 256 / w)
+        th, tw = resize_target(h, w, 256)
         img = img.resize((tw, th), Image.BILINEAR)
-        left, top = (tw - 224) // 2, (th - 224) // 2
+        top, left = center_crop_offsets(th, tw, 224)
         img = img.crop((left, top, left + 224, top + 224))
         x = torch.from_numpy(np.asarray(img).copy()).permute(2, 0, 1).float() / 255.0
         x = ((x - mean) / std).unsqueeze(0)

@@ -6,8 +6,10 @@ train_best_RESNET50_Truncate.py:126-132), shared by every consumer —
 the PIL staging loader, the native C++ decoder's Python driver, and the
 on-device resize — so the bit-parity contract between them cannot drift.
 
-Note both `round` calls are Python's banker's rounding; changing either to
-floor/ceil breaks parity with torchvision/PIL.
+Integer rules, each pinned by tests/test_ops_golden.py::TestResize:
+``resize_target`` TRUNCATES the scaled long side (torchvision's
+``int(size * long / short)``); ``center_crop_offsets`` uses Python round()
+(banker's) on the half-gap. Mixing them up breaks torchvision parity.
 """
 from __future__ import annotations
 

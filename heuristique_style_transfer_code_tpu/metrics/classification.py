@@ -47,9 +47,13 @@ def classification_metrics(
 
 
 def confusion_matrix_np(targets, preds, num_classes: int) -> np.ndarray:
+    """sklearn-free confusion matrix. Pairs where EITHER index is outside
+    [0, num_classes) are skipped — both -1 "Unknown" predictions and -1
+    padded targets (the HostLoader pad label), which numpy negative
+    indexing would otherwise silently count into the last class."""
     cm = np.zeros((num_classes, num_classes), dtype=np.int64)
     for t, p in zip(np.asarray(targets), np.asarray(preds)):
-        if 0 <= p < num_classes:
+        if 0 <= p < num_classes and 0 <= t < num_classes:
             cm[t, p] += 1
     return cm
 
@@ -85,10 +89,14 @@ class Timer:
         self._start = time.perf_counter()
 
     def stop(self):
+        if self._start is None:
+            raise RuntimeError("Timer.stop() before start()")
         self.times.append(time.perf_counter() - self._start)
 
     def summary(self) -> Dict[str, float]:
-        arr = np.asarray(self.times) if self.times else np.zeros(1)
+        if not self.times:
+            raise ValueError("Timer recorded no spans")
+        arr = np.asarray(self.times)
         return {
             "mean_s": float(arr.mean()),
             "total_s": float(arr.sum()),

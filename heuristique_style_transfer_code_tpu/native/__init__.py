@@ -53,18 +53,26 @@ def _compile() -> str:
             os.makedirs(d, exist_ok=True)
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=d)
             os.close(fd)
-            cmd = [
-                "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-                "-o", tmp, _SRC, "-ljpeg",
-            ]
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-            if proc.returncode != 0:
-                os.unlink(tmp)
-                raise RuntimeError(f"g++ failed: {proc.stderr.strip()[:500]}")
-            os.replace(tmp, so)  # atomic: concurrent builders race benignly
-            with open(stamp + ".tmp", "w") as f:
+            try:
+                cmd = [
+                    "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+                    "-o", tmp, _SRC, "-ljpeg",
+                ]
+                proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+                if proc.returncode != 0:
+                    raise RuntimeError(f"g++ failed: {proc.stderr.strip()[:500]}")
+                os.replace(tmp, so)  # atomic: concurrent builders race benignly
+            except BaseException:
+                # also covers TimeoutExpired — never leave the temp .so behind
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+            # per-process temp for the stamp too (a fixed shared '.tmp' path
+            # could be truncated by a concurrent builder mid-write)
+            sfd, stmp = tempfile.mkstemp(suffix=".stamp", dir=d)
+            with os.fdopen(sfd, "w") as f:
                 f.write(str(src_mtime))
-            os.replace(stamp + ".tmp", stamp)
+            os.replace(stmp, stamp)
             return so
         except Exception as e:  # try the next candidate dir
             last_err = e

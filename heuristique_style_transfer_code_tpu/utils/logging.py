@@ -27,15 +27,15 @@ class StructuredLogger:
         if self.echo:
             print(message)
         if self._fh is not None:
-            rec = {"t": time.time(), "msg": message}
-            rec.update(fields)
+            # record keys win: a caller field named 't'/'msg' must not
+            # clobber the stream's timestamp/message
+            rec = {**fields, "t": time.time(), "msg": message}
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
 
     def event(self, kind: str, **fields):
         if self._fh is not None:
-            rec = {"t": time.time(), "kind": kind}
-            rec.update(fields)
+            rec = {**fields, "t": time.time(), "kind": kind}
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
 

@@ -24,11 +24,12 @@ class TestGeometry:
             assert th == shorter and tw >= 1
         else:
             assert tw == shorter and th >= 1
-        # aspect ratio preserved to rounding
+        # aspect ratio preserved to torchvision's TRUNCATION of the long
+        # side: 0 <= exact - target < 1 (int(size * long / short))
         if h <= w:
-            assert abs(tw - w * shorter / h) <= 0.5 + 1e-9 or tw == 1
+            assert 0 <= w * shorter / h - tw < 1 + 1e-9 or tw == 1
         else:
-            assert abs(th - h * shorter / w) <= 0.5 + 1e-9 or th == 1
+            assert 0 <= h * shorter / w - th < 1 + 1e-9 or th == 1
 
     @given(h=SIZES, w=SIZES, size=st.integers(1, 512))
     @settings(max_examples=200, deadline=None)
