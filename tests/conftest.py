@@ -49,3 +49,19 @@ def tiny_imagefolder(tmp_path_factory):
                 img = np.clip(base + rng.randn(48, 64, 3) * 20, 0, 255).astype(np.uint8)
                 Image.fromarray(img).save(d / f"img_{i:03d}.png")
     return root
+
+
+@pytest.fixture(scope="module")
+def family1(tiny_imagefolder):
+    """Tiny family-1 model (cfg, variables, forward_eval), built once per
+    module (shared by the tasks / eval-dispatch / GUI-headless suites)."""
+    import jax
+
+    from heuristique_style_transfer_code_tpu.config.schema import TruncatedResNetConfig
+    from heuristique_style_transfer_code_tpu.train.factories import make_truncated_resnet50
+
+    cfg = TruncatedResNetConfig(batch_size=4, lr=0.01, truncate_layer=5, dim=16)
+    variables, _, _, _, forward_eval = make_truncated_resnet50(
+        jax.random.PRNGKey(0), cfg, 4, [(None, None)]
+    )
+    return cfg, variables, forward_eval

@@ -24,27 +24,13 @@ from heuristique_style_transfer_code_tpu.tasks.camera import (
     make_camera_infer_fn_yuv,
 )
 
-CROP = 32
-CLASSES = 4
-
-
-def _variables():
-    rng = np.random.RandomState(0)
-    return {
-        "w": jnp.asarray(rng.randn(CROP * CROP * 3, CLASSES).astype(np.float32) * 0.01),
-        "b": jnp.asarray(rng.randn(CLASSES).astype(np.float32)),
-    }
-
-
-def _forward(variables, images):
-    flat = images.reshape(images.shape[0], -1)
-    return flat @ variables["w"] + variables["b"]
-
-
-def _rgb_batch(n, seed=0):
-    return np.random.RandomState(seed).randint(
-        0, 256, (n, CROP, CROP, 3), dtype=np.uint8
-    )
+from tests.linear_serving import (
+    CLASSES,
+    CROP,
+    linear_forward as _forward,
+    linear_variables as _variables,
+    rgb_batch as _rgb_batch,
+)
 
 
 class TestArtifactRoundTrip:

@@ -19,18 +19,6 @@ from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderInde
 from heuristique_style_transfer_code_tpu.data.loader import HostLoader
 
 
-@pytest.fixture(scope="module")
-def family1(tiny_imagefolder):
-    from heuristique_style_transfer_code_tpu.config.schema import TruncatedResNetConfig
-    from heuristique_style_transfer_code_tpu.train.factories import make_truncated_resnet50
-
-    cfg = TruncatedResNetConfig(batch_size=4, lr=0.01, truncate_layer=5, dim=16)
-    variables, _, _, _, forward_eval = make_truncated_resnet50(
-        jax.random.PRNGKey(0), cfg, 4, [(None, None)]
-    )
-    return cfg, variables, forward_eval
-
-
 def _toy_step(v, images_u8, labels):
     x = images_u8.astype(jnp.float32) / 255.0
     feat = x.mean(axis=(1, 2))  # (B, 3)

@@ -28,20 +28,6 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="module")
-def family1(tiny_imagefolder):
-    import jax
-
-    from heuristique_style_transfer_code_tpu.config.schema import TruncatedResNetConfig
-    from heuristique_style_transfer_code_tpu.train.factories import make_truncated_resnet50
-
-    cfg = TruncatedResNetConfig(batch_size=4, lr=0.01, truncate_layer=5, dim=16)
-    variables, _, _, _, forward_eval = make_truncated_resnet50(
-        jax.random.PRNGKey(0), cfg, 4, [(None, None)]
-    )
-    return cfg, variables, forward_eval
-
-
 # ---------------------------------------------------------------------------
 # fake tkinter stack
 # ---------------------------------------------------------------------------

@@ -199,7 +199,7 @@ class TestTwoProcessTraining:
 
         env = {k: v for k, v in os.environ.items()
                if not k.startswith(("JAX", "XLA"))}
-        env["PYTHONPATH"] = os.getcwd()
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
         procs = [
             subprocess.Popen(

@@ -121,7 +121,6 @@ def test_serve_cli_int8_round_trip(f1_checkpoint, tmp_path):
 
 
 def test_serve_cli_round_trip(f1_checkpoint):
-    pytest = __import__("pytest")
     pytest.importorskip("cv2")
     from heuristique_style_transfer_code_tpu.cli.serve import build_parser, start
 

@@ -12,26 +12,13 @@ from heuristique_style_transfer_code_tpu.tasks.serving import (
     BatchingInferenceServer,
 )
 
-CROP = 32
-CLASSES = 4
-
-
-def _variables():
-    rng = np.random.RandomState(0)
-    return {
-        "w": jnp.asarray(rng.randn(CROP * CROP * 3, CLASSES).astype(np.float32) * 0.01),
-        "b": jnp.asarray(rng.randn(CLASSES).astype(np.float32)),
-    }
-
-
-def _forward(variables, images):
-    flat = images.reshape(images.shape[0], -1)
-    return flat @ variables["w"] + variables["b"]
-
-
-def _frames(n, seed=0):
-    rng = np.random.RandomState(seed)
-    return [rng.randint(0, 256, (CROP, CROP, 3), dtype=np.uint8) for _ in range(n)]
+from tests.linear_serving import (
+    CLASSES,
+    CROP,
+    linear_forward as _forward,
+    linear_variables as _variables,
+    rgb_frames as _frames,
+)
 
 
 def _reference_probs(variables, frames):
@@ -212,7 +199,7 @@ class TestBatching:
             _forward, variables, batch_size=4, max_delay_ms=5, crop=CROP
         ) as batcher:
             srv = make_http_server(batcher, ["fog", "rain", "snow", "sun"])
-            t = __import__("threading").Thread(target=srv.serve_forever, daemon=True)
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
             t.start()
             try:
                 host, port = srv.server_address

@@ -12,18 +12,6 @@ from heuristique_style_transfer_code_tpu.data.imagefolder import ImageFolderInde
 from heuristique_style_transfer_code_tpu.data.loader import HostLoader
 
 
-@pytest.fixture(scope="module")
-def family1(tiny_imagefolder):
-    from heuristique_style_transfer_code_tpu.config.schema import TruncatedResNetConfig
-    from heuristique_style_transfer_code_tpu.train.factories import make_truncated_resnet50
-
-    cfg = TruncatedResNetConfig(batch_size=4, lr=0.01, truncate_layer=5, dim=16)
-    variables, _, _, _, forward_eval = make_truncated_resnet50(
-        jax.random.PRNGKey(0), cfg, 4, [(None, None)]
-    )
-    return cfg, variables, forward_eval
-
-
 class TestStyleTransferLoop:
     def test_converges_on_quadratic_gram(self):
         """The jitted while_loop must reduce the gram MSE and stop early
