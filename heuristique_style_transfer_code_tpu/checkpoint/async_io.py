@@ -121,6 +121,7 @@ class AsyncCheckpointWriter:
         while True:
             item = self._q.get()
             if item is None:
+                self._q.task_done()  # balance the sentinel: wait()-after-close must not hang
                 break
             tree, path = item
             try:

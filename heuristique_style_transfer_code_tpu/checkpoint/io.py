@@ -19,9 +19,13 @@ _SEP = "/"
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     flat: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree:  # marker: empty containers must survive the round-trip
+            flat[prefix[: -len(_SEP)] + ".__empty_dict__"] = np.zeros(0)
         for k, v in tree.items():
             flat.update(_flatten(v, f"{prefix}{k}{_SEP}"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:  # e.g. 'convs': [] from a 1-layer discriminator plan
+            flat[prefix[: -len(_SEP)] + ".__empty_list__"] = np.zeros(0)
         for i, v in enumerate(tree):
             flat.update(_flatten(v, f"{prefix}{i}{_SEP}"))
     elif tree is None:
@@ -37,6 +41,12 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
         if key.endswith(".__none__"):
             parts = key[: -len(".__none__")].split(_SEP)
             val = None
+        elif key.endswith(".__empty_dict__"):
+            parts = key[: -len(".__empty_dict__")].split(_SEP)
+            val = {}
+        elif key.endswith(".__empty_list__"):
+            parts = key[: -len(".__empty_list__")].split(_SEP)
+            val = []
         else:
             parts = key.split(_SEP)
         node = root

@@ -315,11 +315,11 @@ def shape_filtered_update(target: Any, source: Any, stats: Optional[dict] = None
             for k, v in target.items()
         }
     if isinstance(target, (list, tuple)) and isinstance(source, (list, tuple)):
-        return [
+        return type(target)(  # preserve list vs tuple: pytree structure
             shape_filtered_update(t, source[i], stats) if i < len(source)
             else _count_only(t, stats)
             for i, t in enumerate(target)
-        ]
+        )
     if target is None or source is None:
         return target
     if hasattr(target, "shape"):

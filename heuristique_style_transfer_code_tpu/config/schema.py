@@ -42,8 +42,10 @@ class _BaseConfig:
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
-        d.update(d.pop("extra"))
-        return {k: v for k, v in d.items() if v is not None}
+        extra = d.pop("extra")
+        out = {k: v for k, v in d.items() if v is not None}  # unset optionals omitted
+        out.update(extra)  # unknown keys round-trip verbatim, null included
+        return out
 
     def save(self, path: str):
         with open(path, "w") as f:

@@ -31,7 +31,7 @@ def enable_compile_cache(
     v = os.environ.get("HST_COMPILE_CACHE", "")
     if v == "0":
         return None
-    path = path or v or DEFAULT_DIR
+    path = v or path or DEFAULT_DIR  # env var wins, as documented
     try:
         os.makedirs(path, exist_ok=True)
         import jax

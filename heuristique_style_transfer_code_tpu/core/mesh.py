@@ -48,20 +48,46 @@ def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
 
 
+def _jit_batch_sharded(fn, mesh: Mesh, n_batch_inputs: int, batch_axis: int):
+    """jit ``fn(variables, *batch_inputs)`` with variables replicated, batch
+    inputs sharded on ``batch_axis`` over 'data', and per-output-leaf
+    shardings chosen at first trace (``jax.eval_shape``): leaves deep enough
+    to carry the batch axis are sharded there, lower-rank leaves (per-batch
+    scalars/counters) are replicated. Cached per input aval signature."""
+    repl = replicated_sharding(mesh)
+    in_spec = P(*([None] * batch_axis + [DATA_AXIS]))
+    in_sh = (repl,) + (NamedSharding(mesh, in_spec),) * n_batch_inputs
+    compiled = {}
+
+    def call(*args):
+        key = tuple(
+            (tuple(x.shape), str(getattr(x, "dtype", type(x))))
+            for x in jax.tree_util.tree_leaves(args)
+        )
+        f = compiled.get(key)
+        if f is None:
+            outs = jax.eval_shape(fn, *args)
+            out_sh = jax.tree_util.tree_map(
+                lambda o: NamedSharding(
+                    mesh, in_spec if o.ndim > batch_axis else P()
+                ),
+                outs,
+            )
+            f = compiled[key] = jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
+        return f(*args)
+
+    return call
+
+
 def jit_eval_step(step, mesh: Optional[Mesh], n_batch_inputs: int = 1):
     """jit an eval ``step(variables, *batch_inputs)`` with variables
     replicated and every batch input/output sharded over the mesh's 'data'
-    axis. With ``mesh=None`` this is a plain jit. Sharding is a layout, not a
-    semantics change: results are identical to single-device."""
+    axis (scalar outputs replicated). With ``mesh=None`` this is a plain
+    jit. Sharding is a layout, not a semantics change: results are
+    identical to single-device."""
     if mesh is None:
         return jax.jit(step)
-    repl = replicated_sharding(mesh)
-    data = data_sharding(mesh)
-    return jax.jit(
-        step,
-        in_shardings=(repl,) + (data,) * n_batch_inputs,
-        out_shardings=data,
-    )
+    return _jit_batch_sharded(step, mesh, n_batch_inputs, batch_axis=0)
 
 
 def jit_scanned_eval_step(step, mesh: Optional[Mesh], n_batch_inputs: int = 1):
@@ -72,8 +98,8 @@ def jit_scanned_eval_step(step, mesh: Optional[Mesh], n_batch_inputs: int = 1):
     for K batches. Per-batch results are bit-identical to K separate
     :func:`jit_eval_step` calls (the scan body is the same program); only
     the dispatch granularity changes. Batch axis 1 is sharded over the
-    mesh's 'data' axis when a mesh is given (axis 0 is sequential time)."""
-    import jax.numpy as jnp  # noqa: F401  (kept local: no import-time backend init)
+    mesh's 'data' axis when a mesh is given (axis 0 is sequential time;
+    rank<2 outputs, e.g. per-batch scalars, are replicated)."""
 
     def scanned(variables, *stacked_inputs):
         def one(_, xs):
@@ -84,13 +110,7 @@ def jit_scanned_eval_step(step, mesh: Optional[Mesh], n_batch_inputs: int = 1):
 
     if mesh is None:
         return jax.jit(scanned)
-    repl = replicated_sharding(mesh)
-    kdata = NamedSharding(mesh, P(None, DATA_AXIS))
-    return jax.jit(
-        scanned,
-        in_shardings=(repl,) + (kdata,) * n_batch_inputs,
-        out_shardings=kdata,
-    )
+    return _jit_batch_sharded(scanned, mesh, n_batch_inputs, batch_axis=1)
 
 
 def scanned_eval_iter(

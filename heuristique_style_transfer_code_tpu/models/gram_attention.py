@@ -63,17 +63,24 @@ def gram_attention_apply(
         if train
         else None
     )
+    emb, logits = _gram_head(params, grams, x, s, num_classes)
+    return emb, logits, new_params
+
+
+def _gram_head(params, grams, x, s: int, num_classes: int):
+    """Shared tail of the float and int8 forwards: stage Grams -> attention
+    sequence -> mean-pooled embedding -> logits (zeros when no Grams were
+    collected — reference behaviour, :48-49)."""
     if not grams:
-        # reference returns zeros when nothing was collected (:48-49)
         z = jnp.zeros((x.shape[0], num_classes), dtype=x.dtype)
-        return jnp.zeros((x.shape[0], s * s), dtype=x.dtype), z, new_params
+        return jnp.zeros((x.shape[0], s * s), dtype=x.dtype), z
 
     # (L, N, S^2): stack stage grams as the attention sequence
     seq = jnp.stack([g.reshape(g.shape[0], s * s) for g in grams], axis=0)
     att = multihead_attention(params["attention"], seq, num_heads=1)
     emb = jnp.mean(att, axis=0)  # (N, S^2)
     logits = linear(params["classifier"], emb)
-    return emb, logits, new_params
+    return emb, logits
 
 
 def prepare_gram_attention_int8(params, truncate: int, calibration_batches):
@@ -101,11 +108,5 @@ def gram_attention_apply_int8(
     _, grams = resnet50_apply_int8(
         q_encoder, x, collect_grams=True, gram_pool_size=s
     )
-    if not grams:
-        z = jnp.zeros((x.shape[0], num_classes), dtype=x.dtype)
-        return jnp.zeros((x.shape[0], s * s), dtype=x.dtype), z, None
-    seq = jnp.stack([g.reshape(g.shape[0], s * s) for g in grams], axis=0)
-    att = multihead_attention(params["attention"], seq, num_heads=1)
-    emb = jnp.mean(att, axis=0)
-    logits = linear(params["classifier"], emb)
+    emb, logits = _gram_head(params, grams, x, s, num_classes)
     return emb, logits, None

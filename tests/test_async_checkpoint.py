@@ -88,6 +88,19 @@ class TestWriter:
         with pytest.raises(RuntimeError, match="closed"):
             w.submit({"x": jnp.zeros(1)}, str(tmp_path / "x.npz"))
 
+    def test_wait_after_close_returns(self, tmp_path):
+        """wait() after close() must not deadlock on the shutdown sentinel
+        (the worker balances it with task_done)."""
+        import threading
+
+        w = AsyncCheckpointWriter()
+        w.submit({"x": jnp.zeros(1)}, str(tmp_path / "x.npz"))
+        w.close()
+        t = threading.Thread(target=w.wait, daemon=True)
+        t.start()
+        t.join(timeout=30)
+        assert not t.is_alive()
+
 
 class TestAsyncResume:
     def test_interrupt_and_resume_bit_identical_async(self, tmp_path):

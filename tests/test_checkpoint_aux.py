@@ -24,6 +24,30 @@ class TestAtomicNpz:
         back = load_pytree_npz(p, as_jax=False)
         np.testing.assert_array_equal(back["w"], tree["w"])
 
+    def test_empty_containers_and_none_round_trip(self, tmp_path):
+        """Empty dict/list subtrees (e.g. 'convs': [] from a 1-layer
+        discriminator plan) and None leaves must survive the npz round
+        trip — dropping them breaks later tree lookups on resume."""
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+            save_pytree_npz,
+        )
+
+        p = str(tmp_path / "model.npz")
+        tree = {
+            "convs": [],
+            "stats": {},
+            "head": {"w": np.ones((2, 2)), "b": None, "groups": [np.zeros(3), []]},
+        }
+        save_pytree_npz(tree, p)
+        back = load_pytree_npz(p, as_jax=False)
+        assert back["convs"] == []
+        assert back["stats"] == {}
+        assert back["head"]["b"] is None
+        assert back["head"]["groups"][1] == []
+        np.testing.assert_array_equal(back["head"]["w"], tree["head"]["w"])
+        np.testing.assert_array_equal(back["head"]["groups"][0], np.zeros(3))
+
 
 class TestOrbax:
     def test_roundtrip(self, tmp_path):
@@ -55,6 +79,17 @@ class TestShapeFilterStats:
         out = shape_filtered_update(target, source, stats)
         assert stats == {"loaded": 1, "total": 3}
         assert (out["a"] == 1).all() and (out["b"] == 0).all()
+
+    def test_tuple_subtrees_keep_their_type(self):
+        from heuristique_style_transfer_code_tpu.checkpoint.pth_converter import (
+            shape_filtered_update,
+        )
+
+        target = {"seq": (np.zeros(2), np.zeros(3))}
+        source = {"seq": [np.ones(2), np.ones(9)]}
+        out = shape_filtered_update(target, source)
+        assert isinstance(out["seq"], tuple)  # pytree structure unchanged
+        assert (out["seq"][0] == 1).all() and (out["seq"][1] == 0).all()
 
 
 class TestGramAttentionTrainVariantParity:

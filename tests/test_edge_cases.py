@@ -122,6 +122,27 @@ class TestShapeFilteredUpdate:
         assert out["c"]["norm"] is None
 
 
+class TestConfigRoundTrip:
+    def test_null_extra_keys_preserved(self, tmp_path):
+        """Unknown keys round-trip verbatim INCLUDING null values (unset
+        declared optionals are still omitted)."""
+        import json as _json
+
+        from heuristique_style_transfer_code_tpu.config.schema import (
+            TruncatedResNetConfig,
+        )
+
+        p = str(tmp_path / "hp.json")
+        with open(p, "w") as f:
+            _json.dump({"batch_size": 8, "tensorboard_logdir": None,
+                        "custom_tag": "x"}, f)
+        cfg = TruncatedResNetConfig.from_json(p)
+        out = cfg.to_dict()
+        assert out["tensorboard_logdir"] is None  # null extra key kept
+        assert out["custom_tag"] == "x"
+        assert "seed" not in out  # unset declared optional still omitted
+
+
 class TestBf16Training:
     @pytest.mark.parametrize("family", ["f1", "f2", "f3"])
     def test_bf16_train_step_runs(self, family):

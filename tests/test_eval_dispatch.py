@@ -61,6 +61,41 @@ class TestScannedEvalStep:
             rtol=1e-5,
         )
 
+    def test_mesh_with_scalar_and_mixed_rank_outputs(self):
+        """Steps returning per-batch scalars (rank 0/1 after stacking) must
+        work under a mesh: low-rank outputs are replicated, array outputs
+        sharded (regression: a fixed rank-2 out-sharding rejected them)."""
+
+        def step(v, images_u8, labels):
+            logits = _toy_step(v, images_u8, labels)
+            return {"logits": logits, "mean_loss": logits.mean(),
+                    "count": labels.shape[0] * jnp.ones((), jnp.int32)}
+
+        v = {"w": jnp.asarray(np.random.RandomState(0).randn(3, 5), jnp.float32)}
+        rng = np.random.RandomState(3)
+        imgs = rng.randint(0, 255, (2, 8, 8, 8, 3)).astype(np.uint8)
+        labs = rng.randint(0, 5, (2, 8)).astype(np.int32)
+        mesh = create_mesh(4)
+        # single-batch helper with a scalar in the output tree
+        one = jit_eval_step(step, mesh, n_batch_inputs=2)
+        o = one(v, jnp.asarray(imgs[0]), jnp.asarray(labs[0]))
+        assert np.asarray(o["logits"]).shape == (8, 8)  # _toy_step: logits++feat
+        assert np.asarray(o["mean_loss"]).shape == ()
+        # scanned helper: stacked scalars become rank-1 (K,)
+        many = jit_scanned_eval_step(step, mesh, n_batch_inputs=2)
+        ref = jit_scanned_eval_step(step, None, n_batch_inputs=2)
+        got = many(v, jnp.asarray(imgs), jnp.asarray(labs))
+        want = ref(v, jnp.asarray(imgs), jnp.asarray(labs))
+        np.testing.assert_allclose(
+            np.asarray(got["logits"]), np.asarray(want["logits"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["mean_loss"]), np.asarray(want["mean_loss"]), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["count"]), np.asarray(want["count"])
+        )
+
 
 class TestScannedEvalIter:
     def _loader(self, n_batches, batch=4, seed=0):
