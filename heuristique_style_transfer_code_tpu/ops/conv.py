@@ -7,6 +7,7 @@ transposes on every call). Semantics match torch's cross-correlation
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple, Union
 
 import jax
@@ -106,6 +107,98 @@ def max_pool2d(
         window_strides=(1, sh, sw, 1),
         padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
     )
+
+
+def _pool_geometry(x_shape, kh, kw, sh, sw, ph, pw):
+    """(OH, OW) plus the padded input extent for the strided-slice family."""
+    _, ih, iw, _ = x_shape
+    oh = (ih + 2 * ph - kh) // sh + 1
+    ow = (iw + 2 * pw - kw) // sw + 1
+    return oh, ow, ih + 2 * ph, iw + 2 * pw
+
+
+def _maxpool_window_index(x, y, kh, kw, sh, sw, ph, pw):
+    """First-max window index (row-major over the kh*kw taps) per output
+    element — the tie-break select-and-scatter and torch both use."""
+    oh, ow, _, _ = _pool_geometry(x.shape, kh, kw, sh, sw, ph, pw)
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), constant_values=neg_inf)
+    n_taps = kh * kw
+    idx = jnp.full(y.shape, n_taps, jnp.int32)
+    for k in range(n_taps):
+        dh, dw = divmod(k, kw)
+        tap = lax.slice(
+            xp,
+            (0, dh, dw, 0),
+            (x.shape[0], dh + (oh - 1) * sh + 1, dw + (ow - 1) * sw + 1, x.shape[3]),
+            (1, sh, sw, 1),
+        )
+        idx = jnp.minimum(idx, jnp.where(tap == y, k, n_taps))
+    return idx
+
+
+@functools.lru_cache(maxsize=None)
+def _argmax_pool_for(x_shape, dtype_name, kh, kw, sh, sw, ph, pw):
+    """Shape/config-specialised custom-VJP pool; residual = index map only."""
+    x_dtype = jnp.dtype(dtype_name)
+    oh, ow, hp, wp = _pool_geometry(x_shape, kh, kw, sh, sw, ph, pw)
+
+    @jax.custom_vjp
+    def pool(x):
+        return max_pool2d(x, (kh, kw), (sh, sw), (ph, pw))
+
+    def fwd(x):
+        y = max_pool2d(x, (kh, kw), (sh, sw), (ph, pw))
+        return y, _maxpool_window_index(x, y, kh, kw, sh, sw, ph, pw)
+
+    def bwd(idx, g):
+        g = g.astype(x_dtype)
+        zero = jnp.asarray(0, x_dtype)
+        acc = None
+        for k in range(kh * kw):
+            dh, dw = divmod(k, kw)
+            tap_g = jnp.where(idx == k, g, zero)
+            # scatter tap k back to padded-input coords: lo offset (dh, dw),
+            # interior = stride-1, hi = whatever remains of the padded extent
+            hi_h = hp - (dh + (oh - 1) * sh + 1)
+            hi_w = wp - (dw + (ow - 1) * sw + 1)
+            contrib = lax.pad(
+                tap_g,
+                zero,
+                ((0, 0, 0), (dh, hi_h, sh - 1), (dw, hi_w, sw - 1), (0, 0, 0)),
+            )
+            acc = contrib if acc is None else acc + contrib
+        grad_x = lax.slice(
+            acc,
+            (0, ph, pw, 0),
+            (x_shape[0], ph + x_shape[1], pw + x_shape[2], x_shape[3]),
+        )
+        return (grad_x,)
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
+def max_pool2d_argmax(
+    x: jax.Array,
+    kernel_size: Union[int, Tuple[int, int]],
+    stride: Union[int, Tuple[int, int]],
+    padding: Union[int, Tuple[int, int]] = 0,
+) -> jax.Array:
+    """``max_pool2d`` with a hand-written backward.
+
+    XLA derives the reduce_window-max gradient as select-and-scatter, which
+    profiled ~4-5x off the HBM roofline on the stem pool (PERF.md). This
+    variant records the first-max window index in the forward and rebuilds
+    the gradient as kh*kw strided ``lax.pad``+add passes — one fused
+    elementwise kernel. Tie-break (first max, row-major window order) is
+    select-and-scatter's and torch's; equality is asserted in
+    tests/test_ops_golden.py incl. tie-heavy ReLU inputs.
+    """
+    kh, kw = _pair(kernel_size)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    return _argmax_pool_for(x.shape, x.dtype.name, kh, kw, sh, sw, ph, pw)(x)
 
 
 def avg_pool2d(

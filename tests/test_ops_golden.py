@@ -55,6 +55,55 @@ class TestConv:
         got = _np(ops.max_pool2d(jnp.asarray(x), 3, 2, 1))
         np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=RTOL, atol=ATOL)
 
+    @pytest.mark.parametrize("tie_mode", ["random", "relu", "quantized"])
+    @pytest.mark.parametrize(
+        "shape,cfg",
+        [
+            ((2, 14, 14, 8), (3, 2, 1)),  # the stem pool (overlapping windows)
+            ((1, 13, 11, 4), (2, 2, 0)),  # non-overlapping
+            ((2, 12, 12, 3), ((3, 2), (2, 1), (1, 0))),  # asymmetric
+        ],
+    )
+    def test_max_pool_argmax_vjp(self, rng, shape, cfg, tie_mode):
+        """max_pool2d_argmax: value bit-equal to max_pool2d; gradient equal
+        to XLA's select-and-scatter — bit-equal for non-overlapping windows,
+        and up to f32 summation grouping (<=4 overlapping-window terms, ~1
+        ULP) otherwise — with identical first-max tie-breaking exercised by
+        tie-heavy ReLU/quantised inputs; also matches torch's maxpool grad."""
+        import jax
+
+        k, s, p = cfg
+        x = rng.randn(*shape).astype(np.float32)
+        if tie_mode == "relu":
+            x = np.maximum(x, 0.0)
+        elif tie_mode == "quantized":
+            x = np.round(x * 2) / 2
+        xj = jnp.asarray(x)
+        y_ref, vjp_ref = jax.vjp(lambda t: ops.max_pool2d(t, k, s, p), xj)
+        y_new, vjp_new = jax.vjp(
+            lambda t: ops.conv.max_pool2d_argmax(t, k, s, p), xj
+        )
+        assert np.array_equal(_np(y_ref), _np(y_new))
+        g = rng.randn(*np.asarray(y_ref.shape)).astype(np.float32)
+        gr = _np(vjp_ref((gj := jnp.asarray(g)))[0])
+        gn = _np(vjp_new(gj)[0])
+        kh, kw = (k, k) if isinstance(k, int) else k
+        sh, sw = (s, s) if isinstance(s, int) else s
+        if kh <= sh and kw <= sw:  # non-overlapping: single-term grads
+            assert np.array_equal(gr, gn)
+        else:
+            np.testing.assert_allclose(gn, gr, rtol=0, atol=2e-6)
+            assert np.array_equal(gr == 0.0, gn == 0.0)  # same tie-break
+        # torch cross-check (same first-max semantics)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+        yt = F.max_pool2d(xt, kh if kh == kw else (kh, kw), stride=(sh, sw),
+                          padding=(p if isinstance(p, int) else p[0],
+                                   p if isinstance(p, int) else p[1]))
+        yt.backward(torch.from_numpy(g.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            gn.transpose(0, 3, 1, 2), xt.grad.numpy(), rtol=0, atol=2e-6
+        )
+
     @pytest.mark.parametrize("count_include_pad", [True, False])
     def test_avg_pool(self, rng, count_include_pad):
         x = rng.randn(2, 11, 9, 4).astype(np.float32)
@@ -200,7 +249,6 @@ class TestResize:
 
         h, w = in_hw
         img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
-        th, tw = ops.resize.resize_target(h, w, shorter) if hasattr(ops, "resize") else None
         from heuristique_style_transfer_code_tpu.ops.resize import resize_target
 
         th, tw = resize_target(h, w, shorter)
