@@ -194,6 +194,13 @@ def max_pool2d_argmax(
     elementwise kernel. Tie-break (first max, row-major window order) is
     select-and-scatter's and torch's; equality is asserted in
     tests/test_ops_golden.py incl. tie-heavy ReLU inputs.
+
+    Measured on-chip (tools/bench_maxpool_vjp.py) and REJECTED as the model
+    default: 0.82x on the b128 train step and 0.39x on the b64 style loop —
+    the kh*kw full-resolution slice/compare passes that build the index map
+    in the forward cost more HBM traffic than the select-and-scatter they
+    remove from the backward (PERF.md optimisations table). Kept as a
+    validated alternative backward.
     """
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride)
