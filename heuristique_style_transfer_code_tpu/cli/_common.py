@@ -106,6 +106,15 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "no effect on a single device",
     )
     parser.add_argument(
+        "--remat", action="store_true",
+        help="Rematerialise block-internal activations in the backward "
+        "(jax.checkpoint per bottleneck / per discriminator layer): same "
+        "grads and trained model (up to fusion-level reassociation; "
+        "tested), activation HBM drops to roughly the block boundaries, "
+        "at ~+1/3 forward FLOPs. Use to fit larger --batch_size per chip; "
+        "composes with --grad_accum and --precision bf16",
+    )
+    parser.add_argument(
         "--parallel_folds", action="store_true",
         help="Train all --k_folds CV folds SIMULTANEOUSLY as one SPMD "
         "program over a (fold, data) device mesh — per-fold trajectories "

@@ -101,7 +101,7 @@ def main(argv=None):
     setup = setup_gram_attention(
         cfg, num_classes, combos, mesh=mesh,
         pretrained=pretrained, freeze_encoder=args.freeze_layers,
-        compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1,
+        compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
     )
 
     def init_fn(key, fold):

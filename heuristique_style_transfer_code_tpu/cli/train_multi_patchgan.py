@@ -78,7 +78,7 @@ def main(argv=None):
     # compile the train/eval steps ONCE; reuse across all folds
     setup = setup_multi_patchgan(
         cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
-        compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1,
+        compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
     )
 
     def init_fn(key, fold):

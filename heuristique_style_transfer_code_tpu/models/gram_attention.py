@@ -47,6 +47,7 @@ def gram_attention_apply(
     gram_matrix_size: int,
     num_classes: int,
     train: bool = False,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Optional[Dict[str, Any]]]:
     """x: (N, H, W, 3) -> (embeddings (N, S^2), logits (N, classes))."""
     s = gram_matrix_size
@@ -57,6 +58,7 @@ def gram_attention_apply(
         train=train,
         collect_grams=True,
         gram_pool_size=s,
+        remat=remat,
     )
     new_params = (
         {"encoder": new_enc, "classifier": params["classifier"], "attention": params["attention"]}

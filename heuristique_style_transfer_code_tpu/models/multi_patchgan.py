@@ -43,11 +43,13 @@ def multiscale_init(
     }
 
 
-def multiscale_apply(params, x: jax.Array, norm: str = "batch", train: bool = False):
+def multiscale_apply(params, x: jax.Array, norm: str = "batch", train: bool = False,
+                     remat: bool = False):
     outs = []
     new_params = {} if train else None
     for scale in SCALES:
-        logits, np_ = patch_discriminator_apply(params[scale], x, norm=norm, train=train)
+        logits, np_ = patch_discriminator_apply(params[scale], x, norm=norm, train=train,
+                                                remat=remat)
         outs.append(logits)
         if train:
             new_params[scale] = np_

@@ -50,10 +50,11 @@ def truncated_moco_apply(
     x: jax.Array,
     truncate: int,
     train: bool = False,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """x: (N, H, W, 3) NHWC -> embeddings (N, dim)."""
     feats, _, new_enc = resnet50_apply(
-        params["encoder"], x, truncate=min(truncate, 9), train=train
+        params["encoder"], x, truncate=min(truncate, 9), train=train, remat=remat
     )
     if truncate <= 8:
         feats = global_avg_pool(feats)
@@ -72,9 +73,11 @@ def classifier_apply(params, x: jax.Array) -> jax.Array:
 
 
 def combined_apply(
-    moco_params, clf_params, x: jax.Array, truncate: int, train: bool = False
+    moco_params, clf_params, x: jax.Array, truncate: int, train: bool = False,
+    remat: bool = False,
 ):
-    emb, new_moco = truncated_moco_apply(moco_params, x, truncate, train=train)
+    emb, new_moco = truncated_moco_apply(moco_params, x, truncate, train=train,
+                                         remat=remat)
     logits = classifier_apply(clf_params, emb)
     if train:
         return logits, new_moco

@@ -99,17 +99,29 @@ def patch_discriminator_init(
     return params
 
 
-def patch_discriminator_apply(params, x: jax.Array, norm: str = "instance", train: bool = False):
+def _strided_layer(entry, x, norm, train):
+    """One stride-2 conv + norm + LeakyReLU unit of the train variant."""
+    x = conv2d(entry["conv"], x, stride=2, padding=1)
+    x, n_norm = _apply_norm(norm, entry["norm"], x, train)
+    return jax.nn.leaky_relu(x, 0.2), n_norm
+
+
+_strided_layer_remat = jax.checkpoint(_strided_layer, static_argnums=(2, 3))
+
+
+def patch_discriminator_apply(params, x: jax.Array, norm: str = "instance", train: bool = False,
+                              remat: bool = False):
     """x: (N, H, W, C) -> logits (N, num_classes) = spatial mean of patch map
-    (Models/Models_Multi_PatchGAN.py:56-61)."""
+    (Models/Models_Multi_PatchGAN.py:56-61). ``remat`` checkpoints each
+    strided unit (see nn/resnet.py) — the early full-resolution layers
+    dominate activation HBM."""
     new_params = {"convs": [], "final": None, "out_conv": params["out_conv"]} if train else None
 
+    layer_fn = _strided_layer_remat if remat else _strided_layer
     for entry in params["convs"]:
-        x = conv2d(entry["conv"], x, stride=2, padding=1)
-        x, n_norm = _apply_norm(norm, entry["norm"], x, train)
+        x, n_norm = layer_fn(entry, x, norm, train)
         if train:
             new_params["convs"].append({"conv": entry["conv"], "norm": n_norm})
-        x = jax.nn.leaky_relu(x, 0.2)
     x = conv2d(params["final"]["conv"], x, stride=1, padding=1)
     x, n_norm = _apply_norm(norm, params["final"]["norm"], x, train)
     if train:

@@ -128,10 +128,18 @@ def _bottleneck_apply(block, x, stride, train=False):
     return (out, new_block) if train else (out, None)
 
 
-def _stage_apply(stage, x, first_stride, train=False):
+# Rematerialised bottleneck: under autodiff only the block's INPUT is saved
+# and the three conv/BN/relu intermediates are recomputed in the backward —
+# trading ~one extra forward of FLOPs per block for the dominant share of
+# activation HBM. stride/train are Python-static.
+_bottleneck_apply_remat = jax.checkpoint(_bottleneck_apply, static_argnums=(2, 3))
+
+
+def _stage_apply(stage, x, first_stride, train=False, remat=False):
+    apply_fn = _bottleneck_apply_remat if remat else _bottleneck_apply
     new_stage = [] if train else None
     for b, block in enumerate(stage):
-        x, nb = _bottleneck_apply(block, x, first_stride if b == 0 else 1, train=train)
+        x, nb = apply_fn(block, x, first_stride if b == 0 else 1, train)
         if train:
             new_stage.append(nb)
     return x, new_stage
@@ -158,6 +166,7 @@ def resnet50_apply(
     train: bool = False,
     collect_grams: bool = False,
     gram_pool_size: Optional[int] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, List[jax.Array], Optional[Dict[str, Any]]]:
     """Run children [0:truncate].
 
@@ -167,6 +176,11 @@ def resnet50_apply(
       gram-attention model's hook (Models_RESNET50_TRUNCATE_GRAM_with_Attention.py:43-46).
     - ``gram_pool_size``: if set, grams are the adaptively pooled (S, S)
       version, computed with the projected-first fast path (ops/gram.py).
+    - ``remat``: checkpoint each bottleneck (``jax.checkpoint``) so the
+      backward recomputes block-internal activations instead of keeping them
+      resident — raises the trainable batch ceiling at ~+1/3 forward FLOPs.
+      Stage outputs (the Gram hook points) are block boundaries, so they are
+      saved either way. No effect on eval (no backward to feed).
     - child 8 (avgpool) maps to global average pooling + flatten; child 9 (fc)
       applies the classification head.
     """
@@ -192,7 +206,7 @@ def resnet50_apply(
     for i, (name, _, _, stride) in enumerate(_STAGES):
         if truncate <= 4 + i:
             break
-        h, ns = _stage_apply(params[name], h, stride, train=train)
+        h, ns = _stage_apply(params[name], h, stride, train=train, remat=remat)
         if train:
             new_params[name] = ns
         if collect_grams:

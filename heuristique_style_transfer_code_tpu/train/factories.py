@@ -136,6 +136,7 @@ def setup_truncated_resnet50(
     pretrained: Optional[Dict] = None,
     compute_dtype=None,
     zero1: bool = False,
+    remat: bool = False,
 ) -> FamilySetup:
     t = config.truncate_layer
 
@@ -152,7 +153,8 @@ def setup_truncated_resnet50(
         return fresh_init(key)
 
     def forward_train(v, images):
-        logits, new_moco = combined_apply(v["moco"], v["classifier"], images, t, train=True)
+        logits, new_moco = combined_apply(v["moco"], v["classifier"], images, t,
+                                          train=True, remat=remat)
         return logits, {"moco": new_moco, "classifier": v["classifier"]}
 
     def forward_eval(v, images):
@@ -189,6 +191,7 @@ def setup_gram_attention(
     freeze_encoder: bool = False,
     compute_dtype=None,
     zero1: bool = False,
+    remat: bool = False,
 ) -> FamilySetup:
     t, s = config.truncate_layer, config.gram_matrix_size
 
@@ -205,7 +208,7 @@ def setup_gram_attention(
 
     def forward_train(v, images):
         _, logits, new_v = gram_attention_apply(
-            v, images, t, s, num_classes, train=True
+            v, images, t, s, num_classes, train=True, remat=remat
         )
         return logits, new_v
 
@@ -249,6 +252,7 @@ def setup_multi_patchgan(
     pretrained: Optional[Dict] = None,
     compute_dtype=None,
     zero1: bool = False,
+    remat: bool = False,
 ) -> FamilySetup:
     norm = config.norm
 
@@ -267,7 +271,7 @@ def setup_multi_patchgan(
         return variables
 
     def forward_train(v, images):
-        return multiscale_apply(v, images, norm=norm, train=True)
+        return multiscale_apply(v, images, norm=norm, train=True, remat=remat)
 
     def forward_eval(v, images):
         logits, _ = multiscale_apply(v, images, norm=norm, train=False)

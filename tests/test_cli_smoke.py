@@ -100,6 +100,26 @@ class TestTrainCLIs:
             for k in ("val_loss", "val_accuracy", "val_f1"):
                 np.testing.assert_allclose(p[k], s[k], rtol=1e-4, atol=1e-5)
 
+    def test_train_remat_matches_plain(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
+        """--remat recomputes block-internal activations in the backward; the
+        training trajectory must match the plain run (same args/seed as the
+        trained_f1 fixture) to reassociation-level tolerance."""
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
+
+        save_dir = str(tmp_path / "f1_remat")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--epochs", "1", "--k_folds", "2", "--save_dir", save_dir,
+            "--seed", "0", "--remat",
+        ])
+        with open(os.path.join(trained_f1, "training_info.json")) as f:
+            plain = json.load(f)
+        with open(os.path.join(save_dir, "training_info.json")) as f:
+            remat = json.load(f)
+        for s, p in zip(plain["fold_results"], remat["fold_results"]):
+            for k in ("val_loss", "val_accuracy", "val_f1"):
+                np.testing.assert_allclose(p[k], s[k], rtol=1e-4, atol=1e-5)
+
     def test_parallel_folds_rejects_zero1(self, tiny_imagefolder, cfg_file, tmp_path):
         from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
 
