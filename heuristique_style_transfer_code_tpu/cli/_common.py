@@ -260,6 +260,18 @@ def add_calib_data_arg(parser: argparse.ArgumentParser):
         "with a printed warning (calibrating on the evaluation data leaks "
         "its statistics into the reported int8 metrics)",
     )
+    parser.add_argument(
+        "--qat_steps", type=int, default=0,
+        help="With --precision int8: quantization-aware fine-tune for N "
+        "SGD steps through the fake-quant forward (nn/resnet_qat.py) on "
+        "the calibration split before export — recovers PTQ accuracy loss. "
+        "0 (default) = plain PTQ. Ignored when --quantized_path already "
+        "exists (QAT is baked in at export time)",
+    )
+    parser.add_argument(
+        "--qat_lr", type=float, default=1e-4,
+        help="Learning rate for the --qat_steps fine-tune (SGD momentum 0.9)",
+    )
 
 
 def make_calibration_loader(args, batch_size: int):
@@ -317,20 +329,29 @@ def build_int8_family2(
     num_classes: int,
     cal_batches=None,
     quantized_path: Optional[str] = None,
+    qat_steps: int = 0,
+    qat_lr: float = 1e-4,
+    labeled_batches=None,
 ):
     """Shared family-2 int8 setup (eval + serve CLIs): PTQ the encoder
     (loading a persisted quantised tree from ``quantized_path`` when
     present, else calibrating on ``cal_batches`` and saving there if given),
     strip the unused f32 encoder from the tree shipped through the jit
     boundary, and return (apply_eval, variables') with
-    ``apply_eval(v, images) -> (embeddings, logits)``."""
+    ``apply_eval(v, images) -> (embeddings, logits)``.
+
+    ``qat_steps`` > 0: QAT fine-tune through the fake-quant gram+attention
+    forward on ``labeled_batches`` before quantising (see
+    build_int8_family1)."""
     import jax.numpy as jnp
 
-    from ..models.gram_attention import (
-        gram_attention_apply_int8,
-        prepare_gram_attention_int8,
+    from ..models.gram_attention import gram_attention_apply_int8
+    from ..nn.resnet_int8 import (
+        calibrate_activation_scales,
+        load_quantized,
+        quantize_resnet50,
+        save_quantized,
     )
-    from ..nn.resnet_int8 import load_quantized, save_quantized
 
     if quantized_path and os.path.exists(quantized_path):
         q_enc = load_quantized(quantized_path)
@@ -339,7 +360,26 @@ def build_int8_family2(
             raise ValueError(
                 "int8 needs calibration batches (or an existing quantized_path)"
             )
-        q_enc = prepare_gram_attention_int8(variables, truncate, cal_batches)
+        t8 = min(truncate, 8)
+        scales = calibrate_activation_scales(
+            variables["encoder"], cal_batches, t8
+        )
+        if qat_steps:
+            if not labeled_batches:
+                raise ValueError("--qat_steps needs labeled calibration batches")
+            from ..models.gram_attention import gram_attention_apply_qat
+            from ..train.qat import qat_finetune
+
+            def fwd_qat(v, images):
+                _, logits = gram_attention_apply_qat(
+                    v, scales, images, truncate, gram_matrix_size, num_classes
+                )
+                return logits
+
+            variables = qat_finetune(
+                variables, fwd_qat, labeled_batches, qat_steps, qat_lr
+            )
+        q_enc = quantize_resnet50(variables["encoder"], scales, t8)
         if quantized_path:
             save_quantized(q_enc, quantized_path)
             print(f"Quantised encoder saved to {quantized_path}")
@@ -357,16 +397,22 @@ def build_int8_family2(
     return apply_eval, variables
 
 
-def collect_calibration_batches(loader, n: int = 2):
+def collect_calibration_batches(loader, n: int = 2, with_labels: bool = False):
     """First ``n`` loader batches through the canonical on-device preprocess
-    — the exact tensors the quantised encoder will consume."""
+    — the exact tensors the quantised encoder will consume.
+    ``with_labels``: return (images, labels) pairs (the QAT fine-tune needs
+    targets; pad entries keep label -1 and are masked by the CE)."""
     import jax.numpy as jnp
 
     from ..data.augment import eval_preprocess
 
     cal = []
     for bi, b in enumerate(loader):
-        cal.append(eval_preprocess(jnp.asarray(b["image"])))
+        images = eval_preprocess(jnp.asarray(b["image"]))
+        if with_labels:
+            cal.append((images, jnp.asarray(b["label"])))
+        else:
+            cal.append(images)
         if bi >= n - 1:
             break
     return cal
@@ -378,20 +424,31 @@ def build_int8_family1(
     cal_batches=None,
     keep_encoder: bool = False,
     quantized_path: Optional[str] = None,
+    qat_steps: int = 0,
+    qat_lr: float = 1e-4,
+    labeled_batches=None,
 ):
     """Shared family-1 int8 setup (eval + serve CLIs): PTQ the encoder
     (loading a persisted quantised tree from ``quantized_path`` when
     present, else calibrating on ``cal_batches`` and saving there if given),
     strip the unused f32 encoder from the tree shipped through the jit
     boundary (unless ``keep_encoder`` — Grad-CAM still needs it), and return
-    (forward_eval, embed_fn, variables')."""
+    (forward_eval, embed_fn, variables').
+
+    ``qat_steps`` > 0: fine-tune through the fake-quant forward on
+    ``labeled_batches`` ((images, labels) pairs from the calibration split)
+    before quantising — QAT accuracy recovery (nn/resnet_qat.py). The heads
+    are tuned together with the encoder."""
     import jax.numpy as jnp
 
-    from ..models.truncated_resnet50 import (
-        combined_apply_int8,
-        prepare_combined_int8,
+    from ..models.truncated_resnet50 import combined_apply_int8
+    from ..nn.resnet_int8 import (
+        calibrate_activation_scales,
+        load_quantized,
+        quantize_resnet50,
+        resnet50_apply_int8,
+        save_quantized,
     )
-    from ..nn.resnet_int8 import load_quantized, resnet50_apply_int8, save_quantized
     from ..ops.linear import linear
     from ..ops.pooling import global_avg_pool
 
@@ -402,7 +459,24 @@ def build_int8_family1(
             raise ValueError(
                 "int8 needs calibration batches (or an existing quantized_path)"
             )
-        q_enc = prepare_combined_int8(variables["moco"], truncate, cal_batches)
+        scales = calibrate_activation_scales(
+            variables["moco"]["encoder"], cal_batches, truncate
+        )
+        if qat_steps:
+            if not labeled_batches:
+                raise ValueError("--qat_steps needs labeled calibration batches")
+            from ..models.truncated_resnet50 import combined_apply_qat
+            from ..train.qat import qat_finetune
+
+            def fwd_qat(v, images):
+                return combined_apply_qat(
+                    v["moco"], v["classifier"], scales, images, truncate
+                )
+
+            variables = qat_finetune(
+                variables, fwd_qat, labeled_batches, qat_steps, qat_lr
+            )
+        q_enc = quantize_resnet50(variables["moco"]["encoder"], scales, truncate)
         if quantized_path:
             save_quantized(q_enc, quantized_path)
             print(f"Quantised encoder saved to {quantized_path}")

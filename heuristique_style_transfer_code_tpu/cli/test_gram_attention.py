@@ -134,14 +134,23 @@ def main(argv=None):
             make_calibration_loader,
         )
 
-        cal = None
+        cal = labeled = None
         qpath = getattr(args, "quantized_path", None)
         if not (qpath and _os.path.exists(qpath)):
-            cal = collect_calibration_batches(
-                make_calibration_loader(args, args.batch_size or cfg.batch_size)
+            cal_loader = make_calibration_loader(
+                args, args.batch_size or cfg.batch_size
             )
+            if args.qat_steps:
+                labeled = collect_calibration_batches(
+                    cal_loader, n=4, with_labels=True
+                )
+                cal = [images for images, _ in labeled[:2]]
+            else:
+                cal = collect_calibration_batches(cal_loader)
         apply_eval, variables = build_int8_family2(
-            variables, truncate, s, num_classes, cal, quantized_path=qpath
+            variables, truncate, s, num_classes, cal, quantized_path=qpath,
+            qat_steps=args.qat_steps, qat_lr=args.qat_lr,
+            labeled_batches=labeled,
         )
 
     else:

@@ -159,11 +159,16 @@ def main(argv=None):
             make_calibration_loader,
         )
 
-        cal = None
+        cal = labeled = None
         if not has_quantized:
-            cal = collect_calibration_batches(
-                make_calibration_loader(args, args.batch_size)
-            )
+            cal_loader = make_calibration_loader(args, args.batch_size)
+            if args.qat_steps:
+                labeled = collect_calibration_batches(
+                    cal_loader, n=4, with_labels=True
+                )
+                cal = [images for images, _ in labeled[:2]]
+            else:
+                cal = collect_calibration_batches(cal_loader)
         forward_eval, embed_fn, variables = build_int8_family1(  # noqa: F811
             variables,
             truncate,
@@ -171,6 +176,9 @@ def main(argv=None):
             # Grad-CAM still needs the float encoder when requested
             keep_encoder=args.visualize_gradcam or args.save_gradcam_images,
             quantized_path=args.quantized_path,
+            qat_steps=args.qat_steps,
+            qat_lr=args.qat_lr,
+            labeled_batches=labeled,
         )
 
     if args.mode in ("classification", "inference"):

@@ -112,3 +112,25 @@ def gram_attention_apply_int8(
     )
     emb, logits = _gram_head(params, grams, x, s, num_classes)
     return emb, logits, None
+
+
+def gram_attention_apply_qat(
+    params: Dict[str, Any],
+    act_scales,
+    x: jax.Array,
+    truncate: int,
+    gram_matrix_size: int,
+    num_classes: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """QAT fine-tune forward: fake-quant encoder (nn/resnet_qat.py) with the
+    per-stage pooled Grams computed on the fake-quantised stage outputs —
+    the differentiable twin of ``gram_attention_apply_int8``. Returns
+    (embeddings, logits)."""
+    from ..nn.resnet_qat import qat_resnet50_apply
+
+    s = gram_matrix_size
+    _, grams = qat_resnet50_apply(
+        params["encoder"], act_scales, x, min(truncate, 8),
+        collect_grams=True, gram_pool_size=s,
+    )
+    return _gram_head(params, grams, x, s, num_classes)

@@ -93,6 +93,18 @@ def prepare_combined_int8(moco_params, truncate: int, calibration_batches):
     return prepare_int8_resnet(moco_params["encoder"], calibration_batches, truncate)
 
 
+def combined_apply_qat(moco_params, clf_params, act_scales, x: jax.Array,
+                       truncate: int):
+    """QAT fine-tune forward: fake-quant encoder (differentiable simulation
+    of the int8 deploy graph, nn/resnet_qat.py) + float heads — the training
+    twin of ``combined_apply_int8``. Returns logits."""
+    from ..nn.resnet_qat import qat_resnet50_apply
+
+    feats = qat_resnet50_apply(moco_params["encoder"], act_scales, x, truncate)
+    emb = linear(moco_params["fc"], global_avg_pool(feats))
+    return linear(clf_params["fc"], emb)
+
+
 def combined_apply_int8(q_encoder, moco_params, clf_params, x: jax.Array):
     """int8 inference forward: quantised encoder + float heads. Same
     signature contract as the eval-mode combined_apply (returns (logits, None))."""

@@ -200,6 +200,28 @@ class TestTestCLIs:
         loss_b = float(outs["int8"]["Perte du test"])
         assert abs(loss_a - loss_b) < 0.02
 
+    def test_classification_int8_qat(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path, capsys
+    ):
+        """--qat_steps N fine-tunes through the fake-quant forward on the
+        calibration (train) split before export: runs end to end, prints the
+        QAT loss line, and the persisted quantised tree reloads."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        out = str(tmp_path / "qat")
+        qpath = str(tmp_path / "qat_encoder.npz")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "classification", "--save_dir", out, "--batch_size", "4",
+            "--precision", "int8", "--qat_steps", "4", "--qat_lr", "1e-4",
+            "--quantized_path", qpath,
+        ])
+        captured = capsys.readouterr().out
+        assert "QAT fine-tune: 4 pas" in captured
+        assert os.path.exists(os.path.join(out, "metrics.txt"))
+        assert os.path.exists(qpath)
+
     def test_camera_mode_video_file(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
         """--mode camera with a video-file --camera_index (the documented
         deviation: the reference only accepts device ints) runs headless end
