@@ -467,7 +467,7 @@ def _extract_stats(spec: PipelineSpec, s: int, flat):
     return out
 
 
-def _make_branch(spec: PipelineSpec, s: int, train: bool):
+def _make_branch(spec: PipelineSpec, s: int, train: bool, remat: bool = False):
     """Uniform-signature stage program for ``lax.switch``:
     (pflat (maxP,), sflat (maxStats,), xflat (F,)) ->
     (yflat (F,), new_sflat (maxStats,), logits).
@@ -479,7 +479,16 @@ def _make_branch(spec: PipelineSpec, s: int, train: bool):
     checkpoint tens of MBs of unchanged weights — measured ~10 GB RSS and a
     14-minute step on the 8-virtual-device CPU mesh vs <1 GB / ~1 min with
     the stat-only carry; on a real slice the same bytes are per-tick HBM
-    traffic."""
+    traffic.
+
+    ``remat=True`` wraps the whole stage program in ``jax.checkpoint``: the
+    tick scan's autodiff then saves only the stage INPUT buffer per tick (the
+    activation GPipe must stash anyway) and recomputes the within-stage
+    intermediates — conv/BN/relu activations of every unit in the stage — in
+    the backward. This is the standard GPipe+remat composition: activation
+    memory drops from O(ticks x stage_depth) intermediate tensors to
+    O(ticks) boundary buffers, at ~one extra stage forward of FLOPs per tick.
+    ``prevent_cse=False`` is safe (and recommended) under ``lax.scan``."""
     meta = spec.stage_metas[s]
     in_shape = spec.stage_in_shapes[s]
     mb = spec.microbatch
@@ -512,6 +521,8 @@ def _make_branch(spec: PipelineSpec, s: int, train: bool):
             new_sflat = sflat
         return yf, new_sflat, logits
 
+    if remat and train:  # no backward to feed in eval — checkpoint is a no-op
+        return jax.checkpoint(branch, prevent_cse=False)
     return branch
 
 
@@ -639,7 +650,11 @@ def make_pipeline_eval_step(spec: PipelineSpec, mesh: Mesh):
 
 
 def make_pipeline_train_step(
-    spec: PipelineSpec, mesh: Mesh, lr: float, momentum: float = 0.9
+    spec: PipelineSpec,
+    mesh: Mesh,
+    lr: float,
+    momentum: float = 0.9,
+    remat: bool = False,
 ):
     """jit fn(stacked, mu, train_mask, stat_mask, images (M, B, H, W, 3) f32,
     labels (M, B) int32) -> (stacked', mu', loss).
@@ -649,10 +664,19 @@ def make_pipeline_train_step(
     pmean over 'data', reference SGD(momentum) on the trainable leaves, BN
     running-stat chains merged (data-mean). ``mu`` is the flat momentum
     buffer (zeros_like(stacked) at init, matching torch/optax first-step
-    semantics)."""
+    semantics).
+
+    ``remat=True`` checkpoints each stage program (see ``_make_branch``):
+    the backward recomputes within-stage activations instead of stashing
+    them per tick — the GPipe+remat composition that bounds activation HBM
+    by the boundary buffers alone. Gradients are unchanged
+    (tests/test_pipeline.py asserts f64 equality with the plain step)."""
     assert PIPE_AXIS in mesh.axis_names and DATA_AXIS in mesh.axis_names
     assert mesh.shape[PIPE_AXIS] == spec.num_stages
-    branches = [_make_branch(spec, s, train=True) for s in range(spec.num_stages)]
+    branches = [
+        _make_branch(spec, s, train=True, remat=remat)
+        for s in range(spec.num_stages)
+    ]
 
     def body(stacked, mu, train_mask, stat_mask, images, labels):
         pflat0 = stacked.reshape(-1)

@@ -225,6 +225,47 @@ class TestPipelineTinyExact:
             )
 
 
+class TestPipelineRemat:
+    """GPipe + remat composition: checkpointing each stage program must not
+    change the math — params, momentum and loss of one remat train step equal
+    the plain pipeline step exactly (f64)."""
+
+    _setup = TestPipelineTinyExact._setup
+    S, D, MB, M, IMG, K = TestPipelineTinyExact.S, TestPipelineTinyExact.D, \
+        TestPipelineTinyExact.MB, TestPipelineTinyExact.M, \
+        TestPipelineTinyExact.IMG, TestPipelineTinyExact.K
+    LR, MOM = TestPipelineTinyExact.LR, TestPipelineTinyExact.MOM
+
+    def test_remat_step_equals_plain_step(self):
+        with jax.enable_x64():
+            variables, images, labels, mesh, spec = self._setup()
+            sh = pp.pipeline_param_sharding(mesh)
+            bsh = pp.pipeline_batch_sharding(mesh)
+            stacked = jax.device_put(pp.pack_pipeline_params(spec, variables), sh)
+            tmask, smask = pp.pack_pipeline_masks(spec, variables)
+            tmask, smask = jax.device_put(tmask, sh), jax.device_put(smask, sh)
+            imgs = jax.device_put(images, bsh)
+            labs = jax.device_put(labels, bsh)
+
+            outs = []
+            for remat in (False, True):
+                step = pp.make_pipeline_train_step(
+                    spec, mesh, lr=self.LR, momentum=self.MOM, remat=remat
+                )
+                # donate_argnums: hand each run its own buffers
+                p0 = jax.device_put(pp.pack_pipeline_params(spec, variables), sh)
+                m0 = jax.device_put(jnp.zeros_like(stacked), sh)
+                outs.append(step(p0, m0, tmask, smask, imgs, labs))
+            (p_a, mu_a, l_a), (p_b, mu_b, l_b) = outs
+            assert float(l_a) == pytest.approx(float(l_b), rel=0, abs=1e-14)
+            np.testing.assert_allclose(
+                np.asarray(p_b), np.asarray(p_a), rtol=1e-13, atol=1e-14
+            )
+            np.testing.assert_allclose(
+                np.asarray(mu_b), np.asarray(mu_a), rtol=1e-13, atol=1e-14
+            )
+
+
 class TestPipelineFlagship:
     """The real model through the same machinery (f32)."""
 
