@@ -650,6 +650,36 @@ def resolve_eval_mesh(n_devices: Optional[int], batch_size: int):
     return mesh if mesh.devices.size > 1 else None
 
 
+def resolve_style_mesh(
+    n_devices: Optional[int], shard_spatial: Optional[int], batch_size: int
+):
+    """Style-transfer mesh: the batch over 'data' and — when --shard_spatial
+    > 1 — each canvas's H rows over 'spatial' (GSPMD halo exchanges in the
+    encoder fwd/bwd each Adam iteration; the big-canvas path, see
+    tasks/style_transfer.make_style_transfer_optimizer). The data axis is
+    clamped to the largest batch divisor, exactly like resolve_eval_mesh."""
+    import jax
+
+    from ..parallel.sharding import make_mesh_spatial
+
+    sp = int(shard_spatial or 1)
+    if sp <= 1:
+        return resolve_eval_mesh(n_devices, batch_size)
+    avail = len(jax.devices())
+    if sp > avail:
+        print(
+            f"Warning: --shard_spatial {sp} > {avail} available devices; "
+            f"clamping to {avail}."
+        )
+        sp = avail
+    n = min(n_devices or sp, avail)
+    n = max(n - n % sp, sp)  # whole spatial groups
+    data = n // sp
+    while data > 1 and batch_size % data != 0:
+        data -= 1
+    return make_mesh_spatial(data * sp, spatial=sp)
+
+
 def select_augmentations(args):
     """Reference augmentation selection (train_best_RESNET50_Truncate.py:72-123):
     returns (geom_names, color_names) lists possibly containing None."""

@@ -20,6 +20,7 @@ from ._common import (
     load_checkpoint_tree,
     maybe_subset,
     resolve_eval_mesh,
+    resolve_style_mesh,
 )
 
 MODES = ["tsne", "tsne_interactive", "classification", "camera", "style_transfer"]
@@ -47,6 +48,11 @@ def build_parser():
                         help="Override the config batch size (additive flag; "
                         "the style-transfer loop optimises a whole batch per "
                         "compiled while_loop — bf16 peaks near batch 128)")
+    parser.add_argument("--shard_spatial", type=int, default=1,
+                        help="Style transfer: shard each canvas's H rows over "
+                        "this many devices (GSPMD conv halo exchanges in the "
+                        "encoder fwd/bwd — the big-canvas path; combines with "
+                        "--devices, which shards the batch axis)")
     parser.add_argument(
         "--quantized_path", type=str, default=None,
         help="Persisted quantised-encoder npz (int8): loaded if present "
@@ -251,7 +257,9 @@ def main(argv=None):
             layers=args.layers, threshold=args.threshold,
             num_iterations=args.num_iterations, learning_rate=args.learning_rate,
             truncate_layer=truncate, compute_dtype=dtype,
-            mesh=resolve_eval_mesh(args.devices, loader.batch_size),
+            mesh=resolve_style_mesh(
+                args.devices, args.shard_spatial, loader.batch_size
+            ),
         )
 
 

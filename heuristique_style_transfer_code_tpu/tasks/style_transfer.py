@@ -57,8 +57,15 @@ def make_style_transfer_optimizer(
     ``mesh``: a jax Mesh with a 'data' axis — each image's pixels, Adam
     state and target Grams are batch-sharded over it (the per-image
     optimisations are independent, so the only collective is the tiny
-    ``any(active)`` early-stop reduction). Numerics identical to
-    single-device (tested on the virtual CPU mesh)."""
+    ``any(active)`` early-stop reduction). If the mesh also carries a
+    'spatial' axis (``parallel.sharding.make_mesh_spatial``), each canvas's
+    H rows — pixels, grads and Adam moments alike — are additionally sharded
+    over it: GSPMD inserts the conv halo exchanges in the encoder
+    forward/backward and an all-reduce for the Gram's H·W contraction. That
+    is the big-canvas path: ONE image whose activation working set exceeds a
+    chip's HBM optimises across the spatial group (the reference is capped
+    by single-GPU memory here). Numerics identical to single-device (tested
+    on the virtual CPU mesh at both shardings)."""
     adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
 
     def per_image_loss(noise, targets):
@@ -103,12 +110,21 @@ def make_style_transfer_optimizer(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..parallel.sharding import SPATIAL_AXIS
+
         data = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
+        # pixels (and, by propagation, grads + Adam moments): batch over
+        # 'data', H rows over 'spatial' when the mesh has that axis
+        pix = (
+            NamedSharding(mesh, P("data", SPATIAL_AXIS))
+            if SPATIAL_AXIS in mesh.axis_names
+            else data
+        )
         # `data` is a pytree prefix for the targets list (every target Gram
         # carries the batch dim first)
         return jax.jit(
-            run, in_shardings=(data, data), out_shardings=(data, repl, data)
+            run, in_shardings=(pix, data), out_shardings=(pix, repl, data)
         )
     return jax.jit(run)
 

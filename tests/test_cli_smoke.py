@@ -458,6 +458,20 @@ class TestTestCLIs:
         st_dirs = [d for d in os.listdir(out) if d.startswith("style_transfer_")]
         assert st_dirs
 
+        # big-canvas path: batch over 'data' x canvas H rows over 'spatial'
+        # (GSPMD halo exchanges each Adam iteration; equality vs single
+        # device is asserted in tests/test_tasks.py — this drives the CLI)
+        out_sp = str(tmp_path / "res_sp")
+        test_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
+            "--model_path", ckpt, "--mode", "style_transfer",
+            "--save_dir", out_sp,
+            "--layers", "5", "--num_iterations", "3", "--threshold", "1e-3",
+            "--num_samples", "2", "--batch_size", "2",
+            "--devices", "4", "--shard_spatial", "2",
+        ])
+        assert [d for d in os.listdir(out_sp) if d.startswith("style_transfer_")]
+
         # int8 PTQ path: same artifact, predictions near the f32 run
         out_i8 = str(tmp_path / "res_i8")
         test_main([

@@ -110,6 +110,42 @@ class TestStyleTransferLoop:
         np.testing.assert_allclose(np.asarray(per_a), np.asarray(per_b), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(n_a), np.asarray(n_b), atol=1e-4)
 
+    def test_spatial_sharded_loop_matches_single_device(self):
+        """A mesh with a 'spatial' axis additionally shards each canvas's H
+        rows — the big-canvas path. The gram_fn here contains a 3x3 conv so
+        the sharded loop exercises GSPMD's halo exchanges in BOTH directions
+        (forward + the pixel-gradient transpose) every Adam iteration, plus
+        the spatial all-reduce of the Gram contraction."""
+        from heuristique_style_transfer_code_tpu.ops.conv import conv2d, conv2d_init
+        from heuristique_style_transfer_code_tpu.ops.gram import gram_matrix_nhwc
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_spatial,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            make_style_transfer_optimizer,
+        )
+
+        conv = conv2d_init(jax.random.PRNGKey(7), 3, 8, 3)
+
+        def gram_fn(imgs):
+            return [gram_matrix_nhwc(conv2d(conv, imgs, stride=1, padding=1))]
+
+        key = jax.random.PRNGKey(0)
+        target_img = jax.random.uniform(key, (2, 16, 16, 3))
+        targets = gram_fn(target_img)
+        noise0 = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+
+        single = make_style_transfer_optimizer(gram_fn, 0.05, 40, 1e-4)
+        mesh = make_mesh_spatial(8, spatial=4)  # data=2 x spatial=4
+        assert dict(mesh.shape) == {"data": 2, "spatial": 4}
+        sharded = make_style_transfer_optimizer(gram_fn, 0.05, 40, 1e-4, mesh=mesh)
+
+        n_a, i_a, per_a = single(noise0, targets)
+        n_b, i_b, per_b = sharded(noise0, targets)
+        assert int(i_a) == int(i_b)
+        np.testing.assert_allclose(np.asarray(per_a), np.asarray(per_b), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(n_a), np.asarray(n_b), atol=1e-4)
+
     def test_bf16_compute_path_converges_like_f32(self, tiny_imagefolder, tmp_path):
         """compute_dtype=bfloat16 (the shipped fast path: bf16 encoder
         fwd/bwd, f32 pixels/Adam/loss — +63-128% on TPU, PERF.md) must
