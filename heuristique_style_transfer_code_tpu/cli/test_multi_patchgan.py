@@ -49,6 +49,11 @@ def build_parser():
     parser.add_argument("--threshold", default=1e-4, type=float)
     parser.add_argument("--learning_rate", default=0.01, type=float)
     parser.add_argument("--num_iterations", default=500, type=int)
+    parser.add_argument("--shard_spatial", type=int, default=1,
+                        help="Style transfer: shard each canvas's H rows over "
+                        "this many devices (GSPMD conv halo exchanges in the "
+                        "discriminator fwd/bwd — this family optimises one "
+                        "image at a time, so 'spatial' is the useful axis)")
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--camera_index", type=str, default="0")
     parser.add_argument("--device_preprocess", action="store_true",
@@ -157,6 +162,8 @@ def main(argv=None):
     elif args.mode == "style_transfer":
         from ..tasks.style_transfer import style_transfer_patches
 
+        from ._common import resolve_style_mesh
+
         st_loader = HostLoader(samples, 1, shuffle=False)
         style_transfer_patches(
             variables, st_loader, args.save_dir,
@@ -164,6 +171,7 @@ def main(argv=None):
             layers=args.layers, threshold=args.threshold,
             num_iterations=args.num_iterations, learning_rate=args.learning_rate,
             compute_dtype=dtype,
+            mesh=resolve_style_mesh(args.devices, args.shard_spatial, 1),
         )
 
     elif args.mode == "classification":

@@ -242,10 +242,16 @@ def style_transfer_patches(
     key: Optional[jax.Array] = None,
     log_fn=print,
     compute_dtype=None,
+    mesh=None,
 ) -> List[str]:
     """Family-3 style transfer over embedding outer-product grams
     (functions/functions_Multi_PatchGAN.py:211-306, working ``layers=None``
-    path; the reference's layers-slicing crashes upstream and is rejected)."""
+    path; the reference's layers-slicing crashes upstream and is rejected).
+
+    ``mesh``: as for the family-2 task — 'data' shards the batch, a
+    'spatial' axis shards each canvas's H rows (this family runs the
+    reference's one-image-at-a-time loop, so spatial is the axis that
+    matters here)."""
     from ..data.augment import eval_preprocess
     from ..models.multi_patchgan import multiscale_test_apply
 
@@ -275,7 +281,7 @@ def style_transfer_patches(
         return [g.astype(jnp.float32) / emb.shape[-1]]
 
     optimise = make_style_transfer_optimizer(
-        gram_fn, learning_rate, num_iterations, threshold
+        gram_fn, learning_rate, num_iterations, threshold, mesh=mesh
     )
     gram_target = jax.jit(gram_fn)  # one program, not op-by-op dispatch
 

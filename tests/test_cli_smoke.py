@@ -510,6 +510,20 @@ class TestTestCLIs:
         ])
         assert os.path.exists(os.path.join(out, "classification_results.json"))
 
+        # style transfer, big-canvas sharding: this family optimises ONE
+        # image at a time (reference loop), so 'spatial' is the only useful
+        # mesh axis — the canvas's H rows split 2-way, GSPMD halos in the
+        # discriminator fwd/bwd
+        out_sp = str(tmp_path / "res_sp")
+        test_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f3"],
+            "--model_path", os.path.join(models, "best_global_model.npz"),
+            "--mode", "style_transfer", "--save_dir", out_sp,
+            "--num_samples", "1", "--num_iterations", "2",
+            "--threshold", "1e-3", "--shard_spatial", "2",
+        ])
+        assert [d for d in os.listdir(out_sp) if d.startswith("style_transfer_")]
+
 
 class TestRootWrappers:
     def test_wrappers_importable(self):
