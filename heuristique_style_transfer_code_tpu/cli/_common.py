@@ -123,6 +123,19 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "measured 0.76x sequential — PERF.md); exclusive with --resume, "
         "--steps_per_dispatch and --zero1",
     )
+    parser.add_argument(
+        "--auto_batch", action="store_true",
+        help="Probe doubling batch sizes' compiled peak HBM ahead of time "
+        "(XLA memory_analysis — no execution, no OOM crash) and adopt the "
+        "largest that fits the device budget. Changes training batch "
+        "semantics, so opt-in; exclusive with --grad_accum>1 and "
+        "--parallel_folds. Composes with --remat (probe the remat step)",
+    )
+    parser.add_argument(
+        "--hbm_budget_gb", type=float, default=None,
+        help="Memory budget for --auto_batch in GiB (default: what the "
+        "device backend reports; required on backends that report none)",
+    )
 
 
 def resolve_class_names(
@@ -550,6 +563,70 @@ def build_mesh(n_devices: Optional[int], batch_size: Optional[int] = None):
         while n > 1 and batch_size % n != 0:
             n -= 1
     return create_mesh(n)
+
+
+def apply_auto_batch(args, setup, cfg, mesh, hyperparameters=None):
+    """--auto_batch: probe candidate batch sizes' compiled peak memory
+    ahead of time (train/autotune.py) and adopt the largest that fits the
+    HBM budget. Mutates cfg.batch_size (and the hyperparameters dict that
+    feeds training_info.json / the resume signature); call BEFORE anything
+    that consumes them (grad-accum validation, fold meshes, run_kfold)."""
+    if not getattr(args, "auto_batch", False):
+        return
+    if getattr(args, "grad_accum", 1) > 1 or getattr(args, "parallel_folds", False):
+        raise SystemExit(
+            "--auto_batch is exclusive with --grad_accum>1 and "
+            "--parallel_folds (those dispatch different step programs than "
+            "the one the probe measures)"
+        )
+    import jax
+
+    from ..data.loader import STAGING_SIZE
+    from ..train.autotune import (
+        GIB,
+        autotune_batch,
+        batch_candidates,
+        describe_report,
+        device_hbm_bytes,
+        train_step_peak_bytes,
+    )
+
+    budget = (
+        int(args.hbm_budget_gb * GIB)
+        if args.hbm_budget_gb
+        else device_hbm_bytes()
+    )
+    if budget is None:
+        raise SystemExit(
+            "--auto_batch: this backend does not report a memory budget; "
+            "pass --hbm_budget_gb"
+        )
+    state_shapes = jax.eval_shape(setup.init, jax.random.PRNGKey(0))
+    divisor = int(mesh.devices.size) if mesh is not None else 1
+    cands = batch_candidates(cfg.batch_size, divisor)
+    chosen, report = autotune_batch(
+        lambda b: train_step_peak_bytes(
+            setup.train_step, state_shapes, b, STAGING_SIZE
+        ),
+        budget,
+        cands,
+    )
+    print(describe_report(report, budget))
+    if chosen is None:
+        raise SystemExit(
+            f"--auto_batch: even batch {cands[0]} exceeds the budget; try "
+            "--remat and/or --grad_accum"
+        )
+    if chosen != cfg.batch_size:
+        print(
+            f"--auto_batch: adopting batch {chosen} "
+            f"(configured {cfg.batch_size})"
+        )
+        cfg.batch_size = chosen
+        if hyperparameters is not None:
+            hyperparameters["batch_size"] = chosen
+    else:
+        print(f"--auto_batch: keeping configured batch {cfg.batch_size}")
 
 
 def apply_grad_accum(args, setup, batch_size: int):

@@ -21,6 +21,7 @@ from ._common import (
     make_writer,
     make_save_fn,
     resolve_compute_dtype,
+    apply_auto_batch,
     apply_grad_accum,
     signature_extra_from_args,
     resolve_fold_parallel,
@@ -85,6 +86,7 @@ def main(argv=None):
         variables, opt_state = setup.init(key)
         return variables, opt_state, setup.train_step, setup.eval_step
 
+    apply_auto_batch(args, setup, cfg, mesh, hyperparameters)
     apply_grad_accum(args, setup, cfg.batch_size)
     foldwise_step, fold_mesh = resolve_fold_parallel(
         args, setup, args.k_folds, cfg.batch_size
