@@ -7,6 +7,7 @@ from .io import (
     save_pytree_npz,
     save_pytree_orbax,
 )
+from .sharded_io import load_sharded_pytree, save_sharded_pytree
 from .pth_converter import (
     load_torch_state_dict,
     convert_resnet_children,

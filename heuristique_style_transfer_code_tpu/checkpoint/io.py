@@ -16,22 +16,25 @@ import numpy as np
 _SEP = "/"
 
 
-def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
-    flat: Dict[str, np.ndarray] = {}
+def _flatten(tree: Any, prefix: str = "", coerce=np.asarray) -> Dict[str, Any]:
+    """Flat dotted-key dict with None/empty-container markers. ``coerce``
+    maps real leaves (default np.asarray — which GATHERS a sharded
+    jax.Array; sharded_io passes identity to keep shards on device)."""
+    flat: Dict[str, Any] = {}
     if isinstance(tree, dict):
         if not tree:  # marker: empty containers must survive the round-trip
             flat[prefix[: -len(_SEP)] + ".__empty_dict__"] = np.zeros(0)
         for k, v in tree.items():
-            flat.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+            flat.update(_flatten(v, f"{prefix}{k}{_SEP}", coerce))
     elif isinstance(tree, (list, tuple)):
         if not tree:  # e.g. 'convs': [] from a 1-layer discriminator plan
             flat[prefix[: -len(_SEP)] + ".__empty_list__"] = np.zeros(0)
         for i, v in enumerate(tree):
-            flat.update(_flatten(v, f"{prefix}{i}{_SEP}"))
+            flat.update(_flatten(v, f"{prefix}{i}{_SEP}", coerce))
     elif tree is None:
         flat[prefix[: -len(_SEP)] + ".__none__"] = np.zeros(0)
     else:
-        flat[prefix[: -len(_SEP)]] = np.asarray(tree)
+        flat[prefix[: -len(_SEP)]] = coerce(tree)
     return flat
 
 
