@@ -202,6 +202,123 @@ class TestSafety:
             load_sharded_pytree(d, shardings=wrong)
 
 
+_TRAIN_WORKER = r'''
+import sys
+
+pid, port, mid_dir, fin_dir = (
+    int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from heuristique_style_transfer_code_tpu.checkpoint.sharded_io import (
+    save_sharded_pytree,
+)
+
+mesh = Mesh(np.asarray(jax.devices()), ("data",))  # 2 procs x 2 = 4 devices
+shard_w = NamedSharding(mesh, P("data"))
+repl = NamedSharding(mesh, P())
+rng = np.random.RandomState(0)
+w = jax.device_put(jnp.asarray(rng.randn(8, 3).astype(np.float32)), shard_w)
+m = jax.device_put(jnp.zeros((8, 3), jnp.float32), shard_w)
+xs = rng.randn(2, 4, 8).astype(np.float32)
+ys = rng.randn(2, 4, 3).astype(np.float32)
+
+def train_step(w, m, x, y):
+    g = jax.grad(lambda w: jnp.mean((x @ w - y) ** 2))(w)
+    m = 0.9 * m + g
+    return w - 0.1 * m, m
+
+step = jax.jit(
+    train_step,
+    in_shardings=(shard_w, shard_w, repl, repl),
+    out_shardings=(shard_w, shard_w),
+)
+w, m = step(w, m, jnp.asarray(xs[0]), jnp.asarray(ys[0]))
+save_sharded_pytree({"w": w, "m": m}, mid_dir)   # mid-run elastic handoff
+w, m = step(w, m, jnp.asarray(xs[1]), jnp.asarray(ys[1]))
+save_sharded_pytree({"w": w, "m": m}, fin_dir)   # uninterrupted endpoint
+print(f"proc{pid} ok")
+'''
+
+
+class TestElasticTrainingHandoff:
+    def test_two_process_fsdp_train_resumes_single_process(self, tmp_path):
+        """REAL 2-process FSDP-style training saves a sharded checkpoint
+        mid-run; a plain single-process run (different topology: 1 process
+        x 8 virtual devices, 4 used) restores it, continues the step, and
+        must land where the uninterrupted 2-process run landed."""
+        import socket
+        import subprocess
+        import sys
+
+        from heuristique_style_transfer_code_tpu.checkpoint.sharded_io import (
+            load_sharded_pytree as load,
+        )
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        mid, fin = str(tmp_path / "mid"), str(tmp_path / "fin")
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("JAX", "XLA"))}
+        env["PYTHONPATH"] = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _TRAIN_WORKER,
+                 str(i), str(port), mid, fin],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            logs.append(out)
+        assert all(p.returncode == 0 for p in procs), "\n".join(logs)[-3000:]
+
+        # resume HERE: same 4-wide data sharding, different process topology
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+        shard_w = NamedSharding(mesh, P("data"))
+        state = load(mid, shardings=shard_w)
+        rng = np.random.RandomState(0)
+        rng.randn(8, 3)  # consume the worker's weight draw
+        xs = rng.randn(2, 4, 8).astype(np.float32)
+        ys = rng.randn(2, 4, 3).astype(np.float32)
+
+        def train_step(w, m, x, y):
+            g = jax.grad(lambda w: jnp.mean((x @ w - y) ** 2))(w)
+            m = 0.9 * m + g
+            return w - 0.1 * m, m
+
+        step = jax.jit(
+            train_step,
+            in_shardings=(shard_w, shard_w, None, None),
+            out_shardings=(shard_w, shard_w),
+        )
+        w2, m2 = step(
+            state["w"], state["m"], jnp.asarray(xs[1]), jnp.asarray(ys[1])
+        )
+        final = load(fin, as_jax=False)
+        # cross-process Gloo all-reduce vs single-process may reorder the
+        # f32 grad reduction: allclose, not bit-equal
+        np.testing.assert_allclose(np.asarray(w2), final["w"], rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(m2), final["m"], rtol=1e-6, atol=1e-7)
+
+
 _WORKER = r'''
 import sys
 
