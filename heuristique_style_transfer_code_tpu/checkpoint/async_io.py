@@ -51,9 +51,17 @@ class AsyncCheckpointWriter:
     ``checkpoint.io.save_pytree_npz``. Use as a context manager or call
     ``wait()``/``close()`` explicitly."""
 
-    def __init__(self, max_pending: int = 2):
+    def __init__(self, max_pending: int = 2, save_fn=None):
+        """``save_fn(tree, path)`` overrides the npz writer — e.g.
+        ``sharded_io.save_sharded_pytree`` for asynchronous DISTRIBUTED
+        checkpoints (each process's writer saves only its own shards; the
+        commit barrier inside it is coordination-service based, so it is
+        thread-safe next to training collectives — every process must
+        submit the same checkpoint sequence, the usual collective-ordering
+        contract). See ``sharded_io.make_async_sharded_writer``."""
         import atexit
 
+        self._save_fn = save_fn
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, int(max_pending)))
         self._error: Optional[BaseException] = None
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -118,6 +126,7 @@ class AsyncCheckpointWriter:
     def _run(self):
         from .io import save_pytree_npz
 
+        save_fn = self._save_fn or save_pytree_npz
         while True:
             item = self._q.get()
             if item is None:
@@ -127,7 +136,7 @@ class AsyncCheckpointWriter:
             try:
                 # np.asarray on jax leaves = the D2H fetch, here in the
                 # worker; save_pytree_npz flattens + atomically writes
-                save_pytree_npz(tree, path)
+                save_fn(tree, path)
             except BaseException as e:  # surfaced on the next submit/wait
                 if self._error is None:
                     self._error = e

@@ -81,8 +81,25 @@ def _atomic_write(directory: str, name: str, write_fn) -> None:
         raise
 
 
-def _barrier(tag: str) -> None:
-    if jax.process_count() > 1:
+_barrier_seq = __import__("itertools").count()
+
+
+def _barrier(tag: str, timeout_ms: int = 600_000) -> None:
+    """Cross-process rendezvous via the coordination-service KV barrier —
+    NOT a device collective, so it is safe from a background thread while
+    the main thread runs training collectives on the same devices (the
+    async writer depends on this; a psum-style barrier could interleave
+    with training programs in different orders on different processes and
+    deadlock). Barrier ids pair up because every process performs the same
+    save sequence — the usual collective-ordering contract."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(f"hst:{tag}:{next(_barrier_seq)}", timeout_ms)
+    else:  # pod runtimes without an exposed coordination client
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(tag)
@@ -304,3 +321,22 @@ def load_sharded_pytree(
             jax.tree_util.tree_leaves(tree),
         )
     return tree
+
+
+def make_async_sharded_writer(max_pending: int = 2):
+    """Asynchronous distributed checkpoints: an ``AsyncCheckpointWriter``
+    whose worker runs ``save_sharded_pytree`` — ``submit(tree, directory)``
+    takes the device-side snapshot (sharding-preserving copy, so donation
+    of the live buffers is safe immediately) and the per-shard D2H + write
+    + commit happen on the background thread, overlapped with training.
+
+    Multi-process contract: every process drives the same writer with the
+    same submission sequence (the commit barrier is coordination-service
+    based — no device collectives — so it cannot deadlock against the main
+    thread's training program). For rolling checkpoints alternate two
+    directories: a resave into the SAME directory un-commits it first
+    (MANIFEST removed), so a crash mid-resave loses that slot's previous
+    checkpoint too."""
+    from .async_io import AsyncCheckpointWriter
+
+    return AsyncCheckpointWriter(max_pending, save_fn=save_sharded_pytree)

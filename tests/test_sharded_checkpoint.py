@@ -202,6 +202,55 @@ class TestSafety:
             load_sharded_pytree(d, shardings=wrong)
 
 
+class TestAsyncShardedWriter:
+    def test_submit_is_donation_safe_and_durable_after_wait(
+        self, state, tmp_path
+    ):
+        """submit() snapshots device-side; the caller may immediately
+        donate/overwrite the live buffers. After wait() the checkpoint is
+        commited on disk and equals the pre-overwrite values."""
+        from heuristique_style_transfer_code_tpu.checkpoint.sharded_io import (
+            make_async_sharded_writer,
+        )
+
+        mesh, variables, opt_state, v_shard, o_shard, opt = state
+        # the snapshot copy must preserve the FSDP layout (the assumption
+        # the writer's device-side copy rests on)
+        snap = jnp.array(variables["conv"]["kernel"], copy=True)
+        assert snap.sharding == variables["conv"]["kernel"].sharding
+
+        before = jax.tree_util.tree_map(np.asarray, variables)
+        d = str(tmp_path / "ckpt")
+        w = make_async_sharded_writer()
+        w.submit(variables, d)
+        # overwrite the live buffers in place of a donating train step
+        bump = jax.jit(
+            lambda t: jax.tree_util.tree_map(lambda x: x * 0 - 1.0, t),
+            donate_argnums=0,
+        )
+        variables = bump(variables)
+        w.wait()
+        assert os.path.exists(os.path.join(d, "MANIFEST.json"))
+        back = load_sharded_pytree(d, as_jax=False)
+        _tree_equal(back, before)
+        w.close()
+
+    def test_worker_error_surfaces_on_wait(self, state, tmp_path):
+        from heuristique_style_transfer_code_tpu.checkpoint.sharded_io import (
+            make_async_sharded_writer,
+        )
+
+        mesh, variables, *_ = state
+        w = make_async_sharded_writer()
+        # an unwritable target directory fails the worker, not the trainer
+        target = str(tmp_path / "f")
+        with open(target, "w") as f:
+            f.write("x")  # a FILE where the save needs a directory
+        w.submit(variables, target)
+        with pytest.raises(Exception):
+            w.wait()
+
+
 _TRAIN_WORKER = r'''
 import sys
 
