@@ -13,6 +13,12 @@ default on) repeat runs pay nothing, and the probe of the batch that is
 adopted IS the training compile, so it is never wasted. Memory is monotone
 in batch size for this step (everything batched scales linearly; weights
 don't), so the search stops at the first candidate over budget.
+
+Verified on the real chip (2026-08): ``compiled.memory_analysis()`` works
+under the axon TPU backend (peak_memory_in_bytes populated), but
+``device.memory_stats()`` returns None through the relay — pass
+``--hbm_budget_gb`` there. Directly-attached TPUs report ``bytes_limit``
+and need no flag.
 """
 from __future__ import annotations
 
@@ -61,7 +67,15 @@ def train_step_peak_bytes(
         jax.ShapeDtypeStruct((2,), jnp.uint32),
     )
     m = train_step.lower(*args).compile().memory_analysis()
-    return int(m.temp_size_in_bytes) + int(m.argument_size_in_bytes)
+    # Backends disagree on what peak_memory_in_bytes covers (measured: the
+    # TPU backend includes argument buffers, XLA:CPU does not), so take the
+    # conservative max of it and the explicit sum. Outputs alias the donated
+    # state (donate_argnums), so only the non-aliased output remainder adds.
+    temp = int(m.temp_size_in_bytes)
+    args_b = int(m.argument_size_in_bytes)
+    out_extra = max(0, int(m.output_size_in_bytes) - int(m.alias_size_in_bytes))
+    peak = int(getattr(m, "peak_memory_in_bytes", 0) or 0)
+    return max(peak, temp + args_b + out_extra)
 
 
 def batch_candidates(
