@@ -136,6 +136,26 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         help="Memory budget for --auto_batch in GiB (default: what the "
         "device backend reports; required on backends that report none)",
     )
+    parser.add_argument(
+        "--lr_schedule", choices=["constant", "cosine", "linear"],
+        default="constant",
+        help="Learning-rate schedule over each fold's steps (default: the "
+        "reference's fixed rate). Evaluated from the optimiser step count "
+        "inside the jitted step — one compile serves the whole curve",
+    )
+    parser.add_argument(
+        "--warmup_steps", type=int, default=0,
+        help="Linear LR warmup steps (0 -> config lr) before the schedule",
+    )
+    parser.add_argument(
+        "--min_lr_ratio", type=float, default=0.0,
+        help="Schedule floor as a fraction of the config lr",
+    )
+    parser.add_argument(
+        "--clip_grad_norm", type=float, default=None,
+        help="Clip gradients to this global norm (trainable leaves only) "
+        "before the optimiser update",
+    )
 
 
 def resolve_class_names(
@@ -565,6 +585,38 @@ def build_mesh(n_devices: Optional[int], batch_size: Optional[int] = None):
     return create_mesh(n)
 
 
+def resolve_lr_schedule(args, cfg, n_samples: int, k_folds: int):
+    """(lr_schedule_or_None, clip_norm_or_None) from the CLI flags —
+    computed BEFORE the setup_* factory so the schedule bakes into the one
+    compiled train step. The horizon is each fold's total optimiser steps
+    (train/schedules.steps_per_fold); the count restarts per fold, so every
+    fold sees the full warmup+decay curve."""
+    name = getattr(args, "lr_schedule", "constant") or "constant"
+    warmup = int(getattr(args, "warmup_steps", 0) or 0)
+    clip = getattr(args, "clip_grad_norm", None)
+    if name == "constant" and warmup == 0:
+        return None, clip
+    if getattr(args, "auto_batch", False):
+        raise SystemExit(
+            "--lr_schedule/--warmup_steps are exclusive with --auto_batch: "
+            "the schedule horizon is fixed per batch size before the probe "
+            "runs; pick the batch first (run --auto_batch alone), then "
+            "schedule at that batch"
+        )
+    from ..train.schedules import make_lr_schedule, steps_per_fold
+
+    total = steps_per_fold(n_samples, k_folds, cfg.batch_size, args.epochs)
+    sched = make_lr_schedule(
+        name, cfg.lr, total, warmup, getattr(args, "min_lr_ratio", 0.0)
+    )
+    if sched is not None:
+        print(
+            f"lr schedule: {name}, warmup {warmup} steps, horizon {total} "
+            f"steps/fold, floor {cfg.lr * getattr(args, 'min_lr_ratio', 0.0):g}"
+        )
+    return sched, clip
+
+
 def apply_auto_batch(args, setup, cfg, mesh, hyperparameters=None):
     """--auto_batch: probe candidate batch sizes' compiled peak memory
     ahead of time (train/autotune.py) and adopt the largest that fits the
@@ -672,6 +724,12 @@ def signature_extra_from_args(args) -> Optional[dict]:
         ("num_color_transforms", 0),
         ("num_geom_transforms", 0),
         ("geom_transforms", None),
+        # schedule/clipping change the update rule: resuming under a
+        # different one would stitch incompatible trajectories
+        ("lr_schedule", "constant"),
+        ("warmup_steps", 0),
+        ("min_lr_ratio", 0.0),
+        ("clip_grad_norm", None),
     ):
         val = getattr(args, flag, default)
         if val != default and val is not None:

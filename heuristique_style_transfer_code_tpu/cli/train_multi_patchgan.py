@@ -21,6 +21,7 @@ from ._common import (
     make_writer,
     make_save_fn,
     resolve_compute_dtype,
+    resolve_lr_schedule,
     apply_auto_batch,
     apply_grad_accum,
     signature_extra_from_args,
@@ -76,10 +77,14 @@ def main(argv=None):
         pretrained = load_checkpoint_tree(args.model_path, "multi_patchgan", hyperparameters)
         print(f"Poids du modèle chargés depuis {args.model_path} (shape-filtered)")
 
+    lr_schedule, clip_norm = resolve_lr_schedule(
+        args, cfg, len(dataset.samples), args.k_folds
+    )
     # compile the train/eval steps ONCE; reuse across all folds
     setup = setup_multi_patchgan(
         cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
         compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
+        lr_schedule=lr_schedule, clip_norm=clip_norm,
     )
 
     def init_fn(key, fold):

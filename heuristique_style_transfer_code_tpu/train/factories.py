@@ -95,14 +95,18 @@ class FamilySetup:
 
 def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
            frozen_fn=None, compute_dtype=None, zero1=False,
-           template_init=None) -> FamilySetup:
+           template_init=None, clip_norm=None) -> FamilySetup:
+    # ``lr`` may be a float (the reference's fixed SGD rate) or an optax
+    # schedule (train/schedules.py); ``clip_norm`` adds global-norm gradient
+    # clipping — both additive, defaults keep reference semantics exactly
     # the optimiser/sharding templates need only shapes+paths: derive them
     # from the FRESH-init function (identical tree structure/shapes), never
     # from a closure over a concrete pretrained tree — eval_shape would
     # execute _fresh_copy's per-leaf device copies for real (one dispatch
     # per leaf through a remote-attached device, review finding)
     template = jax.eval_shape(template_init or init_variables, jax.random.PRNGKey(0))
-    optimizer = sgd_momentum(lr, template, frozen_fn=frozen_fn)
+    optimizer = sgd_momentum(lr, template, frozen_fn=frozen_fn,
+                             clip_norm=clip_norm)
     augment = make_augment_fn(combos)
     opt_sharding = None
     if zero1 and mesh is not None:
@@ -137,6 +141,8 @@ def setup_truncated_resnet50(
     compute_dtype=None,
     zero1: bool = False,
     remat: bool = False,
+    lr_schedule=None,
+    clip_norm=None,
 ) -> FamilySetup:
     t = config.truncate_layer
 
@@ -161,9 +167,10 @@ def setup_truncated_resnet50(
         logits, _ = combined_apply(v["moco"], v["classifier"], images, t, train=False)
         return logits
 
-    return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, compute_dtype=compute_dtype, zero1=zero1,
-                  template_init=fresh_init)
+    return _setup(init_variables, forward_train, forward_eval,
+                  lr_schedule if lr_schedule is not None else config.lr,
+                  combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
+                  template_init=fresh_init, clip_norm=clip_norm)
 
 
 def make_truncated_resnet50(
@@ -192,6 +199,8 @@ def setup_gram_attention(
     compute_dtype=None,
     zero1: bool = False,
     remat: bool = False,
+    lr_schedule=None,
+    clip_norm=None,
 ) -> FamilySetup:
     t, s = config.truncate_layer, config.gram_matrix_size
 
@@ -222,9 +231,10 @@ def setup_gram_attention(
         frozen_fn = lambda path: not (
             path.startswith("classifier") or path.startswith("attention")
         )
-    return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, frozen_fn, compute_dtype, zero1=zero1,
-                  template_init=fresh_init)
+    return _setup(init_variables, forward_train, forward_eval,
+                  lr_schedule if lr_schedule is not None else config.lr,
+                  combos, mesh, frozen_fn, compute_dtype, zero1=zero1,
+                  template_init=fresh_init, clip_norm=clip_norm)
 
 
 def make_gram_attention(
@@ -253,6 +263,8 @@ def setup_multi_patchgan(
     compute_dtype=None,
     zero1: bool = False,
     remat: bool = False,
+    lr_schedule=None,
+    clip_norm=None,
 ) -> FamilySetup:
     norm = config.norm
 
@@ -277,9 +289,10 @@ def setup_multi_patchgan(
         logits, _ = multiscale_apply(v, images, norm=norm, train=False)
         return logits
 
-    return _setup(init_variables, forward_train, forward_eval, config.lr, combos,
-                  mesh, compute_dtype=compute_dtype, zero1=zero1,
-                  template_init=fresh_init)
+    return _setup(init_variables, forward_train, forward_eval,
+                  lr_schedule if lr_schedule is not None else config.lr,
+                  combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
+                  template_init=fresh_init, clip_norm=clip_norm)
 
 
 def make_multi_patchgan(

@@ -53,9 +53,19 @@ def _masked(inner, variables, frozen_fn):
     return optax.multi_transform({"train": inner, "freeze": optax.set_to_zero()}, labels)
 
 
-def sgd_momentum(lr: float, variables, momentum: float = 0.9, frozen_fn=None):
-    """torch.optim.SGD(momentum=0.9, dampening=0, nesterov=False) equivalent."""
-    return _masked(optax.sgd(lr, momentum=momentum), variables, frozen_fn)
+def sgd_momentum(lr, variables, momentum: float = 0.9, frozen_fn=None,
+                 clip_norm: Optional[float] = None):
+    """torch.optim.SGD(momentum=0.9, dampening=0, nesterov=False) equivalent.
+
+    Additive extras (defaults preserve exact reference semantics and the
+    optimiser-state structure): ``lr`` may be an optax schedule callable
+    (train/schedules.py — evaluated from the state's step count inside the
+    jitted step), and ``clip_norm`` prepends global-norm gradient clipping
+    (optax.clip_by_global_norm) over the trainable leaves."""
+    inner = optax.sgd(lr, momentum=momentum)
+    if clip_norm is not None:
+        inner = optax.chain(optax.clip_by_global_norm(float(clip_norm)), inner)
+    return _masked(inner, variables, frozen_fn)
 
 
 def adam(lr: float, variables=None, frozen_fn=None):
