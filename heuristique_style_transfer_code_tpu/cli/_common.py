@@ -156,6 +156,19 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         help="Clip gradients to this global norm (trainable leaves only) "
         "before the optimiser update",
     )
+    parser.add_argument(
+        "--label_smoothing", type=float, default=0.0, metavar="EPS",
+        help="Label smoothing for the training cross-entropy "
+        "(torch.nn.functional.cross_entropy semantics; validation/test "
+        "losses stay unsmoothed)",
+    )
+    parser.add_argument(
+        "--early_stop", type=int, default=None, metavar="PATIENCE",
+        help="Validate after every epoch and stop a fold after PATIENCE "
+        "consecutive epochs without a new best validation loss; fold "
+        "artifacts then describe the best epoch's weights, not the last. "
+        "Exclusive with --parallel_folds",
+    )
 
 
 def resolve_class_names(
@@ -730,6 +743,10 @@ def signature_extra_from_args(args) -> Optional[dict]:
         ("warmup_steps", 0),
         ("min_lr_ratio", 0.0),
         ("clip_grad_norm", None),
+        ("label_smoothing", 0.0),
+        # early stopping changes which epoch a fold stops at, and the
+        # in-progress checkpoint's structure (counter leaves)
+        ("early_stop", None),
     ):
         val = getattr(args, flag, default)
         if val != default and val is not None:
@@ -747,6 +764,11 @@ def resolve_fold_parallel(args, setup, k_folds: int, batch_size: int):
         raise SystemExit(
             "--parallel_folds and --zero1 are exclusive (the optimiser "
             "state is already sharded over the fold axis)"
+        )
+    if getattr(args, "early_stop", None) is not None:
+        raise SystemExit(
+            "--parallel_folds and --early_stop are exclusive (all folds "
+            "run as one SPMD program — no per-fold stopping point)"
         )
     from ..parallel.foldparallel import make_fold_mesh
 

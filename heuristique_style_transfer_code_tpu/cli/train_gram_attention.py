@@ -108,6 +108,7 @@ def main(argv=None):
         pretrained=pretrained, freeze_encoder=args.freeze_layers,
         compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
         lr_schedule=lr_schedule, clip_norm=clip_norm,
+        label_smoothing=args.label_smoothing,
     )
 
     def init_fn(key, fold):
@@ -181,6 +182,7 @@ def main(argv=None):
         foldwise_step=foldwise_step,
         fold_mesh=fold_mesh,
         signature_extra=signature_extra_from_args(args),
+        early_stop=args.early_stop,
         on_fold_end=on_fold_end,
         )
     except PreemptedError as e:

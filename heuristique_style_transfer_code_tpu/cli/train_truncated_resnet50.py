@@ -94,6 +94,7 @@ def main(argv=None):
         cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
         compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
         lr_schedule=lr_schedule, clip_norm=clip_norm,
+        label_smoothing=args.label_smoothing,
     )
 
     def init_fn(key, fold):
@@ -131,6 +132,7 @@ def main(argv=None):
         foldwise_step=foldwise_step,
         fold_mesh=fold_mesh,
         signature_extra=signature_extra_from_args(args),
+        early_stop=args.early_stop,
         )
     except PreemptedError as e:
         # SIGTERM on a preemptible fleet: the last completed epoch's

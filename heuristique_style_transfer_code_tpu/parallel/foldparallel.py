@@ -84,6 +84,7 @@ def make_foldwise_train_step(
     optimizer,
     augment_fn: Callable,
     mesh: Mesh,
+    label_smoothing: float = 0.0,
 ):
     """vmap the shared single-fold train-step body over a leading fold axis
     and shard that axis over the mesh's 'fold' dimension (each fold's batch
@@ -97,7 +98,8 @@ def make_foldwise_train_step(
     """
     from ..train.train_loop import make_train_step_body
 
-    body = make_train_step_body(forward_train, optimizer, augment_fn)
+    body = make_train_step_body(forward_train, optimizer, augment_fn,
+                                 label_smoothing)
 
     def masked(variables, opt_state, images_u8, labels, combos, key, active):
         new_v, new_o, loss = body(

@@ -53,7 +53,8 @@ class FamilySetup:
 
     def __init__(self, init_variables, optimizer, train_step, eval_step,
                  forward_eval, train_step_multi=None, forward_train=None,
-                 augment=None, mesh=None, opt_sharding=None):
+                 augment=None, mesh=None, opt_sharding=None,
+                 label_smoothing=0.0):
         self._init_variables = init_variables
         self._optimizer = optimizer
         self.train_step = train_step
@@ -66,6 +67,7 @@ class FamilySetup:
         self._augment = augment
         self._mesh = mesh
         self._opt_sharding = opt_sharding
+        self._label_smoothing = label_smoothing
 
     def init(self, key: jax.Array):
         variables = self._init_variables(key)
@@ -77,7 +79,8 @@ class FamilySetup:
         from ..parallel.foldparallel import make_foldwise_train_step
 
         return make_foldwise_train_step(
-            self._forward_train, self._optimizer, self._augment, fold_mesh
+            self._forward_train, self._optimizer, self._augment, fold_mesh,
+            label_smoothing=self._label_smoothing,
         )
 
     def accum_step(self, n_accum: int):
@@ -90,12 +93,14 @@ class FamilySetup:
         return make_train_step_accum(
             self._forward_train, self._optimizer, self._augment, n_accum,
             mesh=self._mesh, opt_sharding=self._opt_sharding,
+            label_smoothing=self._label_smoothing,
         )
 
 
 def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
            frozen_fn=None, compute_dtype=None, zero1=False,
-           template_init=None, clip_norm=None) -> FamilySetup:
+           template_init=None, clip_norm=None,
+           label_smoothing=0.0) -> FamilySetup:
     # ``lr`` may be a float (the reference's fixed SGD rate) or an optax
     # schedule (train/schedules.py); ``clip_norm`` adds global-norm gradient
     # clipping — both additive, defaults keep reference semantics exactly
@@ -119,17 +124,18 @@ def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
     forward_train_cast = _cast_inputs(forward_train, compute_dtype)
     train_step = make_train_step(
         forward_train_cast, optimizer, augment, mesh=mesh,
-        opt_sharding=opt_sharding,
+        opt_sharding=opt_sharding, label_smoothing=label_smoothing,
     )
     train_step_multi = make_train_step_multi(
         forward_train_cast, optimizer, augment, mesh=mesh,
-        opt_sharding=opt_sharding,
+        opt_sharding=opt_sharding, label_smoothing=label_smoothing,
     )
     eval_step = make_eval_step(_cast_inputs(forward_eval, compute_dtype), mesh=mesh)
     return FamilySetup(init_variables, optimizer, train_step, eval_step,
                        forward_eval, train_step_multi,
                        forward_train=forward_train_cast, augment=augment,
-                       mesh=mesh, opt_sharding=opt_sharding)
+                       mesh=mesh, opt_sharding=opt_sharding,
+                       label_smoothing=label_smoothing)
 
 
 def setup_truncated_resnet50(
@@ -143,6 +149,7 @@ def setup_truncated_resnet50(
     remat: bool = False,
     lr_schedule=None,
     clip_norm=None,
+    label_smoothing: float = 0.0,
 ) -> FamilySetup:
     t = config.truncate_layer
 
@@ -170,7 +177,8 @@ def setup_truncated_resnet50(
     return _setup(init_variables, forward_train, forward_eval,
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
-                  template_init=fresh_init, clip_norm=clip_norm)
+                  template_init=fresh_init, clip_norm=clip_norm,
+                  label_smoothing=label_smoothing)
 
 
 def make_truncated_resnet50(
@@ -201,6 +209,7 @@ def setup_gram_attention(
     remat: bool = False,
     lr_schedule=None,
     clip_norm=None,
+    label_smoothing: float = 0.0,
 ) -> FamilySetup:
     t, s = config.truncate_layer, config.gram_matrix_size
 
@@ -234,7 +243,8 @@ def setup_gram_attention(
     return _setup(init_variables, forward_train, forward_eval,
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, frozen_fn, compute_dtype, zero1=zero1,
-                  template_init=fresh_init, clip_norm=clip_norm)
+                  template_init=fresh_init, clip_norm=clip_norm,
+                  label_smoothing=label_smoothing)
 
 
 def make_gram_attention(
@@ -265,6 +275,7 @@ def setup_multi_patchgan(
     remat: bool = False,
     lr_schedule=None,
     clip_norm=None,
+    label_smoothing: float = 0.0,
 ) -> FamilySetup:
     norm = config.norm
 
@@ -292,7 +303,8 @@ def setup_multi_patchgan(
     return _setup(init_variables, forward_train, forward_eval,
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
-                  template_init=fresh_init, clip_norm=clip_norm)
+                  template_init=fresh_init, clip_norm=clip_norm,
+                  label_smoothing=label_smoothing)
 
 
 def make_multi_patchgan(

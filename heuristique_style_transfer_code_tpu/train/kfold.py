@@ -40,6 +40,7 @@ def save_training_info(info, save_dir: str, filename: str):
 
 _INPROGRESS_STATE = "_inprogress_state.npz"
 _INPROGRESS_META = "_inprogress_meta.json"
+_INPROGRESS_BEST = "_inprogress_best.npz"  # early-stop best-epoch weights
 
 
 def _run_signature(
@@ -64,12 +65,15 @@ def _run_signature(
     return json.dumps(d, sort_keys=True, default=str)
 
 
-def _inprogress_tree(variables, opt_state, key, fold, epochs_done, signature):
+def _inprogress_tree(variables, opt_state, key, fold, epochs_done, signature,
+                     extra_leaves=None):
     """ONE atomic artifact per epoch: variables + flattened optimiser leaves
     + the evolved PRNG key + the position (fold, epochs_done) + the run
     signature. Position and state living in the same file means no crash
-    window can pair epoch-E+1 weights with an epoch-E position."""
-    return {
+    window can pair epoch-E+1 weights with an epoch-E position.
+    ``extra_leaves`` (e.g. early-stop counters) join the tree only when
+    present, so plain-run checkpoints keep their exact structure."""
+    tree = {
         "variables": variables,
         "opt_leaves": list(jax.tree_util.tree_leaves(opt_state)),
         "key": np.asarray(key),
@@ -77,15 +81,19 @@ def _inprogress_tree(variables, opt_state, key, fold, epochs_done, signature):
         "epochs_done": int(epochs_done),
         "signature": np.asarray(signature),
     }
+    if extra_leaves:
+        tree.update(extra_leaves)
+    return tree
 
 
 def _save_inprogress_state(
     save_dir, variables, opt_state, key, fold, epochs_done, signature,
-    async_writer=None,
+    async_writer=None, extra_leaves=None,
 ):
     from ..checkpoint.io import save_pytree_npz
 
-    tree = _inprogress_tree(variables, opt_state, key, fold, epochs_done, signature)
+    tree = _inprogress_tree(variables, opt_state, key, fold, epochs_done,
+                            signature, extra_leaves)
     path = os.path.join(save_dir, _INPROGRESS_STATE)
     if async_writer is not None:
         async_writer.submit(tree, path)  # device snapshot; write overlapped
@@ -120,7 +128,7 @@ def _save_inprogress_meta(save_dir, meta):
 
 
 def _clear_inprogress(save_dir):
-    for name in (_INPROGRESS_STATE, _INPROGRESS_META):
+    for name in (_INPROGRESS_STATE, _INPROGRESS_META, _INPROGRESS_BEST):
         p = os.path.join(save_dir, name)
         if os.path.exists(p):
             os.unlink(p)
@@ -155,6 +163,7 @@ def run_kfold(
     foldwise_step: Optional[Callable] = None,
     fold_mesh=None,
     signature_extra: Optional[Dict] = None,
+    early_stop: Optional[int] = None,
     on_fold_end: Optional[Callable] = None,
     # on_fold_end(fold, result_dict, best_model_path): per-family extra
     # artifacts (e.g. family 2's best_performance/hyperparameters_fold files)
@@ -191,7 +200,16 @@ def run_kfold(
     runs unchanged on the trained states. Per-fold trajectories match the
     sequential driver (same init keys, per-step PRNG subkeys, and batch
     sequences; tested in tests/test_foldparallel.py). Mutually exclusive
-    with ``resume`` and ``steps_per_dispatch > 1``."""
+    with ``resume`` and ``steps_per_dispatch > 1``.
+
+    Early stopping (additive, train/early_stop.py): ``early_stop=P``
+    validates after every epoch, stops a fold after P consecutive epochs
+    without a new best validation loss, and restores the best epoch's
+    weights before the fold-end evaluation — so every fold artifact
+    describes the best epoch, not the last. Counters and the best snapshot
+    ride the resume checkpoint (a resumed run stops at the identical
+    epoch). Exclusive with fold-parallel training (folds share one program
+    there — no per-fold stopping point)."""
     from sklearn.model_selection import KFold
 
     from ..utils.logging import StructuredLogger
@@ -321,6 +339,12 @@ def run_kfold(
             num_workers=num_workers,
         )
 
+    if early_stop is not None and foldwise_step is not None:
+        raise ValueError(
+            "early stopping and fold-parallel training are exclusive: all "
+            "folds run as one SPMD program there, with no per-fold stop point"
+        )
+
     trained_folds, fold_eval_steps = None, None
     if foldwise_step is not None:
         # all folds trained at once as one SPMD program (see docstring);
@@ -368,6 +392,12 @@ def run_kfold(
             train_loader = make_train_loader(fold, train_idx)
             variables, opt_state, train_step, eval_step = init_fn(init_key, fold)
 
+            stopper = None
+            if early_stop is not None:
+                from .early_stop import EarlyStopper
+
+                stopper = EarlyStopper(early_stop)
+
             start_epoch = 0
             if resume_state is not None and fold == resume_fold and resume_epochs > 0:
                 variables = resume_state["variables"]
@@ -375,15 +405,52 @@ def run_kfold(
                 train_key = resume_state["key"]
                 start_epoch = resume_epochs
                 train_loader.set_epoch(start_epoch)
+                if stopper is not None and "es_best_loss" in resume_state:
+                    from ..checkpoint.io import load_pytree_npz
+
+                    best_path = os.path.join(save_dir, _INPROGRESS_BEST)
+                    best_v = (
+                        load_pytree_npz(best_path, as_jax=False)["variables"]
+                        if os.path.exists(best_path)
+                        else None
+                    )
+                    stopper.restore(resume_state, best_v)
 
             on_epoch_end = None
-            if resume:
+            if resume or stopper is not None:
 
-                def on_epoch_end(epoch, v, o, k, _fold=fold):
-                    _save_inprogress_state(
-                        save_dir, v, o, k, _fold, epoch + 1, signature,
-                        async_writer=acw,
-                    )
+                def on_epoch_end(epoch, v, o, k, _fold=fold,
+                                 _stopper=stopper):
+                    stop = False
+                    if _stopper is not None:
+                        # per-epoch validation drives the stop decision and
+                        # the best-epoch snapshot (host copy — the next
+                        # epoch's dispatch donates these buffers)
+                        r = evaluate(
+                            eval_step, v, val_loader, num_classes,
+                            fold=_fold, writer=writer, step=epoch,
+                        )
+                        stop = _stopper.update(r["val_loss"], v, epoch)
+                        if resume and _stopper.improved_last:
+                            # best file BEFORE the counter checkpoint: a
+                            # crash between the two re-runs this epoch on
+                            # resume and rewrites the identical best file
+                            from ..checkpoint.io import save_pytree_npz
+
+                            save_pytree_npz(
+                                {"variables": _stopper.best_variables},
+                                os.path.join(save_dir, _INPROGRESS_BEST),
+                            )
+                    if resume:
+                        _save_inprogress_state(
+                            save_dir, v, o, k, _fold, epoch + 1, signature,
+                            async_writer=acw,
+                            extra_leaves=(
+                                _stopper.state_leaves()
+                                if _stopper is not None
+                                else None
+                            ),
+                        )
                     if _interrupt_after is not None and (_fold, epoch) == tuple(
                         _interrupt_after
                     ):
@@ -393,6 +460,14 @@ def run_kfold(
                         raise RuntimeError(
                             f"interrupted after fold {_fold} epoch {epoch} (test seam)"
                         )
+                    if stop:
+                        print(
+                            f"Fold {fold}: early stop after epoch {epoch + 1} "
+                            f"(no val-loss improvement in {_stopper.patience} "
+                            f"epoch(s); best {_stopper.best_loss:.4f} at "
+                            f"epoch {(_stopper.best_epoch or 0) + 1})"
+                        )
+                    return stop
 
             variables, opt_state = train_epochs(
                 train_step,
@@ -411,6 +486,16 @@ def run_kfold(
                 on_epoch_end=on_epoch_end,
                 preemptible=resume,  # PreemptedError promises a checkpoint
             )
+            if stopper is not None and stopper.best_variables is not None:
+                # fold artifacts describe the BEST epoch, not the last; the
+                # fold-end evaluate below re-runs on the restored weights
+                # (deterministic — it reproduces the best epoch's metrics)
+                variables = stopper.best_variables
+                print(
+                    f"Fold {fold}: restored best-epoch weights (epoch "
+                    f"{stopper.best_epoch + 1}, val loss "
+                    f"{stopper.best_loss:.4f})"
+                )
         result = evaluate(
             eval_step, variables, val_loader, num_classes, fold=fold,
             writer=writer, step=max(epochs - 1, 0),

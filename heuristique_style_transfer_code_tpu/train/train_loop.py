@@ -34,26 +34,35 @@ def _merge_bn_stats(variables, new_variables):
     return jax.tree_util.tree_map_with_path(pick, variables, new_variables)
 
 
-def _masked_nll_parts(logits: jax.Array, labels: jax.Array):
+def _masked_nll_parts(logits: jax.Array, labels: jax.Array,
+                      label_smoothing: float = 0.0):
     """(unnormalised masked NLL sum, valid count) — the two accumulable
     pieces of ``masked_cross_entropy``: summing each over micro-batches and
     dividing at the end reproduces the GLOBAL masked mean exactly, even when
-    pad entries (-1) land unevenly across micro-batches."""
+    pad entries (-1) land unevenly across micro-batches.
+
+    ``label_smoothing`` follows torch.nn.functional.cross_entropy semantics
+    (target = (1-eps)*one_hot + eps/C): per-sample loss becomes
+    (1-eps)*(-logp[y]) + eps*mean_c(-logp[c])."""
     ctype = jnp.float64 if logits.dtype == jnp.float64 else jnp.float32
     valid = (labels >= 0).astype(ctype)
     logp = jax.nn.log_softmax(logits.astype(ctype), axis=-1)
     safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
     ll = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    if label_smoothing:
+        eps = float(label_smoothing)
+        ll = (1.0 - eps) * ll + eps * jnp.mean(logp, axis=-1)
     return -jnp.sum(ll * valid), jnp.sum(valid)
 
 
-def masked_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
+                         label_smoothing: float = 0.0) -> jax.Array:
     """Mean CE over entries with label >= 0 (pad entries are -1).
 
     Computed in f32 (bf16 logits are upcast), except f64 logits stay f64 —
     the pipeline-parallel equality tests compare schedules at f64 exactness
     (tests/test_pipeline.py)."""
-    nll, cnt = _masked_nll_parts(logits, labels)
+    nll, cnt = _masked_nll_parts(logits, labels, label_smoothing)
     return nll / jnp.maximum(cnt, 1.0)
 
 
@@ -61,6 +70,7 @@ def make_train_step_body(
     forward_train: Callable,
     optimizer: optax.GradientTransformation,
     augment_fn: Callable,
+    label_smoothing: float = 0.0,
 ) -> Callable:
     """The single-step training computation shared by make_train_step,
     make_train_step_multi, and bench.py's train measurement — one definition
@@ -74,7 +84,7 @@ def make_train_step_body(
 
         def loss_fn(v):
             logits, new_v = forward_train(v, images)
-            return masked_cross_entropy(logits, labels), new_v
+            return masked_cross_entropy(logits, labels, label_smoothing), new_v
 
         (loss, new_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
         updates, opt_state = optimizer.update(grads, opt_state, variables)
@@ -92,6 +102,7 @@ def make_train_step(
     augment_fn: Callable,
     mesh: Optional[Mesh] = None,
     opt_sharding=None,
+    label_smoothing: float = 0.0,
 ):
     """forward_train(variables, images) -> (logits, new_variables).
 
@@ -103,7 +114,8 @@ def make_train_step(
     Returns jitted step(variables, opt_state, images_u8, labels, combos, key)
     -> (variables, opt_state, loss).
     """
-    step = make_train_step_body(forward_train, optimizer, augment_fn)
+    step = make_train_step_body(forward_train, optimizer, augment_fn,
+                                label_smoothing)
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
@@ -125,6 +137,7 @@ def make_train_step_accum(
     n_accum: int,
     mesh: Optional[Mesh] = None,
     opt_sharding=None,
+    label_smoothing: float = 0.0,
 ):
     """Gradient accumulation: one optimiser step from ``n_accum``
     sequentially-computed micro-batch gradients — the big-effective-batch
@@ -183,7 +196,7 @@ def make_train_step_accum(
 
             def nll_fn(v):
                 logits, new_v = forward_train(insert_stats(v, stats), im)
-                nll, cnt = _masked_nll_parts(logits, lb)
+                nll, cnt = _masked_nll_parts(logits, lb, label_smoothing)
                 return nll, (cnt, new_v)
 
             (nll, (cnt, new_v)), g = jax.value_and_grad(
@@ -227,6 +240,7 @@ def make_train_step_multi(
     augment_fn: Callable,
     mesh: Optional[Mesh] = None,
     opt_sharding=None,
+    label_smoothing: float = 0.0,
 ):
     """K train steps per dispatch: inputs stacked on a leading steps axis and
     scanned on-device, so per-dispatch host latency (a ~30 ms RTT when the
@@ -241,7 +255,8 @@ def make_train_step_multi(
     losses (K,)). jit specialises on K from the input shape.
     """
 
-    step = make_train_step_body(forward_train, optimizer, augment_fn)
+    step = make_train_step_body(forward_train, optimizer, augment_fn,
+                                label_smoothing)
 
     def body(carry, xs):
         variables, opt_state = carry
@@ -354,7 +369,9 @@ def train_epochs(
     the loader with ``set_epoch``); ``on_epoch_end(epoch, variables,
     opt_state, key)`` fires after every epoch — the key passed is exactly
     the state the next epoch continues from, so a resumed run is
-    bit-identical to an uninterrupted one."""
+    bit-identical to an uninterrupted one. A truthy return from
+    ``on_epoch_end`` stops the epoch loop (early stopping,
+    train/early_stop.py); the current state is returned."""
     n_batches = len(loader)
     use_multi = train_step_multi is not None and steps_per_dispatch > 1
     sharding = NamedSharding(mesh, P(None, "data")) if mesh is not None else None
@@ -423,7 +440,8 @@ def train_epochs(
         if writer is not None:
             writer.add_scalar(f"Fold_{fold}/Train/Loss", epoch_loss, epoch)
         if on_epoch_end is not None:
-            on_epoch_end(epoch, variables, opt_state, key)
+            if on_epoch_end(epoch, variables, opt_state, key):
+                break
     return variables, opt_state
 
 
