@@ -163,6 +163,13 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "losses stay unsmoothed)",
     )
     parser.add_argument(
+        "--ema_decay", type=float, default=None, metavar="DECAY",
+        help="Maintain an exponential moving average of the weights (decay "
+        "per optimiser step, e.g. 0.999) inside the optimiser state and "
+        "evaluate/save every fold artifact from the EMA weights (BN "
+        "statistics stay live). Training itself is unchanged",
+    )
+    parser.add_argument(
         "--early_stop", type=int, default=None, metavar="PATIENCE",
         help="Validate after every epoch and stop a fold after PATIENCE "
         "consecutive epochs without a new best validation loss; fold "
@@ -630,6 +637,17 @@ def resolve_lr_schedule(args, cfg, n_samples: int, k_folds: int):
     return sched, clip
 
 
+def _ema_eval_fn(args):
+    """run_kfold(eval_variables_fn=) for --ema_decay: evaluate and save all
+    fold artifacts from the EMA weights carried in the optimiser state
+    (train/optim.param_ema); None when the flag is off."""
+    if getattr(args, "ema_decay", None) is None:
+        return None
+    from ..train.optim import extract_ema_variables
+
+    return extract_ema_variables
+
+
 def apply_auto_batch(args, setup, cfg, mesh, hyperparameters=None):
     """--auto_batch: probe candidate batch sizes' compiled peak memory
     ahead of time (train/autotune.py) and adopt the largest that fits the
@@ -747,6 +765,8 @@ def signature_extra_from_args(args) -> Optional[dict]:
         # early stopping changes which epoch a fold stops at, and the
         # in-progress checkpoint's structure (counter leaves)
         ("early_stop", None),
+        # EMA changes the optimiser-state structure (extra param tree)
+        ("ema_decay", None),
     ):
         val = getattr(args, flag, default)
         if val != default and val is not None:

@@ -25,6 +25,7 @@ from ._common import (
     apply_auto_batch,
     apply_grad_accum,
     signature_extra_from_args,
+    _ema_eval_fn,
     resolve_fold_parallel,
     resolve_seed,
 )
@@ -108,7 +109,7 @@ def main(argv=None):
         pretrained=pretrained, freeze_encoder=args.freeze_layers,
         compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
         lr_schedule=lr_schedule, clip_norm=clip_norm,
-        label_smoothing=args.label_smoothing,
+        label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
     )
 
     def init_fn(key, fold):
@@ -183,6 +184,7 @@ def main(argv=None):
         fold_mesh=fold_mesh,
         signature_extra=signature_extra_from_args(args),
         early_stop=args.early_stop,
+        eval_variables_fn=_ema_eval_fn(args),
         on_fold_end=on_fold_end,
         )
     except PreemptedError as e:

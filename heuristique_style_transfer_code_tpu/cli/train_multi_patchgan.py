@@ -25,6 +25,7 @@ from ._common import (
     apply_auto_batch,
     apply_grad_accum,
     signature_extra_from_args,
+    _ema_eval_fn,
     resolve_fold_parallel,
     resolve_seed,
 )
@@ -85,7 +86,7 @@ def main(argv=None):
         cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
         compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
         lr_schedule=lr_schedule, clip_norm=clip_norm,
-        label_smoothing=args.label_smoothing,
+        label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
     )
 
     def init_fn(key, fold):
@@ -123,6 +124,7 @@ def main(argv=None):
         fold_mesh=fold_mesh,
         signature_extra=signature_extra_from_args(args),
         early_stop=args.early_stop,
+        eval_variables_fn=_ema_eval_fn(args),
         # reference family-3 protocol: fixed split seed, an unconditional
         # model_fold_<k> checkpoint per fold, retrained_performance.json
         # (train_best_Multi_PatchGAN.py:63,119-130)

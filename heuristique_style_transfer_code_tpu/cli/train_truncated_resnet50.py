@@ -28,6 +28,7 @@ from ._common import (
     apply_auto_batch,
     apply_grad_accum,
     signature_extra_from_args,
+    _ema_eval_fn,
     resolve_fold_parallel,
     resolve_seed,
     select_augmentations,
@@ -94,7 +95,7 @@ def main(argv=None):
         cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
         compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
         lr_schedule=lr_schedule, clip_norm=clip_norm,
-        label_smoothing=args.label_smoothing,
+        label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
     )
 
     def init_fn(key, fold):
@@ -133,6 +134,7 @@ def main(argv=None):
         fold_mesh=fold_mesh,
         signature_extra=signature_extra_from_args(args),
         early_stop=args.early_stop,
+        eval_variables_fn=_ema_eval_fn(args),
         )
     except PreemptedError as e:
         # SIGTERM on a preemptible fleet: the last completed epoch's

@@ -100,7 +100,7 @@ class FamilySetup:
 def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
            frozen_fn=None, compute_dtype=None, zero1=False,
            template_init=None, clip_norm=None,
-           label_smoothing=0.0) -> FamilySetup:
+           label_smoothing=0.0, ema_decay=None) -> FamilySetup:
     # ``lr`` may be a float (the reference's fixed SGD rate) or an optax
     # schedule (train/schedules.py); ``clip_norm`` adds global-norm gradient
     # clipping — both additive, defaults keep reference semantics exactly
@@ -111,7 +111,7 @@ def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
     # per leaf through a remote-attached device, review finding)
     template = jax.eval_shape(template_init or init_variables, jax.random.PRNGKey(0))
     optimizer = sgd_momentum(lr, template, frozen_fn=frozen_fn,
-                             clip_norm=clip_norm)
+                             clip_norm=clip_norm, ema_decay=ema_decay)
     augment = make_augment_fn(combos)
     opt_sharding = None
     if zero1 and mesh is not None:
@@ -150,6 +150,7 @@ def setup_truncated_resnet50(
     lr_schedule=None,
     clip_norm=None,
     label_smoothing: float = 0.0,
+    ema_decay=None,
 ) -> FamilySetup:
     t = config.truncate_layer
 
@@ -178,7 +179,7 @@ def setup_truncated_resnet50(
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
                   template_init=fresh_init, clip_norm=clip_norm,
-                  label_smoothing=label_smoothing)
+                  label_smoothing=label_smoothing, ema_decay=ema_decay)
 
 
 def make_truncated_resnet50(
@@ -210,6 +211,7 @@ def setup_gram_attention(
     lr_schedule=None,
     clip_norm=None,
     label_smoothing: float = 0.0,
+    ema_decay=None,
 ) -> FamilySetup:
     t, s = config.truncate_layer, config.gram_matrix_size
 
@@ -244,7 +246,7 @@ def setup_gram_attention(
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, frozen_fn, compute_dtype, zero1=zero1,
                   template_init=fresh_init, clip_norm=clip_norm,
-                  label_smoothing=label_smoothing)
+                  label_smoothing=label_smoothing, ema_decay=ema_decay)
 
 
 def make_gram_attention(
@@ -276,6 +278,7 @@ def setup_multi_patchgan(
     lr_schedule=None,
     clip_norm=None,
     label_smoothing: float = 0.0,
+    ema_decay=None,
 ) -> FamilySetup:
     norm = config.norm
 
@@ -304,7 +307,7 @@ def setup_multi_patchgan(
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
                   template_init=fresh_init, clip_norm=clip_norm,
-                  label_smoothing=label_smoothing)
+                  label_smoothing=label_smoothing, ema_decay=ema_decay)
 
 
 def make_multi_patchgan(

@@ -164,6 +164,7 @@ def run_kfold(
     fold_mesh=None,
     signature_extra: Optional[Dict] = None,
     early_stop: Optional[int] = None,
+    eval_variables_fn: Optional[Callable] = None,
     on_fold_end: Optional[Callable] = None,
     # on_fold_end(fold, result_dict, best_model_path): per-family extra
     # artifacts (e.g. family 2's best_performance/hyperparameters_fold files)
@@ -209,7 +210,13 @@ def run_kfold(
     describes the best epoch, not the last. Counters and the best snapshot
     ride the resume checkpoint (a resumed run stops at the identical
     epoch). Exclusive with fold-parallel training (folds share one program
-    there — no per-fold stopping point)."""
+    there — no per-fold stopping point).
+
+    ``eval_variables_fn(variables, opt_state) -> variables`` substitutes the
+    tree used for EVERY evaluation and artifact save (training always
+    continues from the raw variables) — the hook for EMA evaluation
+    (train/optim.extract_ema_variables, ``--ema_decay``); the EMA itself
+    rides the optimiser state, so checkpoints/resume carry it for free."""
     from sklearn.model_selection import KFold
 
     from ..utils.logging import StructuredLogger
@@ -373,6 +380,9 @@ def run_kfold(
             writer=writer,
         )
 
+    def _eval_vars(v, o):
+        return eval_variables_fn(v, o) if eval_variables_fn is not None else v
+
     for fold, (train_idx, val_idx) in enumerate(splits):
         init_key, train_key = fold_keys[fold]
         if resume_fold is not None and fold < resume_fold:
@@ -388,6 +398,7 @@ def run_kfold(
         if trained_folds is not None:
             variables, opt_state = trained_folds[fold]
             eval_step = fold_eval_steps[fold]
+            variables = _eval_vars(variables, opt_state)
         else:
             train_loader = make_train_loader(fold, train_idx)
             variables, opt_state, train_step, eval_step = init_fn(init_key, fold)
@@ -425,12 +436,14 @@ def run_kfold(
                     if _stopper is not None:
                         # per-epoch validation drives the stop decision and
                         # the best-epoch snapshot (host copy — the next
-                        # epoch's dispatch donates these buffers)
+                        # epoch's dispatch donates these buffers); with an
+                        # eval_variables_fn (EMA) both see the merged tree
+                        ev = _eval_vars(v, o)
                         r = evaluate(
-                            eval_step, v, val_loader, num_classes,
+                            eval_step, ev, val_loader, num_classes,
                             fold=_fold, writer=writer, step=epoch,
                         )
-                        stop = _stopper.update(r["val_loss"], v, epoch)
+                        stop = _stopper.update(r["val_loss"], ev, epoch)
                         if resume and _stopper.improved_last:
                             # best file BEFORE the counter checkpoint: a
                             # crash between the two re-runs this epoch on
@@ -489,13 +502,17 @@ def run_kfold(
             if stopper is not None and stopper.best_variables is not None:
                 # fold artifacts describe the BEST epoch, not the last; the
                 # fold-end evaluate below re-runs on the restored weights
-                # (deterministic — it reproduces the best epoch's metrics)
+                # (deterministic — it reproduces the best epoch's metrics).
+                # The snapshot is already the eval tree (EMA-merged when an
+                # eval_variables_fn is set)
                 variables = stopper.best_variables
                 print(
                     f"Fold {fold}: restored best-epoch weights (epoch "
                     f"{stopper.best_epoch + 1}, val loss "
                     f"{stopper.best_loss:.4f})"
                 )
+            else:
+                variables = _eval_vars(variables, opt_state)
         result = evaluate(
             eval_step, variables, val_loader, num_classes, fold=fold,
             writer=writer, step=max(epochs - 1, 0),
