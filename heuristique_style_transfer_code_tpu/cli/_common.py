@@ -163,6 +163,20 @@ def add_train_tpu_args(parser: argparse.ArgumentParser):
         "losses stay unsmoothed)",
     )
     parser.add_argument(
+        "--mixup", type=float, default=None, metavar="ALPHA",
+        help="Mixup batch mixing with lambda ~ Beta(ALPHA, ALPHA): the "
+        "augmented batch is blended with a rolled copy of itself and the "
+        "train loss becomes lam*CE(y) + (1-lam)*CE(y_partner) "
+        "(timm batch-mode semantics; train loss only)",
+    )
+    parser.add_argument(
+        "--cutmix", type=float, default=None, metavar="ALPHA",
+        help="CutMix batch mixing: a random box (area ratio 1-lambda, "
+        "lambda corrected to the clipped box's exact pixel share) is pasted "
+        "from a rolled copy of the batch. With --mixup too, a fair per-batch "
+        "coin picks which applies",
+    )
+    parser.add_argument(
         "--ema_decay", type=float, default=None, metavar="DECAY",
         help="Maintain an exponential moving average of the weights (decay "
         "per optimiser step, e.g. 0.999) inside the optimiser state and "
@@ -637,6 +651,19 @@ def resolve_lr_schedule(args, cfg, n_samples: int, k_folds: int):
     return sched, clip
 
 
+def resolve_mix_fn(args):
+    """train/mixing.make_mix_fn from the --mixup/--cutmix flags (None when
+    both are off — the train step then compiles the exact unmixed
+    program)."""
+    mixup = getattr(args, "mixup", None)
+    cutmix = getattr(args, "cutmix", None)
+    if mixup is None and cutmix is None:
+        return None
+    from ..train.mixing import make_mix_fn
+
+    return make_mix_fn(mixup_alpha=mixup, cutmix_alpha=cutmix)
+
+
 def _ema_eval_fn(args):
     """run_kfold(eval_variables_fn=) for --ema_decay: evaluate and save all
     fold artifacts from the EMA weights carried in the optimiser state
@@ -767,6 +794,9 @@ def signature_extra_from_args(args) -> Optional[dict]:
         ("early_stop", None),
         # EMA changes the optimiser-state structure (extra param tree)
         ("ema_decay", None),
+        # mixing changes the training trajectory
+        ("mixup", None),
+        ("cutmix", None),
     ):
         val = getattr(args, flag, default)
         if val != default and val is not None:

@@ -25,6 +25,7 @@ from ._common import (
     apply_auto_batch,
     apply_grad_accum,
     signature_extra_from_args,
+    resolve_mix_fn,
     _ema_eval_fn,
     resolve_fold_parallel,
     resolve_seed,
@@ -110,6 +111,7 @@ def main(argv=None):
         compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
         lr_schedule=lr_schedule, clip_norm=clip_norm,
         label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
+        mix_fn=resolve_mix_fn(args),
     )
 
     def init_fn(key, fold):

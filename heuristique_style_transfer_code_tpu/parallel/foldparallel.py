@@ -85,6 +85,7 @@ def make_foldwise_train_step(
     augment_fn: Callable,
     mesh: Mesh,
     label_smoothing: float = 0.0,
+    mix_fn=None,
 ):
     """vmap the shared single-fold train-step body over a leading fold axis
     and shard that axis over the mesh's 'fold' dimension (each fold's batch
@@ -99,7 +100,7 @@ def make_foldwise_train_step(
     from ..train.train_loop import make_train_step_body
 
     body = make_train_step_body(forward_train, optimizer, augment_fn,
-                                 label_smoothing)
+                                 label_smoothing, mix_fn=mix_fn)
 
     def masked(variables, opt_state, images_u8, labels, combos, key, active):
         new_v, new_o, loss = body(

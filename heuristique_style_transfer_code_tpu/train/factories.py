@@ -54,7 +54,7 @@ class FamilySetup:
     def __init__(self, init_variables, optimizer, train_step, eval_step,
                  forward_eval, train_step_multi=None, forward_train=None,
                  augment=None, mesh=None, opt_sharding=None,
-                 label_smoothing=0.0):
+                 label_smoothing=0.0, mix_fn=None):
         self._init_variables = init_variables
         self._optimizer = optimizer
         self.train_step = train_step
@@ -68,6 +68,7 @@ class FamilySetup:
         self._mesh = mesh
         self._opt_sharding = opt_sharding
         self._label_smoothing = label_smoothing
+        self._mix_fn = mix_fn
 
     def init(self, key: jax.Array):
         variables = self._init_variables(key)
@@ -80,7 +81,7 @@ class FamilySetup:
 
         return make_foldwise_train_step(
             self._forward_train, self._optimizer, self._augment, fold_mesh,
-            label_smoothing=self._label_smoothing,
+            label_smoothing=self._label_smoothing, mix_fn=self._mix_fn,
         )
 
     def accum_step(self, n_accum: int):
@@ -93,14 +94,14 @@ class FamilySetup:
         return make_train_step_accum(
             self._forward_train, self._optimizer, self._augment, n_accum,
             mesh=self._mesh, opt_sharding=self._opt_sharding,
-            label_smoothing=self._label_smoothing,
+            label_smoothing=self._label_smoothing, mix_fn=self._mix_fn,
         )
 
 
 def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
            frozen_fn=None, compute_dtype=None, zero1=False,
            template_init=None, clip_norm=None,
-           label_smoothing=0.0, ema_decay=None) -> FamilySetup:
+           label_smoothing=0.0, ema_decay=None, mix_fn=None) -> FamilySetup:
     # ``lr`` may be a float (the reference's fixed SGD rate) or an optax
     # schedule (train/schedules.py); ``clip_norm`` adds global-norm gradient
     # clipping — both additive, defaults keep reference semantics exactly
@@ -125,17 +126,19 @@ def _setup(init_variables, forward_train, forward_eval, lr, combos, mesh,
     train_step = make_train_step(
         forward_train_cast, optimizer, augment, mesh=mesh,
         opt_sharding=opt_sharding, label_smoothing=label_smoothing,
+        mix_fn=mix_fn,
     )
     train_step_multi = make_train_step_multi(
         forward_train_cast, optimizer, augment, mesh=mesh,
         opt_sharding=opt_sharding, label_smoothing=label_smoothing,
+        mix_fn=mix_fn,
     )
     eval_step = make_eval_step(_cast_inputs(forward_eval, compute_dtype), mesh=mesh)
     return FamilySetup(init_variables, optimizer, train_step, eval_step,
                        forward_eval, train_step_multi,
                        forward_train=forward_train_cast, augment=augment,
                        mesh=mesh, opt_sharding=opt_sharding,
-                       label_smoothing=label_smoothing)
+                       label_smoothing=label_smoothing, mix_fn=mix_fn)
 
 
 def setup_truncated_resnet50(
@@ -151,6 +154,7 @@ def setup_truncated_resnet50(
     clip_norm=None,
     label_smoothing: float = 0.0,
     ema_decay=None,
+    mix_fn=None,
 ) -> FamilySetup:
     t = config.truncate_layer
 
@@ -179,7 +183,8 @@ def setup_truncated_resnet50(
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
                   template_init=fresh_init, clip_norm=clip_norm,
-                  label_smoothing=label_smoothing, ema_decay=ema_decay)
+                  label_smoothing=label_smoothing, ema_decay=ema_decay,
+                  mix_fn=mix_fn)
 
 
 def make_truncated_resnet50(
@@ -212,6 +217,7 @@ def setup_gram_attention(
     clip_norm=None,
     label_smoothing: float = 0.0,
     ema_decay=None,
+    mix_fn=None,
 ) -> FamilySetup:
     t, s = config.truncate_layer, config.gram_matrix_size
 
@@ -246,7 +252,8 @@ def setup_gram_attention(
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, frozen_fn, compute_dtype, zero1=zero1,
                   template_init=fresh_init, clip_norm=clip_norm,
-                  label_smoothing=label_smoothing, ema_decay=ema_decay)
+                  label_smoothing=label_smoothing, ema_decay=ema_decay,
+                  mix_fn=mix_fn)
 
 
 def make_gram_attention(
@@ -279,6 +286,7 @@ def setup_multi_patchgan(
     clip_norm=None,
     label_smoothing: float = 0.0,
     ema_decay=None,
+    mix_fn=None,
 ) -> FamilySetup:
     norm = config.norm
 
@@ -307,7 +315,8 @@ def setup_multi_patchgan(
                   lr_schedule if lr_schedule is not None else config.lr,
                   combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
                   template_init=fresh_init, clip_norm=clip_norm,
-                  label_smoothing=label_smoothing, ema_decay=ema_decay)
+                  label_smoothing=label_smoothing, ema_decay=ema_decay,
+                  mix_fn=mix_fn)
 
 
 def make_multi_patchgan(

@@ -71,20 +71,39 @@ def make_train_step_body(
     optimizer: optax.GradientTransformation,
     augment_fn: Callable,
     label_smoothing: float = 0.0,
+    mix_fn: Optional[Callable] = None,
 ) -> Callable:
     """The single-step training computation shared by make_train_step,
     make_train_step_multi, and bench.py's train measurement — one definition
     so the measured program IS the shipped program.
+
+    ``mix_fn`` (train/mixing.make_mix_fn — Mixup/CutMix) mixes the augmented
+    batch and the loss becomes ``lam * CE(y) + (1-lam) * CE(y_partner)``;
+    its key is fold_in-derived so the augmentation stream is unchanged.
 
     body(variables, opt_state, images_u8, labels, combos, key) ->
     (variables, opt_state, loss)."""
 
     def body(variables, opt_state, images_u8, labels, combos, key):
         images = augment_fn(images_u8, combos, key)
+        if mix_fn is not None:
+            from .mixing import mix_key_from
+
+            images, labels_a, labels_b, lam = mix_fn(
+                images, labels, mix_key_from(key)
+            )
 
         def loss_fn(v):
             logits, new_v = forward_train(v, images)
-            return masked_cross_entropy(logits, labels, label_smoothing), new_v
+            if mix_fn is not None:
+                loss = (
+                    lam * masked_cross_entropy(logits, labels_a, label_smoothing)
+                    + (1.0 - lam)
+                    * masked_cross_entropy(logits, labels_b, label_smoothing)
+                )
+            else:
+                loss = masked_cross_entropy(logits, labels, label_smoothing)
+            return loss, new_v
 
         (loss, new_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
         updates, opt_state = optimizer.update(grads, opt_state, variables)
@@ -103,6 +122,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     opt_sharding=None,
     label_smoothing: float = 0.0,
+    mix_fn: Optional[Callable] = None,
 ):
     """forward_train(variables, images) -> (logits, new_variables).
 
@@ -115,7 +135,7 @@ def make_train_step(
     -> (variables, opt_state, loss).
     """
     step = make_train_step_body(forward_train, optimizer, augment_fn,
-                                label_smoothing)
+                                label_smoothing, mix_fn=mix_fn)
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
@@ -138,6 +158,7 @@ def make_train_step_accum(
     mesh: Optional[Mesh] = None,
     opt_sharding=None,
     label_smoothing: float = 0.0,
+    mix_fn: Optional[Callable] = None,
 ):
     """Gradient accumulation: one optimiser step from ``n_accum``
     sequentially-computed micro-batch gradients — the big-effective-batch
@@ -166,12 +187,24 @@ def make_train_step_accum(
 
     def body(variables, opt_state, images_u8, labels, combos, key):
         images = augment_fn(images_u8, combos, key)  # full batch, plain keys
+        # Mixup/CutMix on the FULL batch (same pixels as the plain step);
+        # rolling makes the partner label multiset equal the batch's, so
+        # both CE terms share ONE global valid count and the accumulated
+        # unnormalised sum still reproduces the exact mixed masked mean
+        labels_b, lam = labels, None
+        if mix_fn is not None:
+            from .mixing import mix_key_from
+
+            images, labels, labels_b, lam = mix_fn(
+                images, labels, mix_key_from(key)
+            )
         b = images.shape[0]
         if b % n_accum:
             raise ValueError(f"batch {b} not divisible by n_accum {n_accum}")
         mb = b // n_accum
         imgs = images.reshape((n_accum, mb) + images.shape[1:])
         labs = labels.reshape(n_accum, mb)
+        labs_b = labels_b.reshape(n_accum, mb)
 
         # stat leaves are carried; everything else is a scan constant
         flat, _ = jax.tree_util.tree_flatten_with_path(variables)
@@ -192,11 +225,14 @@ def make_train_step_accum(
 
         def micro(carry, xs):
             stats, g_acc, nll_acc, cnt_acc = carry
-            im, lb = xs
+            im, lb, lb_b = xs
 
             def nll_fn(v):
                 logits, new_v = forward_train(insert_stats(v, stats), im)
                 nll, cnt = _masked_nll_parts(logits, lb, label_smoothing)
+                if lam is not None:
+                    nll_b, _ = _masked_nll_parts(logits, lb_b, label_smoothing)
+                    nll = lam * nll + (1.0 - lam) * nll_b
                 return nll, (cnt, new_v)
 
             (nll, (cnt, new_v)), g = jax.value_and_grad(
@@ -211,7 +247,7 @@ def make_train_step_accum(
         (stats, g_sum, nll, cnt), _ = jax.lax.scan(
             micro,
             (extract_stats(variables), g0, jnp.zeros(()), jnp.zeros(())),
-            (imgs, labs),
+            (imgs, labs, labs_b),
         )
         denom = jnp.maximum(cnt, 1.0)
         grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
@@ -241,6 +277,7 @@ def make_train_step_multi(
     mesh: Optional[Mesh] = None,
     opt_sharding=None,
     label_smoothing: float = 0.0,
+    mix_fn: Optional[Callable] = None,
 ):
     """K train steps per dispatch: inputs stacked on a leading steps axis and
     scanned on-device, so per-dispatch host latency (a ~30 ms RTT when the
@@ -256,7 +293,7 @@ def make_train_step_multi(
     """
 
     step = make_train_step_body(forward_train, optimizer, augment_fn,
-                                label_smoothing)
+                                label_smoothing, mix_fn=mix_fn)
 
     def body(carry, xs):
         variables, opt_state = carry
