@@ -1,0 +1,168 @@
+"""Serve the namesake style transfer over HTTP with job batching.
+
+TPU-native addition (the reference runs style transfer as an offline
+per-image script, functions/functions_RESNET50_Truncate_Gram_Attention.py:
+218-285): clients POST images to /style; the service packs concurrent jobs
+into one batched Adam-on-pixels ``lax.while_loop`` per dispatch with
+per-image early stop, and answers each with the stylised PNG.
+
+    python -m heuristique_style_transfer_code_tpu.cli.serve_style \\
+        --family gram_attention --config_path cfg.json \\
+        --model_path models/best_global_model.npz --port 8001 \\
+        --batch_size 8 --num_iterations 500 --precision bf16
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+from ._common import (
+    add_tpu_args,
+    apply_debug_flags,
+    count_params,
+    load_checkpoint_tree,
+    resolve_compute_dtype,
+    resolve_eval_mesh,
+    start_profile,
+)
+
+FAMILIES = ["gram_attention", "multi_patchgan"]
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="HTTP style-transfer job server with dynamic batching"
+    )
+    parser.add_argument("--family", choices=FAMILIES, default="gram_attention")
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8001,
+                        help="0 picks a free port (printed at startup)")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="Jobs per batched while_loop dispatch")
+    parser.add_argument("--max_delay_ms", type=float, default=200.0,
+                        help="Flush deadline for a partially filled batch "
+                        "(style jobs run for seconds — waiting to double "
+                        "occupancy is almost always the right trade)")
+    parser.add_argument("--max_in_flight", type=int, default=2)
+    parser.add_argument("--num_iterations", type=int, default=500)
+    parser.add_argument("--threshold", type=float, default=1e-4)
+    parser.add_argument("--lr", type=float, default=0.01)
+    parser.add_argument(
+        "--layers", type=int, default=None,
+        help="Family-2 encoder truncation, exactly the reference's "
+        "Sequential slice (rejected for multi_patchgan: broken upstream)",
+    )
+    parser.add_argument("--afficher_params", action="store_true")
+    parser.add_argument("--max_seconds", type=float, default=None,
+                        help="Exit after this many seconds (smoke tests)")
+    parser.add_argument("--request_timeout", type=float, default=300.0,
+                        help="Per-request wait on the job Future (s)")
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="Skip the AOT compile before binding the port")
+    add_tpu_args(parser, precisions=("float32", "bf16"))
+    return parser
+
+
+def _build_gram_fn(args):
+    """(gram_fn, crop) for the selected family, precision applied."""
+    dtype = resolve_compute_dtype(args.precision)
+    if args.family == "gram_attention":
+        from ..config.schema import GramAttentionConfig
+        from ..tasks.style_transfer import make_gram_fn_gram_attention
+
+        cfg = GramAttentionConfig.from_json(args.config_path)
+        variables = load_checkpoint_tree(
+            args.model_path, "gram_attention", cfg.to_dict()
+        )
+        if args.afficher_params:
+            print(
+                f"Nombre total de paramètres du modèle : {count_params(variables)}"
+            )
+        return make_gram_fn_gram_attention(
+            variables, cfg.truncate_layer, layers=args.layers,
+            compute_dtype=dtype,
+        )
+    from ..config.schema import MultiPatchGANConfig
+    from ..tasks.style_transfer import make_gram_fn_patches
+
+    if args.layers is not None:
+        raise ValueError(
+            "The reference's --layers truncation for PatchGAN style transfer "
+            "is non-functional upstream (functions_Multi_PatchGAN.py:242); "
+            "run without --layers."
+        )
+    cfg = MultiPatchGANConfig.from_json(args.config_path)
+    variables = load_checkpoint_tree(
+        args.model_path, "multi_patchgan", cfg.to_dict()
+    )
+    if args.afficher_params:
+        print(
+            f"Nombre total de paramètres du modèle : {count_params(variables)}"
+        )
+    return make_gram_fn_patches(
+        variables, cfg.gram_matrix_dim, norm=cfg.norm, compute_dtype=dtype
+    )
+
+
+def start(args, crop: int = 224):
+    """Build the service + HTTP server and start both (returns (srv,
+    service); used by main() and callable programmatically/from tests)."""
+    from ..tasks.style_http import make_style_http_server
+    from ..tasks.style_service import StyleTransferService
+
+    gram_fn = _build_gram_fn(args)
+    start_profile(args.profile_dir)
+    service = StyleTransferService(
+        gram_fn,
+        crop=crop,
+        batch_size=args.batch_size,
+        max_delay_ms=args.max_delay_ms,
+        num_iterations=args.num_iterations,
+        threshold=args.threshold,
+        learning_rate=args.lr,
+        max_in_flight=args.max_in_flight,
+        mesh=resolve_eval_mesh(args.devices, args.batch_size),
+        seed=getattr(args, "seed", None) or 0,
+    ).start()
+    if not args.no_warmup:
+        print("Warming up (AOT compile)...", flush=True)
+        t0 = time.time()
+        service.warmup()
+        print(f"Warmup done in {time.time() - t0:.1f}s")
+    srv = make_style_http_server(
+        service, args.host, args.port, timeout_s=args.request_timeout
+    )
+    return srv, service
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
+    srv, service = start(args)
+    host, port = srv.server_address[:2]
+    print(f"Serving style transfer on http://{host}:{port} "
+          f"(batch {service.batch_size}, {args.num_iterations} iters, "
+          f"{args.precision})", flush=True)
+    import threading
+
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        if args.max_seconds is not None:
+            time.sleep(args.max_seconds)
+        else:
+            while True:
+                time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        stats = service.stats()
+        service.stop()
+        print(f"Server stopped. {stats}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Minimal HTTP front end over StyleTransferService (stdlib only).
+
+POST /style with an image body (JPEG/PNG — anything PIL decodes; raw uint8
+HxWx3 via the X-Raw-Shape header) returns the stylised canvas as a PNG with
+``X-Iterations`` and ``X-Final-Loss`` response headers. GET /stats returns
+the service counters, GET /healthz returns 200 while the workers are alive.
+
+Each request thread decodes its own image and blocks on the Future from
+``StyleTransferService.submit`` — concurrent requests co-schedule into one
+batched while_loop exactly like the classification batcher packs frames.
+Style jobs run for seconds, so ``timeout_s`` defaults much higher than the
+classification front end's.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .serving_http import _decode_image
+from .style_service import StyleTransferService
+
+
+def make_style_http_server(
+    service: StyleTransferService,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    timeout_s: float = 300.0,
+) -> ThreadingHTTPServer:
+    """Build (not start) a ThreadingHTTPServer bound to (host, port).
+    port=0 picks a free port (read it back from ``server.server_address``)."""
+    staging = max(256, round(service.crop * 256 / 224))
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                ok, reason = service.health()
+                if ok:
+                    self._json(200, {"ok": True})
+                else:
+                    self._json(503, {"ok": False, "error": reason})
+            elif self.path == "/stats":
+                self._json(200, service.stats())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/style":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                image = _decode_image(body, self.headers.get("X-Raw-Shape"), staging)
+            except Exception as e:
+                self._json(400, {"error": str(e) or repr(e)})
+                return
+            try:
+                fut = service.submit(image)
+            except ValueError as e:
+                self._json(400, {"error": str(e) or repr(e)})
+                return
+            except Exception as e:
+                self._json(503, {"error": str(e) or repr(e)})
+                return
+            try:
+                result = fut.result(timeout=timeout_s)
+            except Exception as e:
+                self._json(503, {"error": str(e) or repr(e)})
+                return
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(np.asarray(result.image)).save(buf, format="PNG")
+            png = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.send_header("X-Iterations", str(result.iterations))
+            self.send_header("X-Final-Loss", f"{result.loss:.8g}")
+            self.end_headers()
+            self.wfile.write(png)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_style_http(
+    service: StyleTransferService,
+    host: str = "127.0.0.1",
+    port: int = 8001,
+) -> ThreadingHTTPServer:
+    """Start the HTTP server on a daemon thread; returns the server (call
+    ``.shutdown()`` to stop)."""
+    srv = make_style_http_server(service, host, port)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

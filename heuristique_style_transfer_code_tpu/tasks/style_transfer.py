@@ -129,6 +129,67 @@ def make_style_transfer_optimizer(
     return jax.jit(run)
 
 
+def make_gram_fn_gram_attention(
+    variables: dict,
+    truncate_layer: int = 8,
+    layers: Optional[int] = None,
+    compute_dtype=None,
+) -> Callable:
+    """Family-2 per-image target-Gram program (shared by the batch task
+    below and the style service, tasks/style_service.py): truncated encoder
+    features -> one spatial Gram per image. ``compute_dtype=bfloat16`` runs
+    the encoder in bf16 (Grams are computed f32 either way)."""
+    from ..nn.resnet import resnet50_apply
+    from ..ops.gram import gram_matrix_nhwc
+
+    truncate = min(
+        layers if layers is not None else truncate_layer, truncate_layer, 8
+    )
+    enc = variables["encoder"]
+    if compute_dtype is not None:
+        from ..core.dtypes import Policy
+
+        enc = Policy(compute_dtype=compute_dtype).cast_to_compute(enc)
+
+    def gram_fn(images):
+        if compute_dtype is not None:
+            images = images.astype(compute_dtype)
+        feats, _, _ = resnet50_apply(enc, images, truncate=truncate)
+        return [gram_matrix_nhwc(feats)]
+
+    return gram_fn
+
+
+def make_gram_fn_patches(
+    variables: dict,
+    gram_matrix_dim: int,
+    norm: str = "batch",
+    compute_dtype=None,
+) -> Callable:
+    """Family-3 per-image target-Gram program (embedding outer products,
+    functions_Multi_PatchGAN.py:144-148) — shared by the batch task and the
+    style service."""
+    from ..models.multi_patchgan import multiscale_test_apply
+
+    v = variables
+    if compute_dtype is not None:
+        from ..core.dtypes import Policy
+
+        v = Policy(compute_dtype=compute_dtype).cast_to_compute(v)
+
+    def gram_fn(images):
+        if compute_dtype is not None:
+            images = images.astype(compute_dtype)
+        emb, _, _ = multiscale_test_apply(v, images, gram_matrix_dim, norm=norm)
+        # gram_matrix on a 1-D vector: outer product / dim (:144-148);
+        # f32 PET only for f32 operands (ops/conv.py:_pet rule)
+        pet = jnp.float32 if emb.dtype == jnp.float32 else None
+        g = jnp.einsum("bi,bj->bij", emb, emb, preferred_element_type=pet)
+        return [g.astype(jnp.float32) / emb.shape[-1]]
+
+    return gram_fn
+
+
 def denormalize_to_uint8(img_nhwc: np.ndarray) -> np.ndarray:
     """Invert ImageNet normalisation, clamp to [0,1], return float in [0,1]
     (functions_RESNET50_Truncate_Gram_Attention.py:212-217,274-279)."""
@@ -168,25 +229,13 @@ def style_transfer_gram_attention(
     (pixels/Adam/loss stay f32 — module docstring); ``mesh`` batch-shards
     the per-image optimisations over its 'data' axis."""
     from ..data.augment import eval_preprocess
-    from ..nn.resnet import resnet50_apply
-    from ..ops.gram import gram_matrix_nhwc
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    truncate = min(layers if layers is not None else truncate_layer, truncate_layer, 8)
 
-    enc = variables["encoder"]
-    if compute_dtype is not None:
-        from ..core.dtypes import Policy
-
-        enc = Policy(compute_dtype=compute_dtype).cast_to_compute(enc)
-
-    def gram_fn(images):
-        if compute_dtype is not None:
-            images = images.astype(compute_dtype)
-        feats, _, _ = resnet50_apply(enc, images, truncate=truncate)
-        return [gram_matrix_nhwc(feats)]
-
+    gram_fn = make_gram_fn_gram_attention(
+        variables, truncate_layer, layers=layers, compute_dtype=compute_dtype
+    )
     optimise = make_style_transfer_optimizer(
         gram_fn, learning_rate, num_iterations, threshold, mesh=mesh
     )
@@ -253,7 +302,6 @@ def style_transfer_patches(
     reference's one-image-at-a-time loop, so spatial is the axis that
     matters here)."""
     from ..data.augment import eval_preprocess
-    from ..models.multi_patchgan import multiscale_test_apply
 
     if layers is not None:
         raise ValueError(
@@ -264,22 +312,9 @@ def style_transfer_patches(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    v = variables
-    if compute_dtype is not None:
-        from ..core.dtypes import Policy
-
-        v = Policy(compute_dtype=compute_dtype).cast_to_compute(v)
-
-    def gram_fn(images):
-        if compute_dtype is not None:
-            images = images.astype(compute_dtype)
-        emb, _, _ = multiscale_test_apply(v, images, gram_matrix_dim, norm=norm)
-        # gram_matrix on a 1-D vector: outer product / dim (:144-148);
-        # f32 PET only for f32 operands (ops/conv.py:_pet rule)
-        pet = jnp.float32 if emb.dtype == jnp.float32 else None
-        g = jnp.einsum("bi,bj->bij", emb, emb, preferred_element_type=pet)
-        return [g.astype(jnp.float32) / emb.shape[-1]]
-
+    gram_fn = make_gram_fn_patches(
+        variables, gram_matrix_dim, norm=norm, compute_dtype=compute_dtype
+    )
     optimise = make_style_transfer_optimizer(
         gram_fn, learning_rate, num_iterations, threshold, mesh=mesh
     )

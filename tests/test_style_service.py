@@ -1,0 +1,257 @@
+"""StyleTransferService: batched style-transfer jobs, composition
+invariance, HTTP front end, and the serve_style CLI end-to-end.
+
+The service's central claim — a job's result does not depend on what it
+shares a batch with (masked updates freeze converged lanes, gradients never
+couple lanes, noise seeds derive from job ids) — is asserted bit-exactly.
+"""
+import io
+import json
+import os
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from heuristique_style_transfer_code_tpu.ops.gram import gram_matrix_nhwc
+from heuristique_style_transfer_code_tpu.tasks.style_service import (
+    StyleTransferService,
+)
+
+CROP = 16
+
+
+def _pixel_gram_fn(images):
+    """Toy per-image target: the 3x3 channel Gram of the (normalised)
+    pixels — the cheapest program with the task's exact structure."""
+    return [gram_matrix_nhwc(images)]
+
+
+def _service(**kw):
+    kw.setdefault("crop", CROP)
+    kw.setdefault("batch_size", 4)
+    kw.setdefault("max_delay_ms", 150.0)
+    kw.setdefault("num_iterations", 25)
+    kw.setdefault("threshold", 1e-8)  # never converges: deterministic cap
+    kw.setdefault("learning_rate", 0.05)
+    kw.setdefault("seed", 0)
+    return StyleTransferService(_pixel_gram_fn, **kw)
+
+
+def _images(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (CROP, CROP, 3), np.uint8) for _ in range(n)]
+
+
+class TestService:
+    def test_jobs_batch_and_resolve(self):
+        imgs = _images(6, seed=1)
+        with _service() as svc:
+            futs = [None] * 6
+
+            def client(lo, hi):
+                for i in range(lo, hi):
+                    futs[i] = svc.submit(imgs[i])
+
+            threads = [
+                threading.Thread(target=client, args=(k * 3, (k + 1) * 3))
+                for k in range(2)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            results = [f.result(timeout=120) for f in futs]
+        for r in results:
+            assert r.image.shape == (CROP, CROP, 3)
+            assert r.image.dtype == np.uint8
+            assert np.isfinite(r.loss)
+            assert 0 < r.iterations <= 25
+        st = svc.stats()
+        assert st["jobs"] == 6
+        assert st["batches"] >= 2
+        assert st["mean_iterations"] > 0
+
+    def test_result_independent_of_batch_composition(self):
+        """Job A alone in a padded batch == job A sharing a full batch —
+        bit-exact (same seed -> same job-0 noise; lanes never couple)."""
+        imgs = _images(4, seed=2)
+        with _service() as s1:
+            r_alone = s1.submit(imgs[0]).result(timeout=120)
+        with _service() as s2:
+            fa = s2.submit(imgs[0])  # job id 0, as in s1
+            others = [s2.submit(im) for im in imgs[1:]]
+            r_full = fa.result(timeout=120)
+            for f in others:
+                f.result(timeout=120)
+        np.testing.assert_array_equal(r_alone.image, r_full.image)
+        assert r_alone.loss == pytest.approx(r_full.loss, rel=1e-6)
+
+    def test_deterministic_across_instances(self):
+        imgs = _images(2, seed=3)
+        outs = []
+        for _ in range(2):
+            with _service() as svc:
+                futs = [svc.submit(im) for im in imgs]
+                outs.append([f.result(timeout=120).image for f in futs])
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+    def test_early_stop_reports_convergence(self):
+        """A reachable threshold stops the batch early and the reported loss
+        is below it."""
+        imgs = _images(2, seed=4)
+        with _service(threshold=5e-2, num_iterations=400) as svc:
+            rs = [svc.submit(im).result(timeout=240) for im in imgs]
+        for r in rs:
+            assert r.loss < 5e-2
+            assert r.iterations < 400
+
+    def test_large_image_downscaled_in_submit(self):
+        img = np.random.RandomState(5).randint(
+            0, 256, (3 * CROP, 2 * CROP, 3), np.uint8
+        )
+        with _service() as svc:
+            r = svc.submit(img).result(timeout=120)
+        assert r.image.shape == (CROP, CROP, 3)
+
+    def test_malformed_job_rejected_in_submit(self):
+        with _service() as svc:
+            with pytest.raises(ValueError):
+                svc.submit(np.zeros((CROP, CROP), np.uint8))
+            with pytest.raises(ValueError):
+                svc.submit(np.zeros((CROP, CROP, 4), np.uint8))
+            with pytest.raises(ValueError):
+                svc.submit(np.zeros((CROP, CROP, 3), np.float32))
+            # the service still works after rejected submits
+            r = svc.submit(_images(1, seed=6)[0]).result(timeout=120)
+            assert r.image.shape == (CROP, CROP, 3)
+
+    def test_submit_after_stop_raises(self):
+        svc = _service().start()
+        svc.stop()
+        with pytest.raises(RuntimeError):
+            svc.submit(_images(1)[0])
+
+    def test_warmup_compiles_without_running(self):
+        svc = _service()
+        svc.warmup()  # must not execute the loop (returns fast) or throw
+        svc.start()
+        try:
+            r = svc.submit(_images(1, seed=7)[0]).result(timeout=120)
+            assert r.image.shape == (CROP, CROP, 3)
+        finally:
+            svc.stop()
+
+
+def _http_get(url):
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.status, resp.read()
+
+
+def _http_post(url, body, headers=None):
+    req = urllib.request.Request(url, data=body, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=240) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+class TestHttp:
+    def test_style_http_round_trip(self):
+        from heuristique_style_transfer_code_tpu.tasks.style_http import (
+            make_style_http_server,
+        )
+
+        with _service() as svc:
+            srv = make_style_http_server(svc, port=0)
+            host, port = srv.server_address[:2]
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            try:
+                base = f"http://{host}:{port}"
+                code, body = _http_get(base + "/healthz")
+                assert code == 200
+
+                img = _images(1, seed=8)[0]
+                code, png, headers = _http_post(
+                    base + "/style", img.tobytes(),
+                    {"X-Raw-Shape": f"{CROP},{CROP},3"},
+                )
+                assert code == 200
+                assert headers["Content-Type"] == "image/png"
+                assert int(headers["X-Iterations"]) > 0
+                assert float(headers["X-Final-Loss"]) >= 0
+                from PIL import Image
+
+                out = np.asarray(Image.open(io.BytesIO(png)))
+                assert out.shape == (CROP, CROP, 3)
+
+                code, body = _http_get(base + "/stats")
+                stats = json.loads(body)
+                assert stats["jobs"] >= 1
+
+                # malformed body -> 400, server stays healthy
+                code, body, _ = _http_post(
+                    base + "/style", b"notanimage",
+                    {"X-Raw-Shape": "4,4,1"},
+                )
+                assert code == 400
+                code, _ = _http_get(base + "/healthz")
+                assert code == 200
+            finally:
+                srv.shutdown()
+
+
+class TestServeStyleCLI:
+    def test_cli_end_to_end_family2(self, tiny_imagefolder, tmp_path):
+        """Train a tiny family-2 model, start the serve_style CLI stack
+        programmatically, POST an image, get a stylised PNG back."""
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            build_parser,
+            start,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_gram_attention import (
+            main as train_main,
+        )
+
+        cfg_path = str(tmp_path / "f2.json")
+        with open(cfg_path, "w") as f:
+            json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                       "gram_matrix_size": 4, "num_classes": 4, "seed": 0}, f)
+        models = str(tmp_path / "m")
+        train_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_path,
+            "--epochs", "1", "--k_folds", "2", "--save_dir", models,
+            "--seed", "0",
+        ])
+        args = build_parser().parse_args([
+            "--family", "gram_attention", "--config_path", cfg_path,
+            "--model_path", os.path.join(models, "best_global_model.npz"),
+            "--port", "0", "--batch_size", "2", "--num_iterations", "3",
+            "--layers", "5", "--no_warmup",
+        ])
+        srv, svc = start(args, crop=64)
+        host, port = srv.server_address[:2]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            img = np.random.RandomState(9).randint(
+                0, 256, (64, 64, 3), np.uint8
+            )
+            code, png, headers = _http_post(
+                f"http://{host}:{port}/style", img.tobytes(),
+                {"X-Raw-Shape": "64,64,3"},
+            )
+            assert code == 200
+            from PIL import Image
+
+            out = np.asarray(Image.open(io.BytesIO(png)))
+            assert out.shape == (64, 64, 3)
+            assert int(headers["X-Iterations"]) == 3
+        finally:
+            srv.shutdown()
+            svc.stop()
