@@ -54,6 +54,19 @@ def build_parser():
                         "encoder fwd/bwd — the big-canvas path; combines with "
                         "--devices, which shards the batch axis)")
     parser.add_argument(
+        "--style_image", type=str, default=None,
+        help="Classic content+style transfer (beyond parity): re-render "
+        "every test image in THIS image's style (style Gram + content "
+        "feature loss) instead of the reference's texture-from-self loop",
+    )
+    parser.add_argument("--style_weight", type=float, default=1.0)
+    parser.add_argument("--content_weight", type=float, default=1.0)
+    parser.add_argument(
+        "--style_init", choices=["content", "noise"], default="content",
+        help="Pixel initialisation for --style_image runs: the content "
+        "image (classic, fastest) or randn like the texture loop",
+    )
+    parser.add_argument(
         "--quantized_path", type=str, default=None,
         help="Persisted quantised-encoder npz (int8): loaded if present "
         "(skips calibration), else written after calibration",
@@ -250,17 +263,37 @@ def main(argv=None):
         )
 
     elif args.mode == "style_transfer":
-        from ..tasks.style_transfer import style_transfer_gram_attention
-
-        style_transfer_gram_attention(
-            variables, loader, args.save_dir,
-            layers=args.layers, threshold=args.threshold,
-            num_iterations=args.num_iterations, learning_rate=args.learning_rate,
-            truncate_layer=truncate, compute_dtype=dtype,
-            mesh=resolve_style_mesh(
-                args.devices, args.shard_spatial, loader.batch_size
-            ),
+        mesh = resolve_style_mesh(
+            args.devices, args.shard_spatial, loader.batch_size
         )
+        if args.style_image:
+            from ..data.loader import load_image_staged
+            from ..tasks.style_transfer import (
+                content_style_transfer_gram_attention,
+            )
+
+            style_u8 = load_image_staged(args.style_image)
+            content_style_transfer_gram_attention(
+                variables, loader, style_u8, args.save_dir,
+                layers=args.layers, truncate_layer=truncate,
+                style_weight=args.style_weight,
+                content_weight=args.content_weight,
+                threshold=args.threshold,
+                num_iterations=args.num_iterations,
+                learning_rate=args.learning_rate,
+                init=args.style_init, compute_dtype=dtype, mesh=mesh,
+            )
+        else:
+            from ..tasks.style_transfer import style_transfer_gram_attention
+
+            style_transfer_gram_attention(
+                variables, loader, args.save_dir,
+                layers=args.layers, threshold=args.threshold,
+                num_iterations=args.num_iterations,
+                learning_rate=args.learning_rate,
+                truncate_layer=truncate, compute_dtype=dtype,
+                mesh=mesh,
+            )
 
 
 if __name__ == "__main__":

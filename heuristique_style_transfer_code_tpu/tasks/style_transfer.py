@@ -129,18 +129,16 @@ def make_style_transfer_optimizer(
     return jax.jit(run)
 
 
-def make_gram_fn_gram_attention(
+def make_feature_fn_gram_attention(
     variables: dict,
     truncate_layer: int = 8,
     layers: Optional[int] = None,
     compute_dtype=None,
 ) -> Callable:
-    """Family-2 per-image target-Gram program (shared by the batch task
-    below and the style service, tasks/style_service.py): truncated encoder
-    features -> one spatial Gram per image. ``compute_dtype=bfloat16`` runs
-    the encoder in bf16 (Grams are computed f32 either way)."""
+    """Family-2 truncated-encoder feature program: ``images (B,H,W,3) ->
+    feats (B,h,w,C)``. The Gram builder below and the content+style loss
+    both ride on it (one encoder pass serves both terms)."""
     from ..nn.resnet import resnet50_apply
-    from ..ops.gram import gram_matrix_nhwc
 
     truncate = min(
         layers if layers is not None else truncate_layer, truncate_layer, 8
@@ -151,13 +149,130 @@ def make_gram_fn_gram_attention(
 
         enc = Policy(compute_dtype=compute_dtype).cast_to_compute(enc)
 
-    def gram_fn(images):
+    def feature_fn(images):
         if compute_dtype is not None:
             images = images.astype(compute_dtype)
         feats, _, _ = resnet50_apply(enc, images, truncate=truncate)
-        return [gram_matrix_nhwc(feats)]
+        return feats
+
+    return feature_fn
+
+
+def make_gram_fn_gram_attention(
+    variables: dict,
+    truncate_layer: int = 8,
+    layers: Optional[int] = None,
+    compute_dtype=None,
+) -> Callable:
+    """Family-2 per-image target-Gram program (shared by the batch task
+    below and the style service, tasks/style_service.py): truncated encoder
+    features -> one spatial Gram per image. ``compute_dtype=bfloat16`` runs
+    the encoder in bf16 (Grams are computed f32 either way)."""
+    from ..ops.gram import gram_matrix_nhwc
+
+    feature_fn = make_feature_fn_gram_attention(
+        variables, truncate_layer, layers=layers, compute_dtype=compute_dtype
+    )
+
+    def gram_fn(images):
+        return [gram_matrix_nhwc(feature_fn(images))]
 
     return gram_fn
+
+
+def make_content_style_optimizer(
+    feature_fn: Callable[[jax.Array], jax.Array],
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    learning_rate: float = 0.01,
+    num_iterations: int = 500,
+    threshold: float = 1e-4,
+    mesh=None,
+):
+    """Classic content+style transfer (Gatys et al.), batched like the
+    texture loop above — a beyond-parity extension: the reference only
+    synthesises texture from the image's own Gram
+    (functions_RESNET50_Truncate_Gram_Attention.py:218-285, no content
+    term).
+
+    Per image: ``style_weight * MSE(gram(feats), style_gram) +
+    content_weight * MSE(feats, content_feats)`` with feats from ONE encoder
+    pass per iteration (both terms share it — no second forward). Same
+    per-image early stop / iteration cap / masked Adam updates as the
+    texture loop, so converged images freeze bit-exactly.
+
+    Returns fn(init_pixels, style_grams, content_feats) ->
+    (pixels, iterations_run, final_per_image_loss). ``init_pixels`` is the
+    classic knob: the (normalised) content image converges fastest; noise
+    reproduces the texture loop's start."""
+    from ..ops.gram import gram_matrix_nhwc
+
+    adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    sw, cw = float(style_weight), float(content_weight)
+
+    def per_image_loss(pixels, style_grams, content_feats):
+        feats = feature_fn(pixels)
+        g = gram_matrix_nhwc(feats)
+        axes_g = tuple(range(1, g.ndim))
+        style = jnp.mean(
+            jnp.square(g.astype(jnp.float32) - style_grams.astype(jnp.float32)),
+            axis=axes_g,
+        )
+        axes_f = tuple(range(1, feats.ndim))
+        content = jnp.mean(
+            jnp.square(
+                feats.astype(jnp.float32) - content_feats.astype(jnp.float32)
+            ),
+            axis=axes_f,
+        )
+        return sw * style + cw * content  # (B,)
+
+    def run(pixels0, style_grams, content_feats):
+        opt_state0 = adam.init(pixels0)
+        b = pixels0.shape[0]
+        active0 = jnp.ones((b,), dtype=bool)
+
+        def cond(carry):
+            i, _, _, active, _ = carry
+            return jnp.logical_and(i < num_iterations, jnp.any(active))
+
+        def body(carry):
+            i, pixels, opt_state, active, _ = carry
+
+            def total_loss(p):
+                per = per_image_loss(p, style_grams, content_feats)
+                return jnp.sum(per * active.astype(per.dtype)), per
+
+            (_, per), grads = jax.value_and_grad(total_loss, has_aux=True)(pixels)
+            updates, opt_state = adam.update(grads, opt_state)
+            mask = active.reshape((b,) + (1,) * (pixels.ndim - 1))
+            pixels = optax.apply_updates(
+                pixels, jax.tree_util.tree_map(lambda u: u * mask, updates)
+            )
+            active = jnp.logical_and(active, per >= threshold)
+            return i + 1, pixels, opt_state, active, per
+
+        init = (jnp.asarray(0), pixels0, opt_state0, active0,
+                jnp.full((b,), jnp.inf, dtype=jnp.float32))
+        i, pixels, _, _, per = jax.lax.while_loop(cond, body, init)
+        return pixels, i, per
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import SPATIAL_AXIS
+
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        pix = (
+            NamedSharding(mesh, P("data", SPATIAL_AXIS))
+            if SPATIAL_AXIS in mesh.axis_names
+            else data
+        )
+        return jax.jit(
+            run, in_shardings=(pix, data, data), out_shardings=(pix, repl, data)
+        )
+    return jax.jit(run)
 
 
 def make_gram_fn_patches(
@@ -272,6 +387,93 @@ def style_transfer_gram_attention(
             )
             saved.append(path)
             log_fn(f"Style transferred for image {img_counter}, saved to {path}")
+            img_counter += 1
+    return saved
+
+
+def content_style_transfer_gram_attention(
+    variables: dict,
+    loader,
+    style_image_u8: np.ndarray,
+    save_dir: str,
+    *,
+    layers: Optional[int] = None,
+    truncate_layer: int = 8,
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    threshold: float = 1e-4,
+    num_iterations: int = 500,
+    learning_rate: float = 0.01,
+    init: str = "content",
+    key: Optional[jax.Array] = None,
+    log_fn=print,
+    compute_dtype=None,
+    mesh=None,
+) -> List[str]:
+    """Classic content+style transfer (beyond parity — the reference's loop
+    has no content term): every content image in ``loader`` is re-rendered
+    in the style of ONE style image. ``init='content'`` starts the pixels at
+    the content image (classic, converges fastest); ``'noise'`` starts from
+    randn like the texture loop. Saves [content | stylised] PNGs and returns
+    their paths."""
+    from ..data.augment import eval_preprocess
+    from ..ops.gram import gram_matrix_nhwc
+
+    if init not in ("content", "noise"):
+        raise ValueError(f"init must be 'content' or 'noise', got {init!r}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    feature_fn = make_feature_fn_gram_attention(
+        variables, truncate_layer, layers=layers, compute_dtype=compute_dtype
+    )
+    optimise = make_content_style_optimizer(
+        feature_fn, style_weight, content_weight,
+        learning_rate, num_iterations, threshold, mesh=mesh,
+    )
+    features = jax.jit(feature_fn)  # one program for the target passes
+
+    style_pre = eval_preprocess(jnp.asarray(style_image_u8)[None])
+    style_gram = np.asarray(gram_matrix_nhwc(features(style_pre)))[0]
+
+    current_date = datetime.now().strftime("%Y-%m-%d")
+    out_dir = os.path.join(save_dir, f"style_transfer_{current_date}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    saved = []
+    img_counter = 0
+    for batch in loader:
+        n = batch["n_valid"]
+        images = eval_preprocess(jnp.asarray(batch["image"]))
+        content_feats = features(images).astype(jnp.float32)
+        grams = jnp.broadcast_to(
+            jnp.asarray(style_gram)[None], (images.shape[0],) + style_gram.shape
+        )
+        if init == "content":
+            pixels0 = images.astype(jnp.float32)
+        else:
+            key, sub = jax.random.split(key)
+            pixels0 = jax.random.normal(sub, images.shape, dtype=jnp.float32)
+        pixels, iters, per_loss = optimise(pixels0, grams, content_feats)
+        log_fn(
+            f"Batch optimised in {int(iters)} iterations, "
+            f"final losses: {np.asarray(per_loss)[:n].round(6).tolist()}"
+        )
+        pixels = np.asarray(pixels)
+        originals = np.asarray(images)
+        for j in range(n):
+            label = int(batch["label"][j])
+            class_dir = os.path.join(out_dir, str(label))
+            path = os.path.join(class_dir, f"content_style_{img_counter}.png")
+            _save_side_by_side(
+                denormalize_to_uint8(originals[j]),
+                denormalize_to_uint8(pixels[j]), path,
+            )
+            saved.append(path)
+            log_fn(
+                f"Content+style transferred for image {img_counter}, "
+                f"saved to {path}"
+            )
             img_counter += 1
     return saved
 

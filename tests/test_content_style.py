@@ -1,0 +1,201 @@
+"""Classic content+style transfer (beyond parity — the reference's loop is
+texture-from-self only): tasks/style_transfer.make_content_style_optimizer,
+the family-2 task wrapper and its CLI flag.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heuristique_style_transfer_code_tpu.ops.gram import gram_matrix_nhwc
+from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+    make_content_style_optimizer,
+    make_style_transfer_optimizer,
+)
+
+
+def _identity_features(images):
+    return images  # feats = pixels: content loss becomes pixel MSE
+
+
+class TestOptimizer:
+    def test_content_dominant_recovers_content(self):
+        """style_weight=0 + identity features reduces the loop to Adam on
+        MSE(pixels, content): it must walk noise to the content image."""
+        key = jax.random.PRNGKey(0)
+        content = jax.random.uniform(key, (2, 8, 8, 3), jnp.float32)
+        noise = jax.random.normal(jax.random.PRNGKey(1), content.shape)
+        opt = make_content_style_optimizer(
+            _identity_features, style_weight=0.0, content_weight=1.0,
+            learning_rate=0.05, num_iterations=600, threshold=1e-5,
+        )
+        grams = gram_matrix_nhwc(content)  # ignored at weight 0
+        pixels, iters, per = opt(noise, grams, content)
+        assert float(per.max()) < 1e-5
+        assert int(iters) < 600  # early stop fired
+        np.testing.assert_allclose(
+            np.asarray(pixels), np.asarray(content), atol=0.05
+        )
+
+    def test_style_only_equals_texture_loop(self):
+        """content_weight=0 must reproduce the reference texture loop run on
+        the same features: identical trajectory up to fusion-level drift."""
+        key = jax.random.PRNGKey(2)
+        style = jax.random.uniform(key, (2, 8, 8, 3), jnp.float32)
+        noise = jax.random.normal(jax.random.PRNGKey(3), style.shape)
+        grams = gram_matrix_nhwc(style)
+
+        cs = make_content_style_optimizer(
+            _identity_features, style_weight=1.0, content_weight=0.0,
+            learning_rate=0.05, num_iterations=30, threshold=0.0,
+        )
+        tex = make_style_transfer_optimizer(
+            lambda imgs: [gram_matrix_nhwc(imgs)],
+            learning_rate=0.05, num_iterations=30, threshold=0.0,
+        )
+        p1, i1, l1 = cs(noise, grams, jnp.zeros_like(style))
+        p2, i2, l2 = tex(noise, [grams])
+        assert int(i1) == int(i2) == 30
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), atol=1e-5
+        )
+
+    def test_both_terms_pull(self):
+        """With both weights on, the final loss must be below the initial
+        loss and both terms finite (the loop optimises the sum)."""
+        content = jax.random.uniform(jax.random.PRNGKey(4), (2, 8, 8, 3))
+        style = jax.random.uniform(jax.random.PRNGKey(5), (2, 8, 8, 3))
+        grams = gram_matrix_nhwc(style)
+        opt = make_content_style_optimizer(
+            _identity_features, style_weight=1.0, content_weight=1.0,
+            learning_rate=0.05, num_iterations=50, threshold=0.0,
+        )
+        pixels, _, per = opt(content, grams, content)
+        # initial per-image loss (at pixels == content): pure style term
+        init = np.asarray(
+            jnp.mean(
+                jnp.square(gram_matrix_nhwc(content) - grams),
+                axis=(1, 2),
+            )
+        )
+        assert (np.asarray(per) < init).all()
+
+
+class TestTaskAndCLI:
+    def test_task_writes_artifacts(self, tiny_imagefolder, tmp_path):
+        from heuristique_style_transfer_code_tpu.data.imagefolder import (
+            ImageFolderIndex,
+        )
+        from heuristique_style_transfer_code_tpu.data.loader import HostLoader
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            content_style_transfer_gram_attention,
+        )
+
+        variables = gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4)
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        loader = HostLoader(idx.samples[:2], batch_size=2)
+        style = np.random.RandomState(0).randint(
+            0, 256, (256, 256, 3), np.uint8
+        )
+        saved = content_style_transfer_gram_attention(
+            variables, loader, style, str(tmp_path),
+            layers=5, truncate_layer=5, threshold=1e-3,
+            num_iterations=5, learning_rate=0.05,
+        )
+        assert len(saved) == 2
+        for p in saved:
+            assert os.path.exists(p)
+            assert "content_style_" in p
+
+    def test_noise_init_differs_from_content_init(self, tiny_imagefolder,
+                                                  tmp_path):
+        from heuristique_style_transfer_code_tpu.data.imagefolder import (
+            ImageFolderIndex,
+        )
+        from heuristique_style_transfer_code_tpu.data.loader import HostLoader
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            content_style_transfer_gram_attention,
+        )
+        import matplotlib.image as mpimg
+
+        variables = gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4)
+        idx = ImageFolderIndex(str(tiny_imagefolder / "test"))
+        style = np.random.RandomState(1).randint(
+            0, 256, (256, 256, 3), np.uint8
+        )
+        outs = {}
+        for init in ("content", "noise"):
+            loader = HostLoader(idx.samples[:2], batch_size=2)
+            saved = content_style_transfer_gram_attention(
+                variables, loader, style, str(tmp_path / init),
+                layers=5, truncate_layer=5, threshold=0.0,
+                num_iterations=3, learning_rate=0.05, init=init,
+            )
+            outs[init] = mpimg.imread(saved[0])
+        assert not np.allclose(outs["content"], outs["noise"])
+
+    def test_invalid_init_rejected(self):
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            content_style_transfer_gram_attention,
+        )
+
+        variables = gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4)
+        with pytest.raises(ValueError, match="init"):
+            content_style_transfer_gram_attention(
+                variables, [], np.zeros((256, 256, 3), np.uint8), "/tmp/x",
+                init="zeros",
+            )
+
+    def test_cli_style_image_flag(self, tiny_imagefolder, tmp_path):
+        """--style_image on the family-2 eval CLI drives the content+style
+        path end-to-end from a saved checkpoint."""
+        import json
+
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            save_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.test_gram_attention import (
+            main,
+        )
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+        from PIL import Image
+
+        variables = gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4)
+        ckpt = str(tmp_path / "model.npz")
+        save_pytree_npz(variables, ckpt)
+        cfg = str(tmp_path / "cfg.json")
+        with open(cfg, "w") as f:
+            json.dump({"batch_size": 2, "lr": 0.01, "truncate_layer": 5,
+                       "gram_matrix_size": 4, "num_classes": 4, "seed": 0}, f)
+        style_path = str(tmp_path / "style.png")
+        Image.fromarray(
+            np.random.RandomState(2).randint(0, 256, (80, 96, 3), np.uint8)
+        ).save(style_path)
+        out = str(tmp_path / "res")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg,
+            "--model_path", ckpt, "--mode", "style_transfer",
+            "--save_dir", out, "--layers", "5", "--num_iterations", "3",
+            "--threshold", "1e-3", "--num_samples", "2", "--batch_size", "2",
+            "--style_image", style_path, "--content_weight", "0.5",
+        ])
+        st_dirs = [d for d in os.listdir(out) if d.startswith("style_transfer_")]
+        assert st_dirs
+        found = []
+        for root, _, files in os.walk(out):
+            found += [f for f in files if f.startswith("content_style_")]
+        assert len(found) == 2
