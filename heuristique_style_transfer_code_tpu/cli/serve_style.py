@@ -140,28 +140,43 @@ def start(args, crop: int = 224):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     apply_debug_flags(args)
+    # SIGTERM = orchestrated shutdown (systemd/k8s): stop accepting, drain
+    # submitted jobs, exit — registered BEFORE the warmup so a signal landing
+    # mid-compile still shuts down cleanly (same contract as cli/serve)
+    import signal
+    import threading
+
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (programmatic use)
     srv, service = start(args)
     host, port = srv.server_address[:2]
     print(f"Serving style transfer on http://{host}:{port} "
           f"(batch {service.batch_size}, {args.num_iterations} iters, "
           f"{args.precision})", flush=True)
-    import threading
-
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
-        if args.max_seconds is not None:
-            time.sleep(args.max_seconds)
-        else:
-            while True:
-                time.sleep(3600)
+        t0 = time.time()
+        while args.max_seconds is None or time.time() - t0 < args.max_seconds:
+            if stop_requested["flag"]:
+                print("SIGTERM: draining and shutting down")
+                break
+            time.sleep(0.2)
     except KeyboardInterrupt:
         pass
     finally:
         srv.shutdown()
+        service.stop(drain=True)
         stats = service.stats()
-        service.stop()
-        print(f"Server stopped. {stats}", flush=True)
+        print(f"Stats: {stats['jobs']} jobs in {stats['batches']} batches "
+              f"(mean occupancy {stats['mean_batch_occupancy']:.2f}, "
+              f"mean iterations {stats['mean_iterations']:.0f})")
 
 
 if __name__ == "__main__":

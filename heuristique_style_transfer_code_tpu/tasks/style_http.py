@@ -55,6 +55,32 @@ def make_style_http_server(
                     self._json(503, {"ok": False, "error": reason})
             elif self.path == "/stats":
                 self._json(200, service.stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition (same shape as serving_http's)
+                s = service.stats()
+                lines = [
+                    "# TYPE hst_style_jobs_total counter",
+                    f"hst_style_jobs_total {s['jobs']}",
+                    "# TYPE hst_style_batches_total counter",
+                    f"hst_style_batches_total {s['batches']}",
+                    "# TYPE hst_style_batch_occupancy gauge",
+                    f"hst_style_batch_occupancy {s['mean_batch_occupancy']:.6f}",
+                    "# TYPE hst_style_mean_iterations gauge",
+                    f"hst_style_mean_iterations {s['mean_iterations']:.3f}",
+                    "# TYPE hst_style_jobs_per_second gauge",
+                    f"hst_style_jobs_per_second {s['jobs_per_sec']:.4f}",
+                    "# TYPE hst_style_latency_ms summary",
+                    f'hst_style_latency_ms{{quantile="0.5"}} {s["latency_p50_ms"]:.3f}',
+                    f'hst_style_latency_ms{{quantile="0.95"}} {s["latency_p95_ms"]:.3f}',
+                    "# TYPE hst_style_healthy gauge",
+                    f"hst_style_healthy {int(service.healthy())}",
+                ]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

@@ -194,6 +194,11 @@ class TestHttp:
                 stats = json.loads(body)
                 assert stats["jobs"] >= 1
 
+                code, body = _http_get(base + "/metrics")
+                assert code == 200
+                assert b"hst_style_jobs_total" in body
+                assert b"hst_style_healthy 1" in body
+
                 # malformed body -> 400, server stays healthy
                 code, body, _ = _http_post(
                     base + "/style", b"notanimage",
