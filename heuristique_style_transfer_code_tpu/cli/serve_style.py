@@ -54,6 +54,22 @@ def build_parser():
         help="Family-2 encoder truncation, exactly the reference's "
         "Sequential slice (rejected for multi_patchgan: broken upstream)",
     )
+    parser.add_argument(
+        "--style_image", action="append", default=None, metavar="NAME=PATH",
+        help="Content+style mode (family gram_attention only): add a named "
+        "style image to the gallery (repeatable; a bare PATH names the "
+        "style after the file stem). The gallery is encoded once at "
+        "startup; clients pick a style per request with the X-Style header "
+        "(GET /styles lists names). Without this flag the server runs the "
+        "reference's texture-from-self loop.",
+    )
+    parser.add_argument("--style_weight", type=float, default=1.0)
+    parser.add_argument("--content_weight", type=float, default=1.0)
+    parser.add_argument("--tv_weight", type=float, default=0.0)
+    parser.add_argument(
+        "--style_init", choices=["content", "noise"], default="content",
+        help="Canvas initialisation for --style_image jobs",
+    )
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--max_seconds", type=float, default=None,
                         help="Exit after this many seconds (smoke tests)")
@@ -106,17 +122,58 @@ def _build_gram_fn(args):
     )
 
 
+def _build_content_style_kwargs(args):
+    """Service kwargs for --style_image mode: the family-2 feature program
+    plus the named style gallery."""
+    import os
+
+    if args.family != "gram_attention":
+        raise ValueError("--style_image requires --family gram_attention")
+    from ..config.schema import GramAttentionConfig
+    from ..data.loader import load_image_staged
+    from ..tasks.style_transfer import make_feature_fn_gram_attention
+
+    cfg = GramAttentionConfig.from_json(args.config_path)
+    variables = load_checkpoint_tree(
+        args.model_path, "gram_attention", cfg.to_dict()
+    )
+    if args.afficher_params:
+        print(
+            f"Nombre total de paramètres du modèle : {count_params(variables)}"
+        )
+    feature_fn = make_feature_fn_gram_attention(
+        variables, cfg.truncate_layer, layers=args.layers,
+        compute_dtype=resolve_compute_dtype(args.precision),
+    )
+    styles = {}
+    for spec in args.style_image:
+        name, sep, path = spec.partition("=")
+        if not sep:
+            name, path = os.path.splitext(os.path.basename(spec))[0], spec
+        if name in styles:
+            raise ValueError(f"duplicate style name {name!r}")
+        styles[name] = load_image_staged(path)
+    return dict(
+        feature_fn=feature_fn, styles=styles,
+        style_weight=args.style_weight, content_weight=args.content_weight,
+        tv_weight=args.tv_weight, init=args.style_init,
+    )
+
+
 def start(args, crop: int = 224):
     """Build the service + HTTP server and start both (returns (srv,
     service); used by main() and callable programmatically/from tests)."""
     from ..tasks.style_http import make_style_http_server
     from ..tasks.style_service import StyleTransferService
 
-    gram_fn = _build_gram_fn(args)
+    if args.style_image:
+        kwargs = _build_content_style_kwargs(args)
+    else:
+        kwargs = dict(gram_fn=_build_gram_fn(args))
     start_profile(args.profile_dir)
     service = StyleTransferService(
-        gram_fn,
         crop=crop,
+        **kwargs,
         batch_size=args.batch_size,
         max_delay_ms=args.max_delay_ms,
         num_iterations=args.num_iterations,
@@ -160,6 +217,8 @@ def main(argv=None):
     print(f"Serving style transfer on http://{host}:{port} "
           f"(batch {service.batch_size}, {args.num_iterations} iters, "
           f"{args.precision})", flush=True)
+    if service.style_names:
+        print(f"Style gallery: {service.style_names}", flush=True)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
         t0 = time.time()

@@ -61,6 +61,9 @@ def build_parser():
     )
     parser.add_argument("--style_weight", type=float, default=1.0)
     parser.add_argument("--content_weight", type=float, default=1.0)
+    parser.add_argument("--tv_weight", type=float, default=0.0,
+                        help="Total-variation smoothness term on the canvas "
+                        "(--style_image runs only)")
     parser.add_argument(
         "--style_init", choices=["content", "noise"], default="content",
         help="Pixel initialisation for --style_image runs: the content "
@@ -278,6 +281,7 @@ def main(argv=None):
                 layers=args.layers, truncate_layer=truncate,
                 style_weight=args.style_weight,
                 content_weight=args.content_weight,
+                tv_weight=args.tv_weight,
                 threshold=args.threshold,
                 num_iterations=args.num_iterations,
                 learning_rate=args.learning_rate,

@@ -2,8 +2,11 @@
 
 POST /style with an image body (JPEG/PNG — anything PIL decodes; raw uint8
 HxWx3 via the X-Raw-Shape header) returns the stylised canvas as a PNG with
-``X-Iterations`` and ``X-Final-Loss`` response headers. GET /stats returns
-the service counters, GET /healthz returns 200 while the workers are alive.
+``X-Iterations`` and ``X-Final-Loss`` response headers. When the service
+runs in content+style mode, the ``X-Style`` request header picks a gallery
+style by name (GET /styles lists them; default: the first). GET /stats
+returns the service counters, GET /healthz returns 200 while the workers
+are alive.
 
 Each request thread decodes its own image and blocks on the Future from
 ``StyleTransferService.submit`` — concurrent requests co-schedule into one
@@ -55,6 +58,8 @@ def make_style_http_server(
                     self._json(503, {"ok": False, "error": reason})
             elif self.path == "/stats":
                 self._json(200, service.stats())
+            elif self.path == "/styles":
+                self._json(200, {"styles": list(service.style_names)})
             elif self.path == "/metrics":
                 # Prometheus text exposition (same shape as serving_http's)
                 s = service.stats()
@@ -96,7 +101,7 @@ def make_style_http_server(
                 self._json(400, {"error": str(e) or repr(e)})
                 return
             try:
-                fut = service.submit(image)
+                fut = service.submit(image, style=self.headers.get("X-Style"))
             except ValueError as e:
                 self._json(400, {"error": str(e) or repr(e)})
                 return

@@ -40,7 +40,10 @@ from typing import Callable, List, Optional
 import numpy as np
 
 from ..ops.resize import IMAGENET_MEAN, IMAGENET_STD
-from .style_transfer import make_style_transfer_optimizer
+from .style_transfer import (
+    make_content_style_optimizer,
+    make_style_transfer_optimizer,
+)
 
 
 @dataclass
@@ -55,13 +58,48 @@ class StyleJobResult:
     iterations: int
 
 
+def _to_canvas(image: np.ndarray, crop: int) -> np.ndarray:
+    """Validate an RGB uint8 image and downscale it to the (crop, crop)
+    canvas with the canonical 256:224 staged geometry."""
+    image = np.asarray(image)
+    if image.ndim != 3 or image.shape[2] != 3 or 0 in image.shape[:2]:
+        raise ValueError(
+            f"image must be (H, W, 3) RGB with H, W > 0, got shape {image.shape}"
+        )
+    if image.dtype != np.uint8:
+        raise ValueError(f"image must be uint8, got dtype {image.dtype}")
+    if image.shape[:2] != (crop, crop):
+        from .camera import downscale_frame
+
+        shorter = max(crop, round(crop * 256 / 224))
+        image = downscale_frame(image, crop=crop, shorter=shorter)
+    return image
+
+
 class StyleTransferService:
     """Dynamic-batching style-transfer job server over one jitted program.
+
+    Two modes, same batcher and dispatch shape:
+
+    - **texture** (``gram_fn=``, the reference's semantics): each job's own
+      Gram is the target and the canvas starts from noise.
+    - **content+style** (``feature_fn=`` + ``styles=``, beyond parity): a
+      gallery of named style images is encoded ONCE at startup into a
+      device-resident Gram stack; each job picks a style by name
+      (``submit(image, style="vangogh")``) and its canvas is optimised for
+      ``style_weight * gram-MSE + content_weight * feature-MSE
+      [+ tv_weight * TV]`` starting from the content image (``init=
+      'content'``, classic) or per-job noise. Per-batch device work indexes
+      the resident stack — no style re-encoding per dispatch.
 
     Parameters
     ----------
     gram_fn : per-image target-Gram program (``make_gram_fn_gram_attention``
-        / ``make_gram_fn_patches`` from tasks/style_transfer.py).
+        / ``make_gram_fn_patches`` from tasks/style_transfer.py) — texture
+        mode. Exclusive with ``feature_fn``.
+    feature_fn : per-image encoder-feature program
+        (``make_feature_fn_gram_attention``) — content+style mode; requires
+        ``styles``, a non-empty ``{name: (H, W, 3) uint8}`` mapping.
     batch_size : static device batch B (jobs per while_loop dispatch).
     max_delay_ms : flush deadline for a partially filled batch. Style jobs
         run for seconds, so the default is far looser than the
@@ -77,8 +115,14 @@ class StyleTransferService:
 
     def __init__(
         self,
-        gram_fn: Callable,
+        gram_fn: Optional[Callable] = None,
         *,
+        feature_fn: Optional[Callable] = None,
+        styles: Optional[dict] = None,
+        style_weight: float = 1.0,
+        content_weight: float = 1.0,
+        tv_weight: float = 0.0,
+        init: str = "content",
         crop: int = 224,
         batch_size: int = 8,
         max_delay_ms: float = 200.0,
@@ -95,38 +139,87 @@ class StyleTransferService:
 
         from ..data.augment import eval_preprocess
 
+        if (gram_fn is None) == (feature_fn is None):
+            raise ValueError(
+                "pass exactly one of gram_fn (texture mode) or "
+                "feature_fn (content+style mode)"
+            )
+        if feature_fn is not None and not styles:
+            raise ValueError("content+style mode requires a non-empty styles=")
+        if gram_fn is not None and styles:
+            raise ValueError("styles= only applies to content+style mode")
+        if init not in ("content", "noise"):
+            raise ValueError(f"init must be 'content' or 'noise', got {init!r}")
+
         self.crop = int(crop)
         self.batch_size = int(batch_size)
         self.max_delay = max_delay_ms / 1e3
         self.num_iterations = int(num_iterations)
+        self.style_names: List[str] = list(styles) if styles else []
 
-        optimise = make_style_transfer_optimizer(
-            gram_fn, learning_rate, num_iterations, threshold, mesh=mesh
-        )
         base_key = jax.random.PRNGKey(seed)
         mean = jnp.asarray(np.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3))
         std = jnp.asarray(np.asarray(IMAGENET_STD).reshape(1, 1, 1, 3))
 
-        def job(images_u8, job_ids):
-            images = eval_preprocess(images_u8, crop)
-            targets = gram_fn(images)
-
-            def noise_for(jid):
-                return jax.random.normal(
-                    jax.random.fold_in(base_key, jid),
-                    images.shape[1:],
-                    jnp.float32,
-                )
-
-            noise0 = jax.vmap(noise_for)(job_ids)
-            pixels, iters, per_loss = optimise(noise0, targets)
+        def to_u8(pixels):
             # denormalise ON DEVICE and ship uint8: 4x fewer D2H bytes than
             # the f32 canvas (matters when the chip sits behind a relay)
             canvas = jnp.clip(
                 pixels.astype(jnp.float32) * std + mean, 0.0, 1.0
             )
-            out_u8 = jnp.round(canvas * 255.0).astype(jnp.uint8)
-            return out_u8, iters, per_loss
+            return jnp.round(canvas * 255.0).astype(jnp.uint8)
+
+        def noise0_for(job_ids, shape):
+            def noise_for(jid):
+                return jax.random.normal(
+                    jax.random.fold_in(base_key, jid), shape, jnp.float32
+                )
+
+            return jax.vmap(noise_for)(job_ids)
+
+        if gram_fn is not None:
+            optimise = make_style_transfer_optimizer(
+                gram_fn, learning_rate, num_iterations, threshold, mesh=mesh
+            )
+
+            def job(images_u8, style_idx, job_ids):
+                del style_idx  # texture mode: the target is the job's own Gram
+                images = eval_preprocess(images_u8, crop)
+                targets = gram_fn(images)
+                noise0 = noise0_for(job_ids, images.shape[1:])
+                pixels, iters, per_loss = optimise(noise0, targets)
+                return to_u8(pixels), iters, per_loss
+
+        else:
+            from ..ops.gram import gram_matrix_nhwc
+
+            # encode the gallery ONCE: (K, ...) Gram stack, device-resident
+            style_u8 = np.stack(
+                [_to_canvas(im, self.crop) for im in styles.values()]
+            )
+            gram_stack = jnp.asarray(
+                jax.jit(
+                    lambda u8: gram_matrix_nhwc(
+                        feature_fn(eval_preprocess(u8, crop))
+                    ).astype(jnp.float32)
+                )(style_u8)
+            )
+            optimise = make_content_style_optimizer(
+                feature_fn, style_weight, content_weight,
+                learning_rate, num_iterations, threshold,
+                tv_weight=tv_weight, mesh=mesh,
+            )
+
+            def job(images_u8, style_idx, job_ids):
+                images = eval_preprocess(images_u8, crop)
+                content_feats = feature_fn(images).astype(jnp.float32)
+                grams = jnp.take(gram_stack, style_idx, axis=0)
+                if init == "content":
+                    pixels0 = images.astype(jnp.float32)
+                else:
+                    pixels0 = noise0_for(job_ids, images.shape[1:])
+                pixels, iters, per_loss = optimise(pixels0, grams, content_feats)
+                return to_u8(pixels), iters, per_loss
 
         self._sharding = None
         if mesh is not None:
@@ -174,33 +267,40 @@ class StyleTransferService:
             img_s = jax.ShapeDtypeStruct(
                 (b, c, c, 3), jnp.uint8, sharding=self._sharding
             )
-        self._job.lower(img_s, jax.ShapeDtypeStruct((b,), jnp.int32)).compile()
+        ids_s = jax.ShapeDtypeStruct((b,), jnp.int32)
+        self._job.lower(img_s, ids_s, ids_s).compile()
 
-    def submit(self, image: np.ndarray) -> Future:
+    def submit(self, image: np.ndarray, style: Optional[str] = None) -> Future:
         """Submit one RGB uint8 image; returns a Future resolving to a
         StyleJobResult. Images larger than (crop, crop) are host-downscaled
-        in the caller's thread (canonical 256:224 staged geometry)."""
+        in the caller's thread (canonical 256:224 staged geometry). In
+        content+style mode ``style`` picks a gallery style by name (default:
+        the first); texture mode takes no style."""
         if self._stop.is_set():
             raise RuntimeError("service is stopped")
-        image = np.asarray(image)
-        if image.ndim != 3 or image.shape[2] != 3 or 0 in image.shape[:2]:
-            raise ValueError(
-                f"image must be (H, W, 3) RGB with H, W > 0, got shape {image.shape}"
+        if self.style_names:
+            style_idx = (
+                0 if style is None else
+                self.style_names.index(style)
+                if style in self.style_names
+                else -1
             )
-        if image.dtype != np.uint8:
-            raise ValueError(f"image must be uint8, got dtype {image.dtype}")
-        if image.shape[:2] != (self.crop, self.crop):
-            from .camera import downscale_frame
-
-            shorter = max(self.crop, round(self.crop * 256 / 224))
-            image = downscale_frame(image, crop=self.crop, shorter=shorter)
+            if style_idx < 0:
+                raise ValueError(
+                    f"unknown style {style!r}; gallery: {self.style_names}"
+                )
+        elif style is not None:
+            raise ValueError("texture mode takes no style= (no gallery)")
+        else:
+            style_idx = 0
+        image = _to_canvas(image, self.crop)
         with self._id_lock:
             job_id = self._next_id
             self._next_id += 1
         fut: Future = Future()
         t = time.perf_counter()
         fut._hst_submit_time = t
-        self._requests.put((image, job_id, fut, t))
+        self._requests.put((image, style_idx, job_id, fut, t))
         if self._stop.is_set() and fut.cancel():
             raise RuntimeError("service is stopped")
         return fut
@@ -212,7 +312,7 @@ class StyleTransferService:
                 while True:
                     item = self._requests.get_nowait()
                     if item is not None:
-                        item[2].cancel()
+                        item[3].cancel()
             except queue.Empty:
                 pass
             return
@@ -227,7 +327,7 @@ class StyleTransferService:
             while True:
                 item = self._requests.get_nowait()
                 if item is not None:
-                    item[2].cancel()
+                    item[3].cancel()
         except queue.Empty:
             pass
 
@@ -284,9 +384,10 @@ class StyleTransferService:
         if item is None:
             return None
         images: List[np.ndarray] = [item[0]]
-        ids: List[int] = [item[1]]
-        futures: List[Future] = [item[2]]
-        deadline = item[3] + self.max_delay
+        sidx: List[int] = [item[1]]
+        ids: List[int] = [item[2]]
+        futures: List[Future] = [item[3]]
+        deadline = item[4] + self.max_delay
         while len(images) < self.batch_size:
             timeout = deadline - time.perf_counter()
             try:
@@ -300,9 +401,10 @@ class StyleTransferService:
                 self._requests.put(None)
                 break
             images.append(item[0])
-            ids.append(item[1])
-            futures.append(item[2])
-        return images, ids, futures
+            sidx.append(item[1])
+            ids.append(item[2])
+            futures.append(item[3])
+        return images, sidx, ids, futures
 
     @staticmethod
     def _resolve(fut: Future, value=None, exc: Optional[Exception] = None):
@@ -321,19 +423,21 @@ class StyleTransferService:
             batch = self._collect_batch()
             if batch is None:
                 break
-            images, ids, futures = batch
+            images, sidx, ids, futures = batch
             n = len(images)
             if n < self.batch_size:
                 # pad with the first job (its lane converges at the same
                 # iteration as the twin, so padding costs no wall time)
                 images = images + [images[0]] * (self.batch_size - n)
+                sidx = sidx + [sidx[0]] * (self.batch_size - n)
                 ids = ids + [ids[0]] * (self.batch_size - n)
             try:
                 arr = np.stack(images)
+                sidx_arr = np.asarray(sidx, np.int32)
                 id_arr = np.asarray(ids, np.int32)
                 if self._sharding is not None:
                     arr = jax.device_put(arr, self._sharding)
-                out = self._job(arr, id_arr)
+                out = self._job(arr, sidx_arr, id_arr)
             except Exception as e:
                 for f in futures:
                     self._resolve(f, exc=e)

@@ -180,6 +180,18 @@ def make_gram_fn_gram_attention(
     return gram_fn
 
 
+def total_variation(pixels: jax.Array) -> jax.Array:
+    """Per-image anisotropic total variation: mean squared difference of
+    horizontally and vertically adjacent pixels, ``(B, H, W, C) -> (B,)``.
+    The classic Gatys-style smoothness regulariser (the reference has no TV
+    term — beyond parity)."""
+    p = pixels.astype(jnp.float32)
+    dh = jnp.square(p[:, 1:, :, :] - p[:, :-1, :, :])
+    dw = jnp.square(p[:, :, 1:, :] - p[:, :, :-1, :])
+    axes = (1, 2, 3)
+    return jnp.mean(dh, axis=axes) + jnp.mean(dw, axis=axes)
+
+
 def make_content_style_optimizer(
     feature_fn: Callable[[jax.Array], jax.Array],
     style_weight: float = 1.0,
@@ -187,6 +199,7 @@ def make_content_style_optimizer(
     learning_rate: float = 0.01,
     num_iterations: int = 500,
     threshold: float = 1e-4,
+    tv_weight: float = 0.0,
     mesh=None,
 ):
     """Classic content+style transfer (Gatys et al.), batched like the
@@ -196,10 +209,10 @@ def make_content_style_optimizer(
     term).
 
     Per image: ``style_weight * MSE(gram(feats), style_gram) +
-    content_weight * MSE(feats, content_feats)`` with feats from ONE encoder
-    pass per iteration (both terms share it — no second forward). Same
-    per-image early stop / iteration cap / masked Adam updates as the
-    texture loop, so converged images freeze bit-exactly.
+    content_weight * MSE(feats, content_feats) [+ tv_weight * TV(pixels)]``
+    with feats from ONE encoder pass per iteration (both terms share it — no
+    second forward). Same per-image early stop / iteration cap / masked Adam
+    updates as the texture loop, so converged images freeze bit-exactly.
 
     Returns fn(init_pixels, style_grams, content_feats) ->
     (pixels, iterations_run, final_per_image_loss). ``init_pixels`` is the
@@ -208,7 +221,7 @@ def make_content_style_optimizer(
     from ..ops.gram import gram_matrix_nhwc
 
     adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-    sw, cw = float(style_weight), float(content_weight)
+    sw, cw, tw = float(style_weight), float(content_weight), float(tv_weight)
 
     def per_image_loss(pixels, style_grams, content_feats):
         feats = feature_fn(pixels)
@@ -225,7 +238,10 @@ def make_content_style_optimizer(
             ),
             axis=axes_f,
         )
-        return sw * style + cw * content  # (B,)
+        loss = sw * style + cw * content  # (B,)
+        if tw != 0.0:
+            loss = loss + tw * total_variation(pixels)
+        return loss
 
     def run(pixels0, style_grams, content_feats):
         opt_state0 = adam.init(pixels0)
@@ -401,6 +417,7 @@ def content_style_transfer_gram_attention(
     truncate_layer: int = 8,
     style_weight: float = 1.0,
     content_weight: float = 1.0,
+    tv_weight: float = 0.0,
     threshold: float = 1e-4,
     num_iterations: int = 500,
     learning_rate: float = 0.01,
@@ -429,7 +446,8 @@ def content_style_transfer_gram_attention(
     )
     optimise = make_content_style_optimizer(
         feature_fn, style_weight, content_weight,
-        learning_rate, num_iterations, threshold, mesh=mesh,
+        learning_rate, num_iterations, threshold,
+        tv_weight=tv_weight, mesh=mesh,
     )
     features = jax.jit(feature_fn)  # one program for the target passes
 

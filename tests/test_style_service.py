@@ -146,6 +146,109 @@ class TestService:
             svc.stop()
 
 
+def _identity_features(images):
+    return images
+
+
+def _cs_service(**kw):
+    """Content+style service over identity features and a 2-style gallery."""
+    rng = np.random.RandomState(11)
+    styles = {
+        "warm": rng.randint(0, 256, (CROP, CROP, 3), np.uint8),
+        "cool": rng.randint(0, 256, (CROP, CROP, 3), np.uint8),
+    }
+    kw.setdefault("crop", CROP)
+    kw.setdefault("batch_size", 4)
+    kw.setdefault("max_delay_ms", 150.0)
+    kw.setdefault("num_iterations", 25)
+    kw.setdefault("threshold", 1e-8)
+    kw.setdefault("learning_rate", 0.05)
+    kw.setdefault("seed", 0)
+    kw.setdefault("styles", styles)
+    return StyleTransferService(feature_fn=_identity_features, **kw)
+
+
+class TestContentStyleService:
+    def test_ctor_validation(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            StyleTransferService()
+        with pytest.raises(ValueError, match="exactly one"):
+            StyleTransferService(
+                _pixel_gram_fn, feature_fn=_identity_features,
+                styles={"a": np.zeros((CROP, CROP, 3), np.uint8)},
+            )
+        with pytest.raises(ValueError, match="styles"):
+            StyleTransferService(feature_fn=_identity_features)
+        with pytest.raises(ValueError, match="styles"):
+            StyleTransferService(
+                _pixel_gram_fn,
+                styles={"a": np.zeros((CROP, CROP, 3), np.uint8)},
+            )
+        with pytest.raises(ValueError, match="init"):
+            _cs_service(init="zeros")
+
+    def test_styles_select_and_differ(self):
+        imgs = _images(2, seed=12)
+        with _cs_service() as svc:
+            assert svc.style_names == ["warm", "cool"]
+            r_warm = svc.submit(imgs[0], style="warm").result(timeout=120)
+            r_cool = svc.submit(imgs[0], style="cool").result(timeout=120)
+            r_default = svc.submit(imgs[0]).result(timeout=120)
+        assert not np.array_equal(r_warm.image, r_cool.image)
+        np.testing.assert_array_equal(r_warm.image, r_default.image)
+
+    def test_unknown_style_rejected(self):
+        with _cs_service() as svc:
+            with pytest.raises(ValueError, match="unknown style"):
+                svc.submit(_images(1)[0], style="vangogh")
+            # service still works after the rejected submit
+            r = svc.submit(_images(1, seed=13)[0]).result(timeout=120)
+            assert r.image.shape == (CROP, CROP, 3)
+
+    def test_texture_mode_rejects_style(self):
+        with _service() as svc:
+            with pytest.raises(ValueError, match="texture mode"):
+                svc.submit(_images(1)[0], style="warm")
+
+    def test_composition_invariance_noise_init(self):
+        """Same claim as the texture test, on the content+style path with
+        per-job noise init (exercises the fold_in seed derivation): a job's
+        result is bit-identical alone vs sharing a batch with other styles."""
+        imgs = _images(4, seed=14)
+        with _cs_service(init="noise") as s1:
+            r_alone = s1.submit(imgs[0], style="cool").result(timeout=120)
+        with _cs_service(init="noise") as s2:
+            fa = s2.submit(imgs[0], style="cool")  # job id 0, as in s1
+            others = [
+                s2.submit(im, style=("warm", "cool")[i % 2])
+                for i, im in enumerate(imgs[1:])
+            ]
+            r_full = fa.result(timeout=120)
+            for f in others:
+                f.result(timeout=120)
+        np.testing.assert_array_equal(r_alone.image, r_full.image)
+
+    def test_content_init_pulls_toward_content(self):
+        """With identity features and a dominant content term, the canvas
+        must stay close to the content image (sanity of the mode wiring)."""
+        img = _images(1, seed=15)[0]
+        with _cs_service(
+            style_weight=0.0, content_weight=1.0, num_iterations=10
+        ) as svc:
+            r = svc.submit(img).result(timeout=120)
+        assert np.mean(np.abs(r.image.astype(int) - img.astype(int))) < 3.0
+
+    def test_warmup_compiles_content_style(self):
+        svc = _cs_service()
+        svc.warmup()
+        svc.start()
+        try:
+            r = svc.submit(_images(1, seed=16)[0]).result(timeout=120)
+            assert r.image.shape == (CROP, CROP, 3)
+        finally:
+            svc.stop()
+
+
 def _http_get(url):
     with urllib.request.urlopen(url, timeout=60) as resp:
         return resp.status, resp.read()
@@ -207,6 +310,54 @@ class TestHttp:
                 assert code == 400
                 code, _ = _http_get(base + "/healthz")
                 assert code == 200
+
+                # texture mode: empty gallery, X-Style rejected
+                code, body = _http_get(base + "/styles")
+                assert json.loads(body) == {"styles": []}
+                code, _, _ = _http_post(
+                    base + "/style", img.tobytes(),
+                    {"X-Raw-Shape": f"{CROP},{CROP},3", "X-Style": "warm"},
+                )
+                assert code == 400
+            finally:
+                srv.shutdown()
+
+    def test_content_style_gallery_over_http(self):
+        from heuristique_style_transfer_code_tpu.tasks.style_http import (
+            make_style_http_server,
+        )
+
+        with _cs_service() as svc:
+            srv = make_style_http_server(svc, port=0)
+            host, port = srv.server_address[:2]
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            try:
+                base = f"http://{host}:{port}"
+                code, body = _http_get(base + "/styles")
+                assert code == 200
+                assert json.loads(body) == {"styles": ["warm", "cool"]}
+
+                img = _images(1, seed=17)[0]
+                hdr = {"X-Raw-Shape": f"{CROP},{CROP},3"}
+                outs = {}
+                for style in ("warm", "cool"):
+                    code, png, headers = _http_post(
+                        base + "/style", img.tobytes(),
+                        {**hdr, "X-Style": style},
+                    )
+                    assert code == 200
+                    from PIL import Image
+
+                    outs[style] = np.asarray(Image.open(io.BytesIO(png)))
+                assert not np.array_equal(outs["warm"], outs["cool"])
+
+                code, _, _ = _http_post(
+                    base + "/style", img.tobytes(),
+                    {**hdr, "X-Style": "nosuch"},
+                )
+                assert code == 400
+                code, _ = _http_get(base + "/healthz")
+                assert code == 200
             finally:
                 srv.shutdown()
 
@@ -257,6 +408,63 @@ class TestServeStyleCLI:
             out = np.asarray(Image.open(io.BytesIO(png)))
             assert out.shape == (64, 64, 3)
             assert int(headers["X-Iterations"]) == 3
+        finally:
+            srv.shutdown()
+            svc.stop()
+
+    def test_cli_style_gallery(self, tiny_imagefolder, tmp_path):
+        """--style_image twice -> content+style server with a 2-style
+        gallery; X-Style picks, /styles lists."""
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            build_parser,
+            start,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_gram_attention import (
+            main as train_main,
+        )
+        from PIL import Image
+
+        cfg_path = str(tmp_path / "f2.json")
+        with open(cfg_path, "w") as f:
+            json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                       "gram_matrix_size": 4, "num_classes": 4, "seed": 0}, f)
+        models = str(tmp_path / "m")
+        train_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_path,
+            "--epochs", "1", "--k_folds", "2", "--save_dir", models,
+            "--seed", "0",
+        ])
+        rng = np.random.RandomState(18)
+        for name in ("vangogh", "monet"):
+            Image.fromarray(
+                rng.randint(0, 256, (80, 96, 3), np.uint8)
+            ).save(str(tmp_path / f"{name}.png"))
+        args = build_parser().parse_args([
+            "--family", "gram_attention", "--config_path", cfg_path,
+            "--model_path", os.path.join(models, "best_global_model.npz"),
+            "--port", "0", "--batch_size", "2", "--num_iterations", "3",
+            "--layers", "5", "--no_warmup",
+            "--style_image", str(tmp_path / "vangogh.png"),
+            "--style_image", "claude=" + str(tmp_path / "monet.png"),
+            "--content_weight", "0.5", "--tv_weight", "0.1",
+        ])
+        srv, svc = start(args, crop=64)
+        host, port = srv.server_address[:2]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            base = f"http://{host}:{port}"
+            code, body = _http_get(base + "/styles")
+            assert json.loads(body) == {"styles": ["vangogh", "claude"]}
+            img = np.random.RandomState(19).randint(
+                0, 256, (64, 64, 3), np.uint8
+            )
+            code, png, headers = _http_post(
+                base + "/style", img.tobytes(),
+                {"X-Raw-Shape": "64,64,3", "X-Style": "claude"},
+            )
+            assert code == 200
+            out = np.asarray(Image.open(io.BytesIO(png)))
+            assert out.shape == (64, 64, 3)
         finally:
             srv.shutdown()
             svc.stop()
