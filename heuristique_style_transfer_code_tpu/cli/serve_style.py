@@ -70,6 +70,11 @@ def build_parser():
         "--style_init", choices=["content", "noise"], default="content",
         help="Canvas initialisation for --style_image jobs",
     )
+    parser.add_argument(
+        "--style_layers", choices=["last", "all"], default="last",
+        help="Style Grams at the truncation point only, or at every "
+        "executed ResNet stage (classic multi-scale Gatys statistics)",
+    )
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--max_seconds", type=float, default=None,
                         help="Exit after this many seconds (smoke tests)")
@@ -131,7 +136,7 @@ def _build_content_style_kwargs(args):
         raise ValueError("--style_image requires --family gram_attention")
     from ..config.schema import GramAttentionConfig
     from ..data.loader import load_image_staged
-    from ..tasks.style_transfer import make_feature_fn_gram_attention
+    from ..tasks.style_transfer import make_extract_fn_gram_attention
 
     cfg = GramAttentionConfig.from_json(args.config_path)
     variables = load_checkpoint_tree(
@@ -141,9 +146,10 @@ def _build_content_style_kwargs(args):
         print(
             f"Nombre total de paramètres du modèle : {count_params(variables)}"
         )
-    feature_fn = make_feature_fn_gram_attention(
+    extract_fn = make_extract_fn_gram_attention(
         variables, cfg.truncate_layer, layers=args.layers,
         compute_dtype=resolve_compute_dtype(args.precision),
+        style_layers=args.style_layers,
     )
     styles = {}
     for spec in args.style_image:
@@ -154,7 +160,7 @@ def _build_content_style_kwargs(args):
             raise ValueError(f"duplicate style name {name!r}")
         styles[name] = load_image_staged(path)
     return dict(
-        feature_fn=feature_fn, styles=styles,
+        extract_fn=extract_fn, styles=styles,
         style_weight=args.style_weight, content_weight=args.content_weight,
         tv_weight=args.tv_weight, init=args.style_init,
     )

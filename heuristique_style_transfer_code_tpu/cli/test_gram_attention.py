@@ -65,6 +65,12 @@ def build_parser():
                         help="Total-variation smoothness term on the canvas "
                         "(--style_image runs only)")
     parser.add_argument(
+        "--style_layers", choices=["last", "all"], default="last",
+        help="--style_image runs: match style Grams at the truncation "
+        "point only, or at every executed ResNet stage (classic "
+        "multi-scale Gatys statistics; same encoder pass either way)",
+    )
+    parser.add_argument(
         "--style_init", choices=["content", "noise"], default="content",
         help="Pixel initialisation for --style_image runs: the content "
         "image (classic, fastest) or randn like the texture loop",
@@ -282,6 +288,7 @@ def main(argv=None):
                 style_weight=args.style_weight,
                 content_weight=args.content_weight,
                 tv_weight=args.tv_weight,
+                style_layers=args.style_layers,
                 threshold=args.threshold,
                 num_iterations=args.num_iterations,
                 learning_rate=args.learning_rate,

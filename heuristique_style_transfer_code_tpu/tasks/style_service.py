@@ -83,7 +83,7 @@ class StyleTransferService:
 
     - **texture** (``gram_fn=``, the reference's semantics): each job's own
       Gram is the target and the canvas starts from noise.
-    - **content+style** (``feature_fn=`` + ``styles=``, beyond parity): a
+    - **content+style** (``extract_fn=`` + ``styles=``, beyond parity): a
       gallery of named style images is encoded ONCE at startup into a
       device-resident Gram stack; each job picks a style by name
       (``submit(image, style="vangogh")``) and its canvas is optimised for
@@ -96,9 +96,9 @@ class StyleTransferService:
     ----------
     gram_fn : per-image target-Gram program (``make_gram_fn_gram_attention``
         / ``make_gram_fn_patches`` from tasks/style_transfer.py) — texture
-        mode. Exclusive with ``feature_fn``.
-    feature_fn : per-image encoder-feature program
-        (``make_feature_fn_gram_attention``) — content+style mode; requires
+        mode. Exclusive with ``extract_fn``.
+    extract_fn : per-image ``(feats, [style Grams])`` program
+        (``make_extract_fn_gram_attention``) — content+style mode; requires
         ``styles``, a non-empty ``{name: (H, W, 3) uint8}`` mapping.
     batch_size : static device batch B (jobs per while_loop dispatch).
     max_delay_ms : flush deadline for a partially filled batch. Style jobs
@@ -117,7 +117,7 @@ class StyleTransferService:
         self,
         gram_fn: Optional[Callable] = None,
         *,
-        feature_fn: Optional[Callable] = None,
+        extract_fn: Optional[Callable] = None,
         styles: Optional[dict] = None,
         style_weight: float = 1.0,
         content_weight: float = 1.0,
@@ -139,12 +139,12 @@ class StyleTransferService:
 
         from ..data.augment import eval_preprocess
 
-        if (gram_fn is None) == (feature_fn is None):
+        if (gram_fn is None) == (extract_fn is None):
             raise ValueError(
                 "pass exactly one of gram_fn (texture mode) or "
-                "feature_fn (content+style mode)"
+                "extract_fn (content+style mode)"
             )
-        if feature_fn is not None and not styles:
+        if extract_fn is not None and not styles:
             raise ValueError("content+style mode requires a non-empty styles=")
         if gram_fn is not None and styles:
             raise ValueError("styles= only applies to content+style mode")
@@ -191,29 +191,30 @@ class StyleTransferService:
                 return to_u8(pixels), iters, per_loss
 
         else:
-            from ..ops.gram import gram_matrix_nhwc
-
-            # encode the gallery ONCE: (K, ...) Gram stack, device-resident
+            # encode the gallery ONCE: per style layer, a (K, ...) Gram
+            # stack, device-resident
             style_u8 = np.stack(
                 [_to_canvas(im, self.crop) for im in styles.values()]
             )
-            gram_stack = jnp.asarray(
-                jax.jit(
-                    lambda u8: gram_matrix_nhwc(
-                        feature_fn(eval_preprocess(u8, crop))
-                    ).astype(jnp.float32)
+            gram_stacks = [
+                jnp.asarray(g)
+                for g in jax.jit(
+                    lambda u8: [
+                        g.astype(jnp.float32)
+                        for g in extract_fn(eval_preprocess(u8, crop))[1]
+                    ]
                 )(style_u8)
-            )
+            ]
             optimise = make_content_style_optimizer(
-                feature_fn, style_weight, content_weight,
+                extract_fn, style_weight, content_weight,
                 learning_rate, num_iterations, threshold,
                 tv_weight=tv_weight, mesh=mesh,
             )
 
             def job(images_u8, style_idx, job_ids):
                 images = eval_preprocess(images_u8, crop)
-                content_feats = feature_fn(images).astype(jnp.float32)
-                grams = jnp.take(gram_stack, style_idx, axis=0)
+                content_feats = extract_fn(images)[0].astype(jnp.float32)
+                grams = [jnp.take(gs, style_idx, axis=0) for gs in gram_stacks]
                 if init == "content":
                     pixels0 = images.astype(jnp.float32)
                 else:

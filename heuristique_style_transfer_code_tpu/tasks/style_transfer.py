@@ -158,6 +158,54 @@ def make_feature_fn_gram_attention(
     return feature_fn
 
 
+def make_extract_fn_gram_attention(
+    variables: dict,
+    truncate_layer: int = 8,
+    layers: Optional[int] = None,
+    compute_dtype=None,
+    style_layers: str = "last",
+) -> Callable:
+    """Content+style extraction program: ``images (B,H,W,3) -> (feats,
+    [style Grams])``, one encoder pass.
+
+    ``style_layers='last'``: a single Gram at the truncation point (cheap).
+    ``'all'``: one Gram per executed ResNet stage (layer1..layer<truncate-4>)
+    — the classic Gatys multi-depth style statistics, which capture texture
+    at several receptive-field scales; the stage activations are computed by
+    the same pass either way, so the extra cost is only the Gram
+    contractions. Both reuse `nn/resnet.resnet50_apply`'s stage-Gram hook
+    (the gram-attention model's own mechanism,
+    Models_RESNET50_TRUNCATE_GRAM_with_Attention.py:43-46)."""
+    from ..nn.resnet import resnet50_apply
+    from ..ops.gram import gram_matrix_nhwc
+
+    if style_layers not in ("last", "all"):
+        raise ValueError(
+            f"style_layers must be 'last' or 'all', got {style_layers!r}"
+        )
+    truncate = min(
+        layers if layers is not None else truncate_layer, truncate_layer, 8
+    )
+    enc = variables["encoder"]
+    if compute_dtype is not None:
+        from ..core.dtypes import Policy
+
+        enc = Policy(compute_dtype=compute_dtype).cast_to_compute(enc)
+
+    def extract_fn(images):
+        if compute_dtype is not None:
+            images = images.astype(compute_dtype)
+        feats, grams, _ = resnet50_apply(
+            enc, images, truncate=truncate,
+            collect_grams=(style_layers == "all"),
+        )
+        if style_layers != "all" or not grams:
+            grams = [gram_matrix_nhwc(feats)]
+        return feats, grams
+
+    return extract_fn
+
+
 def make_gram_fn_gram_attention(
     variables: dict,
     truncate_layer: int = 8,
@@ -193,7 +241,7 @@ def total_variation(pixels: jax.Array) -> jax.Array:
 
 
 def make_content_style_optimizer(
-    feature_fn: Callable[[jax.Array], jax.Array],
+    extract_fn: Callable,
     style_weight: float = 1.0,
     content_weight: float = 1.0,
     learning_rate: float = 0.01,
@@ -208,29 +256,31 @@ def make_content_style_optimizer(
     (functions_RESNET50_Truncate_Gram_Attention.py:218-285, no content
     term).
 
-    Per image: ``style_weight * MSE(gram(feats), style_gram) +
+    ``extract_fn(pixels) -> (feats, [style Grams])``
+    (``make_extract_fn_gram_attention``). Per image:
+    ``style_weight * sum_l MSE(gram_l, style_gram_l) +
     content_weight * MSE(feats, content_feats) [+ tv_weight * TV(pixels)]``
-    with feats from ONE encoder pass per iteration (both terms share it — no
-    second forward). Same per-image early stop / iteration cap / masked Adam
-    updates as the texture loop, so converged images freeze bit-exactly.
+    with everything from ONE encoder pass per iteration (the layer Grams are
+    hooks on that pass — no second forward). Same per-image early stop /
+    iteration cap / masked Adam updates as the texture loop, so converged
+    images freeze bit-exactly.
 
-    Returns fn(init_pixels, style_grams, content_feats) ->
+    Returns fn(init_pixels, style_grams_list, content_feats) ->
     (pixels, iterations_run, final_per_image_loss). ``init_pixels`` is the
     classic knob: the (normalised) content image converges fastest; noise
     reproduces the texture loop's start."""
-    from ..ops.gram import gram_matrix_nhwc
-
     adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
     sw, cw, tw = float(style_weight), float(content_weight), float(tv_weight)
 
     def per_image_loss(pixels, style_grams, content_feats):
-        feats = feature_fn(pixels)
-        g = gram_matrix_nhwc(feats)
-        axes_g = tuple(range(1, g.ndim))
-        style = jnp.mean(
-            jnp.square(g.astype(jnp.float32) - style_grams.astype(jnp.float32)),
-            axis=axes_g,
-        )
+        feats, grams = extract_fn(pixels)
+        style = 0.0
+        for g, t in zip(grams, style_grams):
+            axes_g = tuple(range(1, g.ndim))
+            style = style + jnp.mean(
+                jnp.square(g.astype(jnp.float32) - t.astype(jnp.float32)),
+                axis=axes_g,
+            )
         axes_f = tuple(range(1, feats.ndim))
         content = jnp.mean(
             jnp.square(
@@ -418,6 +468,7 @@ def content_style_transfer_gram_attention(
     style_weight: float = 1.0,
     content_weight: float = 1.0,
     tv_weight: float = 0.0,
+    style_layers: str = "last",
     threshold: float = 1e-4,
     num_iterations: int = 500,
     learning_rate: float = 0.01,
@@ -431,28 +482,32 @@ def content_style_transfer_gram_attention(
     has no content term): every content image in ``loader`` is re-rendered
     in the style of ONE style image. ``init='content'`` starts the pixels at
     the content image (classic, converges fastest); ``'noise'`` starts from
-    randn like the texture loop. Saves [content | stylised] PNGs and returns
-    their paths."""
+    randn like the texture loop. ``style_layers='all'`` matches style Grams
+    at every executed ResNet stage (multi-scale texture) instead of only the
+    truncation point. Saves [content | stylised] PNGs and returns their
+    paths."""
     from ..data.augment import eval_preprocess
-    from ..ops.gram import gram_matrix_nhwc
 
     if init not in ("content", "noise"):
         raise ValueError(f"init must be 'content' or 'noise', got {init!r}")
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    feature_fn = make_feature_fn_gram_attention(
-        variables, truncate_layer, layers=layers, compute_dtype=compute_dtype
+    extract_fn = make_extract_fn_gram_attention(
+        variables, truncate_layer, layers=layers,
+        compute_dtype=compute_dtype, style_layers=style_layers,
     )
     optimise = make_content_style_optimizer(
-        feature_fn, style_weight, content_weight,
+        extract_fn, style_weight, content_weight,
         learning_rate, num_iterations, threshold,
         tv_weight=tv_weight, mesh=mesh,
     )
-    features = jax.jit(feature_fn)  # one program for the target passes
+    extract = jax.jit(extract_fn)  # one program for the target passes
 
     style_pre = eval_preprocess(jnp.asarray(style_image_u8)[None])
-    style_gram = np.asarray(gram_matrix_nhwc(features(style_pre)))[0]
+    style_grams = [
+        np.asarray(g)[0] for g in extract(style_pre)[1]
+    ]
 
     current_date = datetime.now().strftime("%Y-%m-%d")
     out_dir = os.path.join(save_dir, f"style_transfer_{current_date}")
@@ -463,10 +518,13 @@ def content_style_transfer_gram_attention(
     for batch in loader:
         n = batch["n_valid"]
         images = eval_preprocess(jnp.asarray(batch["image"]))
-        content_feats = features(images).astype(jnp.float32)
-        grams = jnp.broadcast_to(
-            jnp.asarray(style_gram)[None], (images.shape[0],) + style_gram.shape
-        )
+        content_feats = extract(images)[0].astype(jnp.float32)
+        grams = [
+            jnp.broadcast_to(
+                jnp.asarray(g)[None], (images.shape[0],) + g.shape
+            )
+            for g in style_grams
+        ]
         if init == "content":
             pixels0 = images.astype(jnp.float32)
         else:

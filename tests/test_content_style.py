@@ -17,8 +17,9 @@ from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
 )
 
 
-def _identity_features(images):
-    return images  # feats = pixels: content loss becomes pixel MSE
+def _identity_extract(images):
+    # feats = pixels (content loss becomes pixel MSE); one pixel-Gram layer
+    return images, [gram_matrix_nhwc(images)]
 
 
 class TestOptimizer:
@@ -29,11 +30,11 @@ class TestOptimizer:
         content = jax.random.uniform(key, (2, 8, 8, 3), jnp.float32)
         noise = jax.random.normal(jax.random.PRNGKey(1), content.shape)
         opt = make_content_style_optimizer(
-            _identity_features, style_weight=0.0, content_weight=1.0,
+            _identity_extract, style_weight=0.0, content_weight=1.0,
             learning_rate=0.05, num_iterations=600, threshold=1e-5,
         )
         grams = gram_matrix_nhwc(content)  # ignored at weight 0
-        pixels, iters, per = opt(noise, grams, content)
+        pixels, iters, per = opt(noise, [grams], content)
         assert float(per.max()) < 1e-5
         assert int(iters) < 600  # early stop fired
         np.testing.assert_allclose(
@@ -49,14 +50,14 @@ class TestOptimizer:
         grams = gram_matrix_nhwc(style)
 
         cs = make_content_style_optimizer(
-            _identity_features, style_weight=1.0, content_weight=0.0,
+            _identity_extract, style_weight=1.0, content_weight=0.0,
             learning_rate=0.05, num_iterations=30, threshold=0.0,
         )
         tex = make_style_transfer_optimizer(
             lambda imgs: [gram_matrix_nhwc(imgs)],
             learning_rate=0.05, num_iterations=30, threshold=0.0,
         )
-        p1, i1, l1 = cs(noise, grams, jnp.zeros_like(style))
+        p1, i1, l1 = cs(noise, [grams], jnp.zeros_like(style))
         p2, i2, l2 = tex(noise, [grams])
         assert int(i1) == int(i2) == 30
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
@@ -71,10 +72,10 @@ class TestOptimizer:
         style = jax.random.uniform(jax.random.PRNGKey(5), (2, 8, 8, 3))
         grams = gram_matrix_nhwc(style)
         opt = make_content_style_optimizer(
-            _identity_features, style_weight=1.0, content_weight=1.0,
+            _identity_extract, style_weight=1.0, content_weight=1.0,
             learning_rate=0.05, num_iterations=50, threshold=0.0,
         )
-        pixels, _, per = opt(content, grams, content)
+        pixels, _, per = opt(content, [grams], content)
         # initial per-image loss (at pixels == content): pure style term
         init = np.asarray(
             jnp.mean(
@@ -83,6 +84,71 @@ class TestOptimizer:
             )
         )
         assert (np.asarray(per) < init).all()
+
+
+def _two_layer_extract(images):
+    half = images[:, ::2, ::2, :]
+    return images, [gram_matrix_nhwc(images), gram_matrix_nhwc(half)]
+
+
+class TestMultiLayerStyle:
+    def test_loss_is_sum_over_layers(self):
+        """With a 2-layer extract, the reported per-image loss after ONE
+        iteration (= loss at the initial pixels, reference body order) must
+        equal sw * (MSE_l1 + MSE_l2) + cw * content MSE, by hand."""
+        key = jax.random.PRNGKey(8)
+        style = jax.random.uniform(key, (2, 8, 8, 3), jnp.float32)
+        content = jax.random.uniform(jax.random.PRNGKey(9), style.shape)
+        pixels0 = jax.random.normal(jax.random.PRNGKey(10), style.shape)
+        _, targets = _two_layer_extract(style)
+        opt = make_content_style_optimizer(
+            _two_layer_extract, style_weight=2.0, content_weight=0.5,
+            learning_rate=0.05, num_iterations=1, threshold=0.0,
+        )
+        _, _, per = opt(pixels0, targets, content)
+        _, grams0 = _two_layer_extract(pixels0)
+        expect = 2.0 * sum(
+            jnp.mean(jnp.square(g - t), axis=(1, 2))
+            for g, t in zip(grams0, targets)
+        ) + 0.5 * jnp.mean(jnp.square(pixels0 - content), axis=(1, 2, 3))
+        np.testing.assert_allclose(
+            np.asarray(per), np.asarray(expect), rtol=1e-5
+        )
+
+    def test_extract_fn_gram_attention_layers(self):
+        """style_layers='all' at truncate 6 hooks one Gram per executed
+        stage (layer1: 256ch, layer2: 512ch); 'last' is the single
+        truncation-point Gram; invalid values are rejected."""
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            make_extract_fn_gram_attention,
+        )
+
+        variables = gram_attention_init(jax.random.PRNGKey(0), 6, 4, 4)
+        images = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+
+        feats_all, grams_all = make_extract_fn_gram_attention(
+            variables, 6, layers=6, style_layers="all"
+        )(images)
+        assert [g.shape for g in grams_all] == [(2, 256, 256), (2, 512, 512)]
+
+        feats_last, grams_last = make_extract_fn_gram_attention(
+            variables, 6, layers=6, style_layers="last"
+        )(images)
+        assert len(grams_last) == 1
+        assert grams_last[0].shape == (2, 512, 512)
+        np.testing.assert_array_equal(
+            np.asarray(feats_all), np.asarray(feats_last)
+        )
+        # the deepest 'all' Gram IS the truncation-point Gram
+        np.testing.assert_allclose(
+            np.asarray(grams_all[1]), np.asarray(grams_last[0]), rtol=1e-6
+        )
+
+        with pytest.raises(ValueError, match="style_layers"):
+            make_extract_fn_gram_attention(variables, 6, style_layers="deep")
 
 
 class TestTotalVariation:
@@ -104,13 +170,13 @@ class TestTotalVariation:
         outs = {}
         for tv in (0.0, 5.0):
             opt = make_content_style_optimizer(
-                _identity_features, style_weight=1.0, content_weight=1.0,
+                _identity_extract, style_weight=1.0, content_weight=1.0,
                 learning_rate=0.05, num_iterations=80, threshold=0.0,
                 tv_weight=tv,
             )
             pixels, _, _ = opt(
                 jax.random.normal(jax.random.PRNGKey(7), content.shape),
-                grams, content,
+                [grams], content,
             )
             outs[tv] = pixels
         tv0 = float(total_variation(outs[0.0]).mean())
@@ -118,11 +184,11 @@ class TestTotalVariation:
         assert tv5 < tv0
         # tv_weight=0 stays the exact no-TV program (loss graph unchanged)
         opt_plain = make_content_style_optimizer(
-            _identity_features, 1.0, 1.0, 0.05, 80, 0.0,
+            _identity_extract, 1.0, 1.0, 0.05, 80, 0.0,
         )
         p_plain, _, _ = opt_plain(
             jax.random.normal(jax.random.PRNGKey(7), content.shape),
-            grams, content,
+            [grams], content,
         )
         np.testing.assert_array_equal(np.asarray(outs[0.0]), np.asarray(p_plain))
 
@@ -235,6 +301,7 @@ class TestTaskAndCLI:
             "--save_dir", out, "--layers", "5", "--num_iterations", "3",
             "--threshold", "1e-3", "--num_samples", "2", "--batch_size", "2",
             "--style_image", style_path, "--content_weight", "0.5",
+            "--tv_weight", "0.05", "--style_layers", "all",
         ])
         st_dirs = [d for d in os.listdir(out) if d.startswith("style_transfer_")]
         assert st_dirs

@@ -146,8 +146,8 @@ class TestService:
             svc.stop()
 
 
-def _identity_features(images):
-    return images
+def _identity_extract(images):
+    return images, [gram_matrix_nhwc(images)]
 
 
 def _cs_service(**kw):
@@ -165,7 +165,7 @@ def _cs_service(**kw):
     kw.setdefault("learning_rate", 0.05)
     kw.setdefault("seed", 0)
     kw.setdefault("styles", styles)
-    return StyleTransferService(feature_fn=_identity_features, **kw)
+    return StyleTransferService(extract_fn=_identity_extract, **kw)
 
 
 class TestContentStyleService:
@@ -174,11 +174,11 @@ class TestContentStyleService:
             StyleTransferService()
         with pytest.raises(ValueError, match="exactly one"):
             StyleTransferService(
-                _pixel_gram_fn, feature_fn=_identity_features,
+                _pixel_gram_fn, extract_fn=_identity_extract,
                 styles={"a": np.zeros((CROP, CROP, 3), np.uint8)},
             )
         with pytest.raises(ValueError, match="styles"):
-            StyleTransferService(feature_fn=_identity_features)
+            StyleTransferService(extract_fn=_identity_extract)
         with pytest.raises(ValueError, match="styles"):
             StyleTransferService(
                 _pixel_gram_fn,
