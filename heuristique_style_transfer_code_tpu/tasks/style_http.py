@@ -4,7 +4,9 @@ POST /style with an image body (JPEG/PNG — anything PIL decodes; raw uint8
 HxWx3 via the X-Raw-Shape header) returns the stylised canvas as a PNG with
 ``X-Iterations`` and ``X-Final-Loss`` response headers. When the service
 runs in content+style mode, the ``X-Style`` request header picks a gallery
-style by name (GET /styles lists them; default: the first). GET /stats
+style by name — or blends several: ``X-Style: vangogh:0.7,monet:0.3``
+interpolates the target Grams (GET /styles lists names; default: the
+first). GET /stats
 returns the service counters, GET /healthz returns 200 while the workers
 are alive.
 
@@ -25,6 +27,26 @@ import numpy as np
 
 from .serving_http import _decode_image
 from .style_service import StyleTransferService
+
+
+def _parse_style_header(value):
+    """``None`` | ``"name"`` | ``"a:0.7,b:0.3"`` -> submit()'s style arg.
+    A part without an explicit weight gets 1.0 (``"a,b"`` = equal blend)."""
+    if value is None or ("," not in value and ":" not in value):
+        return value
+    style = {}
+    for part in value.split(","):
+        name, _, wt = part.partition(":")
+        name = name.strip()
+        if not name:
+            raise ValueError(f"empty style name in X-Style: {value!r}")
+        try:
+            style[name] = float(wt) if wt.strip() else 1.0
+        except ValueError:
+            raise ValueError(
+                f"bad weight {wt.strip()!r} for style {name!r} in X-Style"
+            )
+    return style
 
 
 def make_style_http_server(
@@ -101,7 +123,8 @@ def make_style_http_server(
                 self._json(400, {"error": str(e) or repr(e)})
                 return
             try:
-                fut = service.submit(image, style=self.headers.get("X-Style"))
+                style = _parse_style_header(self.headers.get("X-Style"))
+                fut = service.submit(image, style=style)
             except ValueError as e:
                 self._json(400, {"error": str(e) or repr(e)})
                 return

@@ -86,11 +86,16 @@ class StyleTransferService:
     - **content+style** (``extract_fn=`` + ``styles=``, beyond parity): a
       gallery of named style images is encoded ONCE at startup into a
       device-resident Gram stack; each job picks a style by name
-      (``submit(image, style="vangogh")``) and its canvas is optimised for
-      ``style_weight * gram-MSE + content_weight * feature-MSE
-      [+ tv_weight * TV]`` starting from the content image (``init=
-      'content'``, classic) or per-job noise. Per-batch device work indexes
-      the resident stack — no style re-encoding per dispatch.
+      (``submit(image, style="vangogh")``) or BLENDS several
+      (``style={"vangogh": 0.7, "monet": 0.3}`` — the target is the
+      convex combination of the gallery Grams, the classic style
+      interpolation) and its canvas is optimised for ``style_weight *
+      gram-MSE + content_weight * feature-MSE [+ tv_weight * TV]``
+      starting from the content image (``init='content'``, classic) or
+      per-job noise. Per-batch device work is one tiny ``(B,K)×(K,...)``
+      contraction against the resident stacks — no style re-encoding per
+      dispatch, and a pure-name pick (one-hot weights) is bit-identical
+      to indexing.
 
     Parameters
     ----------
@@ -182,8 +187,8 @@ class StyleTransferService:
                 gram_fn, learning_rate, num_iterations, threshold, mesh=mesh
             )
 
-            def job(images_u8, style_idx, job_ids):
-                del style_idx  # texture mode: the target is the job's own Gram
+            def job(images_u8, style_w, job_ids):
+                del style_w  # texture mode: the target is the job's own Gram
                 images = eval_preprocess(images_u8, crop)
                 targets = gram_fn(images)
                 noise0 = noise0_for(job_ids, images.shape[1:])
@@ -211,10 +216,15 @@ class StyleTransferService:
                 tv_weight=tv_weight, mesh=mesh,
             )
 
-            def job(images_u8, style_idx, job_ids):
+            def job(images_u8, style_w, job_ids):
                 images = eval_preprocess(images_u8, crop)
                 content_feats = extract_fn(images)[0].astype(jnp.float32)
-                grams = [jnp.take(gs, style_idx, axis=0) for gs in gram_stacks]
+                # per-job convex Gram blend; a one-hot row is bit-identical
+                # to indexing (g*1 + 0 is exact in f32)
+                grams = [
+                    jnp.einsum("bk,k...->b...", style_w, gs)
+                    for gs in gram_stacks
+                ]
                 if init == "content":
                     pixels0 = images.astype(jnp.float32)
                 else:
@@ -269,31 +279,55 @@ class StyleTransferService:
                 (b, c, c, 3), jnp.uint8, sharding=self._sharding
             )
         ids_s = jax.ShapeDtypeStruct((b,), jnp.int32)
-        self._job.lower(img_s, ids_s, ids_s).compile()
+        w_s = jax.ShapeDtypeStruct(
+            (b, max(1, len(self.style_names))), jnp.float32
+        )
+        self._job.lower(img_s, w_s, ids_s).compile()
 
-    def submit(self, image: np.ndarray, style: Optional[str] = None) -> Future:
+    def _style_weights(self, style) -> np.ndarray:
+        """(K,) f32 blend weights from a gallery name, a {name: weight}
+        mapping (normalised to sum 1 — a convex Gram interpolation), or
+        None (the first style)."""
+        names = self.style_names
+        if style is None:
+            style = names[0]
+        if isinstance(style, str):
+            if style not in names:
+                raise ValueError(
+                    f"unknown style {style!r}; gallery: {names}"
+                )
+            w = np.zeros((len(names),), np.float32)
+            w[names.index(style)] = 1.0
+            return w
+        unknown = [n for n in style if n not in names]
+        if unknown:
+            raise ValueError(f"unknown styles {unknown}; gallery: {names}")
+        w = np.zeros((len(names),), np.float32)
+        for n, v in style.items():
+            v = float(v)
+            if not np.isfinite(v) or v < 0:
+                raise ValueError(f"style weight for {n!r} must be >= 0, got {v}")
+            w[names.index(n)] = v
+        total = float(w.sum())
+        if total <= 0:
+            raise ValueError("style weights must sum to > 0")
+        return w / total
+
+    def submit(self, image: np.ndarray, style=None) -> Future:
         """Submit one RGB uint8 image; returns a Future resolving to a
         StyleJobResult. Images larger than (crop, crop) are host-downscaled
         in the caller's thread (canonical 256:224 staged geometry). In
-        content+style mode ``style`` picks a gallery style by name (default:
-        the first); texture mode takes no style."""
+        content+style mode ``style`` picks a gallery style by name, or
+        blends several with a ``{name: weight}`` mapping (default: the
+        first style); texture mode takes no style."""
         if self._stop.is_set():
             raise RuntimeError("service is stopped")
         if self.style_names:
-            style_idx = (
-                0 if style is None else
-                self.style_names.index(style)
-                if style in self.style_names
-                else -1
-            )
-            if style_idx < 0:
-                raise ValueError(
-                    f"unknown style {style!r}; gallery: {self.style_names}"
-                )
+            style_w = self._style_weights(style)
         elif style is not None:
             raise ValueError("texture mode takes no style= (no gallery)")
         else:
-            style_idx = 0
+            style_w = np.zeros((1,), np.float32)
         image = _to_canvas(image, self.crop)
         with self._id_lock:
             job_id = self._next_id
@@ -301,7 +335,7 @@ class StyleTransferService:
         fut: Future = Future()
         t = time.perf_counter()
         fut._hst_submit_time = t
-        self._requests.put((image, style_idx, job_id, fut, t))
+        self._requests.put((image, style_w, job_id, fut, t))
         if self._stop.is_set() and fut.cancel():
             raise RuntimeError("service is stopped")
         return fut
@@ -385,7 +419,7 @@ class StyleTransferService:
         if item is None:
             return None
         images: List[np.ndarray] = [item[0]]
-        sidx: List[int] = [item[1]]
+        sidx: List[np.ndarray] = [item[1]]
         ids: List[int] = [item[2]]
         futures: List[Future] = [item[3]]
         deadline = item[4] + self.max_delay
@@ -434,7 +468,7 @@ class StyleTransferService:
                 ids = ids + [ids[0]] * (self.batch_size - n)
             try:
                 arr = np.stack(images)
-                sidx_arr = np.asarray(sidx, np.int32)
+                sidx_arr = np.stack(sidx).astype(np.float32)
                 id_arr = np.asarray(ids, np.int32)
                 if self._sharding is not None:
                     arr = jax.device_put(arr, self._sharding)

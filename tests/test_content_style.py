@@ -193,6 +193,79 @@ class TestTotalVariation:
         np.testing.assert_array_equal(np.asarray(outs[0.0]), np.asarray(p_plain))
 
 
+class TestSharded:
+    def test_batch_sharded_matches_single_device(self):
+        """mesh= batch-shards the content+style optimisations over 'data';
+        lanes are independent, so results must match single-device
+        numerically (matmul tiling differs per shard width — tight rtol,
+        not bit-equality)."""
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_2d,
+        )
+
+        key = jax.random.PRNGKey(20)
+        style = jax.random.uniform(key, (8, 16, 16, 3), jnp.float32)
+        content = jax.random.uniform(jax.random.PRNGKey(21), style.shape)
+        noise0 = jax.random.normal(jax.random.PRNGKey(22), style.shape)
+        _, targets = _identity_extract(style)
+
+        single = make_content_style_optimizer(
+            _identity_extract, 1.0, 0.5, 0.05, 40, 1e-4, tv_weight=0.1,
+        )
+        mesh = make_mesh_2d(8, model_parallel=1)
+        sharded = make_content_style_optimizer(
+            _identity_extract, 1.0, 0.5, 0.05, 40, 1e-4, tv_weight=0.1,
+            mesh=mesh,
+        )
+        p_a, i_a, per_a = single(noise0, targets, content)
+        p_b, i_b, per_b = sharded(noise0, targets, content)
+        assert int(i_a) == int(i_b)
+        np.testing.assert_allclose(
+            np.asarray(per_a), np.asarray(per_b), rtol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-4)
+
+    def test_spatial_sharded_matches_single_device(self):
+        """A 'spatial' mesh axis shards each canvas's H rows (big-canvas
+        path); a 3x3-conv extract exercises GSPMD halo exchanges in the
+        forward AND the pixel-gradient transpose every iteration, and the
+        TV term's H-adjacent differences add a second halo pattern."""
+        from heuristique_style_transfer_code_tpu.ops.conv import (
+            conv2d,
+            conv2d_init,
+        )
+        from heuristique_style_transfer_code_tpu.parallel.sharding import (
+            make_mesh_spatial,
+        )
+
+        conv = conv2d_init(jax.random.PRNGKey(23), 3, 8, 3)
+
+        def extract(imgs):
+            feats = conv2d(conv, imgs, stride=1, padding=1)
+            return feats, [gram_matrix_nhwc(feats)]
+
+        key = jax.random.PRNGKey(24)
+        style = jax.random.uniform(key, (2, 16, 16, 3), jnp.float32)
+        content = jax.random.uniform(jax.random.PRNGKey(25), style.shape)
+        noise0 = jax.random.normal(jax.random.PRNGKey(26), style.shape)
+        content_feats, targets = extract(style)
+
+        single = make_content_style_optimizer(
+            extract, 1.0, 0.5, 0.05, 40, 1e-4, tv_weight=0.1,
+        )
+        mesh = make_mesh_spatial(8, spatial=4)  # data=2 x spatial=4
+        sharded = make_content_style_optimizer(
+            extract, 1.0, 0.5, 0.05, 40, 1e-4, tv_weight=0.1, mesh=mesh,
+        )
+        p_a, i_a, per_a = single(noise0, targets, content_feats)
+        p_b, i_b, per_b = sharded(noise0, targets, content_feats)
+        assert int(i_a) == int(i_b)
+        np.testing.assert_allclose(
+            np.asarray(per_a), np.asarray(per_b), rtol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-4)
+
+
 class TestTaskAndCLI:
     def test_task_writes_artifacts(self, tiny_imagefolder, tmp_path):
         from heuristique_style_transfer_code_tpu.data.imagefolder import (

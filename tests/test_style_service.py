@@ -228,6 +228,37 @@ class TestContentStyleService:
                 f.result(timeout=120)
         np.testing.assert_array_equal(r_alone.image, r_full.image)
 
+    def test_style_blend(self):
+        """{name: weight} interpolates the target Grams: a one-hot dict is
+        bit-identical to the plain name pick, and a 50/50 blend differs
+        from both endpoints."""
+        img = _images(1, seed=30)[0]
+        with _cs_service() as svc:
+            r_name = svc.submit(img, style="warm").result(timeout=120)
+            r_onehot = svc.submit(img, style={"warm": 1.0}).result(timeout=120)
+            # weights are normalised: {"warm": 2.0} is the same target
+            r_scaled = svc.submit(img, style={"warm": 2.0}).result(timeout=120)
+            r_mix = svc.submit(
+                img, style={"warm": 0.5, "cool": 0.5}
+            ).result(timeout=120)
+            r_cool = svc.submit(img, style="cool").result(timeout=120)
+        np.testing.assert_array_equal(r_name.image, r_onehot.image)
+        np.testing.assert_array_equal(r_name.image, r_scaled.image)
+        assert not np.array_equal(r_mix.image, r_name.image)
+        assert not np.array_equal(r_mix.image, r_cool.image)
+
+    def test_bad_blends_rejected(self):
+        with _cs_service() as svc:
+            img = _images(1, seed=31)[0]
+            with pytest.raises(ValueError, match="unknown styles"):
+                svc.submit(img, style={"warm": 0.5, "nosuch": 0.5})
+            with pytest.raises(ValueError, match=">= 0"):
+                svc.submit(img, style={"warm": -1.0})
+            with pytest.raises(ValueError, match="sum to > 0"):
+                svc.submit(img, style={"warm": 0.0, "cool": 0.0})
+            r = svc.submit(img).result(timeout=120)  # still healthy
+            assert r.image.shape == (CROP, CROP, 3)
+
     def test_content_init_pulls_toward_content(self):
         """With identity features and a dominant content term, the canvas
         must stay close to the content image (sanity of the mode wiring)."""
@@ -351,11 +382,21 @@ class TestHttp:
                     outs[style] = np.asarray(Image.open(io.BytesIO(png)))
                 assert not np.array_equal(outs["warm"], outs["cool"])
 
-                code, _, _ = _http_post(
+                code, png, _ = _http_post(
                     base + "/style", img.tobytes(),
-                    {**hdr, "X-Style": "nosuch"},
+                    {**hdr, "X-Style": "warm:0.5,cool:0.5"},
                 )
-                assert code == 400
+                assert code == 200
+                blend = np.asarray(Image.open(io.BytesIO(png)))
+                assert not np.array_equal(blend, outs["warm"])
+                assert not np.array_equal(blend, outs["cool"])
+
+                for bad in ("nosuch", "warm:abc", "warm:-1", ":0.5"):
+                    code, _, _ = _http_post(
+                        base + "/style", img.tobytes(),
+                        {**hdr, "X-Style": bad},
+                    )
+                    assert code == 400, bad
                 code, _ = _http_get(base + "/healthz")
                 assert code == 200
             finally:
