@@ -34,8 +34,28 @@ def build_parser():
         description="HTTP style-transfer job server with dynamic batching"
     )
     parser.add_argument("--family", choices=FAMILIES, default="gram_attention")
-    parser.add_argument("--config_path", type=str, required=True)
-    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--config_path", type=str, default=None,
+                        help="Required unless --artifact is given")
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="Required unless --artifact is given")
+    parser.add_argument(
+        "--artifact", type=str, default=None,
+        help="Serve from an AOT style artifact (deploy/artifact.py): the "
+        "whole batched while_loop job program with weights and the style "
+        "gallery baked in — no model code, checkpoint or style images on "
+        "the serving host. Batch size / crop / iterations / gallery come "
+        "from the artifact metadata (those flags are ignored).",
+    )
+    parser.add_argument(
+        "--export_artifact", type=str, default=None,
+        help="Write the AOT style artifact for the configured service to "
+        "this path and exit (serve it later with --artifact)",
+    )
+    parser.add_argument(
+        "--export_platforms", type=str, default=None,
+        help="Comma-separated lowering platforms for --export_artifact "
+        "(e.g. 'tpu,cpu'); default: the current backend",
+    )
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8001,
                         help="0 picks a free port (printed at startup)")
@@ -166,18 +186,44 @@ def _build_content_style_kwargs(args):
     )
 
 
-def start(args, crop: int = 224):
-    """Build the service + HTTP server and start both (returns (srv,
-    service); used by main() and callable programmatically/from tests)."""
-    from ..tasks.style_http import make_style_http_server
+def _require_model_args(args):
+    if not args.config_path or not args.model_path:
+        raise SystemExit(
+            "--config_path and --model_path are required unless --artifact "
+            "is given"
+        )
+
+
+def build_service(args, crop: int = 224):
+    """The configured (unstarted) StyleTransferService — from model+config
+    flags, or from an AOT artifact with everything baked in."""
     from ..tasks.style_service import StyleTransferService
 
+    if args.artifact:
+        from ..deploy.artifact import load_style_artifact
+
+        art = load_style_artifact(args.artifact)
+        meta = art.meta
+        print(
+            f"Artifact: batch {meta['batch_size']}, crop {meta['crop']}, "
+            f"{meta['num_iterations']} iters, gallery {meta['style_names']}, "
+            f"platforms {meta['platforms']}", flush=True,
+        )
+        return StyleTransferService(
+            job_fn=art.job_fn,
+            style_names=meta["style_names"],
+            crop=meta["crop"],
+            batch_size=meta["batch_size"],
+            num_iterations=meta["num_iterations"],
+            max_delay_ms=args.max_delay_ms,
+            max_in_flight=args.max_in_flight,
+        )
+    _require_model_args(args)
     if args.style_image:
         kwargs = _build_content_style_kwargs(args)
     else:
         kwargs = dict(gram_fn=_build_gram_fn(args))
-    start_profile(args.profile_dir)
-    service = StyleTransferService(
+    return StyleTransferService(
         crop=crop,
         **kwargs,
         batch_size=args.batch_size,
@@ -188,7 +234,35 @@ def start(args, crop: int = 224):
         max_in_flight=args.max_in_flight,
         mesh=resolve_eval_mesh(args.devices, args.batch_size),
         seed=getattr(args, "seed", None) or 0,
-    ).start()
+    )
+
+
+def export_artifact(args) -> None:
+    """--export_artifact flow: trace+lower the exact job program the server
+    would dispatch (same builder) and write it; exits without serving."""
+    from ..deploy.artifact import export_style_artifact, save_infer_artifact
+
+    service = build_service(args)
+    platforms = (
+        [p.strip() for p in args.export_platforms.split(",") if p.strip()]
+        if args.export_platforms else None
+    )
+    blob, meta = export_style_artifact(service, platforms=platforms)
+    save_infer_artifact(args.export_artifact, blob, meta)
+    print(
+        f"Style artifact written to {args.export_artifact} "
+        f"({len(blob) / 1e6:.1f} MB StableHLO, batch {meta['batch_size']}, "
+        f"platforms {meta['platforms']})"
+    )
+
+
+def start(args, crop: int = 224):
+    """Build the service + HTTP server and start both (returns (srv,
+    service); used by main() and callable programmatically/from tests)."""
+    from ..tasks.style_http import make_style_http_server
+
+    start_profile(args.profile_dir)
+    service = build_service(args, crop=crop).start()
     if not args.no_warmup:
         print("Warming up (AOT compile)...", flush=True)
         t0 = time.time()
@@ -203,6 +277,9 @@ def start(args, crop: int = 224):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     apply_debug_flags(args)
+    if args.export_artifact:
+        export_artifact(args)
+        return
     # SIGTERM = orchestrated shutdown (systemd/k8s): stop accepting, drain
     # submitted jobs, exit — registered BEFORE the warmup so a signal landing
     # mid-compile still shuts down cleanly (same contract as cli/serve)

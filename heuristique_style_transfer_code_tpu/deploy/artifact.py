@@ -189,6 +189,87 @@ class InferenceArtifact:
         return lambda _variables, batch_u8: self(batch_u8)
 
 
+STYLE_ARTIFACT_FORMAT = "hst-style-artifact"
+
+
+def export_style_artifact(
+    service,
+    *,
+    platforms: Optional[Sequence[str]] = None,
+    extra_meta: Optional[dict] = None,
+) -> tuple:
+    """Trace + lower a ``StyleTransferService``'s whole batched job program
+    — uint8 ingest, target Grams (or the gallery stacks), the full
+    Adam-on-pixels ``lax.while_loop`` with per-image early stop, and the
+    uint8 denormalise — with the model weights AND the encoded style
+    gallery baked in as StableHLO constants. The serving host then needs no
+    model code, checkpoint or style images (:func:`load_style_artifact` +
+    ``StyleTransferService(job_fn=...)``).
+
+    The batch size, crop, iteration cap, threshold and learning rate are
+    part of the traced program (a while_loop's bound is static), so they
+    ride the artifact, not the serving flags — ``meta`` records them all.
+    """
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    b, c = service.batch_size, service.crop
+    k = max(1, len(service.style_names))
+    specs = (
+        jax.ShapeDtypeStruct((b, c, c, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((b, k), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    exp = jexport.export(
+        service._job,
+        platforms=tuple(platforms) if platforms is not None else None,
+    )(*specs)
+    meta = {
+        "format": STYLE_ARTIFACT_FORMAT,
+        "version": ARTIFACT_VERSION,
+        "crop": int(c),
+        "batch_size": int(b),
+        "num_iterations": int(service.num_iterations),
+        "style_names": list(service.style_names),
+        "platforms": list(exp.platforms),
+        "n_devices": int(exp.nr_devices),
+        "jax_version": jax.__version__,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    return exp.serialize(), meta
+
+
+class StyleArtifact:
+    """A loaded style-job artifact: ``artifact(images_u8, style_w,
+    job_ids) -> (canvas_u8, iterations, per_image_loss)`` at exactly the
+    exported batch shape. Pass ``artifact.job_fn`` to
+    ``StyleTransferService(job_fn=..., style_names=artifact.meta
+    ["style_names"], batch_size=..., crop=...)`` to serve it."""
+
+    def __init__(self, exported, meta: dict):
+        import jax
+
+        self.meta = dict(meta)
+        self.exported = exported
+        self.job_fn = jax.jit(exported.call)
+
+    def __call__(self, images_u8, style_w, job_ids):
+        return self.job_fn(images_u8, style_w, job_ids)
+
+
+def load_style_artifact(path: str) -> StyleArtifact:
+    from jax import export as jexport
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta.get("format") != STYLE_ARTIFACT_FORMAT:
+            raise ValueError(f"{path} is not a {STYLE_ARTIFACT_FORMAT} file")
+        blob = z["stablehlo"].tobytes()
+    return StyleArtifact(jexport.deserialize(bytearray(blob)), meta)
+
+
 def save_infer_artifact(path: str, blob: bytes, meta: dict) -> None:
     """One self-contained file: the StableHLO blob + JSON metadata (npz
     container — stdlib-loadable). Written via temp-file + rename like

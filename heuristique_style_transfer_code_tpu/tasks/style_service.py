@@ -123,6 +123,8 @@ class StyleTransferService:
         gram_fn: Optional[Callable] = None,
         *,
         extract_fn: Optional[Callable] = None,
+        job_fn: Optional[Callable] = None,
+        style_names: Optional[List[str]] = None,
         styles: Optional[dict] = None,
         style_weight: float = 1.0,
         content_weight: float = 1.0,
@@ -144,15 +146,18 @@ class StyleTransferService:
 
         from ..data.augment import eval_preprocess
 
-        if (gram_fn is None) == (extract_fn is None):
+        n_fns = sum(f is not None for f in (gram_fn, extract_fn, job_fn))
+        if n_fns != 1:
             raise ValueError(
-                "pass exactly one of gram_fn (texture mode) or "
-                "extract_fn (content+style mode)"
+                "pass exactly one of gram_fn (texture mode), extract_fn "
+                "(content+style mode) or job_fn (a pre-built/AOT program)"
             )
         if extract_fn is not None and not styles:
             raise ValueError("content+style mode requires a non-empty styles=")
-        if gram_fn is not None and styles:
+        if extract_fn is None and styles:
             raise ValueError("styles= only applies to content+style mode")
+        if style_names is not None and job_fn is None:
+            raise ValueError("style_names= only applies with job_fn=")
         if init not in ("content", "noise"):
             raise ValueError(f"init must be 'content' or 'noise', got {init!r}")
 
@@ -160,7 +165,10 @@ class StyleTransferService:
         self.batch_size = int(batch_size)
         self.max_delay = max_delay_ms / 1e3
         self.num_iterations = int(num_iterations)
-        self.style_names: List[str] = list(styles) if styles else []
+        if styles:
+            self.style_names: List[str] = list(styles)
+        else:
+            self.style_names = list(style_names) if style_names else []
 
         base_key = jax.random.PRNGKey(seed)
         mean = jnp.asarray(np.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3))
@@ -194,6 +202,13 @@ class StyleTransferService:
                 noise0 = noise0_for(job_ids, images.shape[1:])
                 pixels, iters, per_loss = optimise(noise0, targets)
                 return to_u8(pixels), iters, per_loss
+
+        elif job_fn is not None:
+            # pre-built program (e.g. a deserialised AOT artifact,
+            # deploy/artifact.load_style_artifact): already the full
+            # (images_u8, style_w, job_ids) -> (u8, iters, per_loss) batch
+            # pipeline with weights/gallery baked in
+            job = job_fn
 
         else:
             # encode the gallery ONCE: per style layer, a (K, ...) Gram

@@ -269,6 +269,57 @@ class TestContentStyleService:
             r = svc.submit(img).result(timeout=120)
         assert np.mean(np.abs(r.image.astype(int) - img.astype(int))) < 3.0
 
+    def test_aot_artifact_round_trip(self, tmp_path):
+        """export_style_artifact bakes the job program (weights + gallery)
+        into StableHLO; a service over the deserialised program returns the
+        same results (allclose — deserialised programs fuse ~1 ULP apart
+        from live jit, per deploy/artifact.py's documented contract)."""
+        from heuristique_style_transfer_code_tpu.deploy.artifact import (
+            export_style_artifact,
+            load_style_artifact,
+            save_infer_artifact,
+        )
+
+        imgs = _images(3, seed=40)
+        picks = ["warm", "cool", {"warm": 0.5, "cool": 0.5}]
+        live = _cs_service()
+        blob, meta = export_style_artifact(live)
+        assert meta["style_names"] == ["warm", "cool"]
+        assert meta["batch_size"] == 4 and meta["crop"] == CROP
+        path = str(tmp_path / "style.npz")
+        save_infer_artifact(path, blob, meta)
+
+        with live:
+            r_live = [
+                live.submit(im, style=s).result(timeout=120)
+                for im, s in zip(imgs, picks)
+            ]
+
+        art = load_style_artifact(path)
+        with StyleTransferService(
+            job_fn=art.job_fn, style_names=art.meta["style_names"],
+            crop=art.meta["crop"], batch_size=art.meta["batch_size"],
+            num_iterations=art.meta["num_iterations"],
+        ) as svc:
+            r_art = [
+                svc.submit(im, style=s).result(timeout=120)
+                for im, s in zip(imgs, picks)
+            ]
+        for a, b in zip(r_live, r_art):
+            assert a.iterations == b.iterations
+            np.testing.assert_allclose(
+                a.image.astype(np.int32), b.image.astype(np.int32), atol=1,
+            )
+            assert a.loss == pytest.approx(b.loss, rel=1e-4)
+
+    def test_job_fn_ctor_validation(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            StyleTransferService(
+                _pixel_gram_fn, job_fn=lambda *a: a,
+            )
+        with pytest.raises(ValueError, match="style_names"):
+            StyleTransferService(_pixel_gram_fn, style_names=["a"])
+
     def test_warmup_compiles_content_style(self):
         svc = _cs_service()
         svc.warmup()
@@ -509,3 +560,72 @@ class TestServeStyleCLI:
         finally:
             srv.shutdown()
             svc.stop()
+
+    def test_cli_artifact_export_and_serve(self, tiny_imagefolder, tmp_path):
+        """--export_artifact writes the AOT job program; --artifact serves
+        it with NO --config_path/--model_path/--style_image — gallery and
+        X-Style picks come from the artifact."""
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            build_parser,
+            main,
+            start,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_gram_attention import (
+            main as train_main,
+        )
+        from PIL import Image
+
+        cfg_path = str(tmp_path / "f2.json")
+        with open(cfg_path, "w") as f:
+            json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                       "gram_matrix_size": 4, "num_classes": 4, "seed": 0}, f)
+        models = str(tmp_path / "m")
+        train_main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_path,
+            "--epochs", "1", "--k_folds", "2", "--save_dir", models,
+            "--seed", "0",
+        ])
+        rng = np.random.RandomState(20)
+        Image.fromarray(
+            rng.randint(0, 256, (80, 96, 3), np.uint8)
+        ).save(str(tmp_path / "vangogh.png"))
+        art_path = str(tmp_path / "style_artifact.npz")
+        main([
+            "--family", "gram_attention", "--config_path", cfg_path,
+            "--model_path", os.path.join(models, "best_global_model.npz"),
+            "--batch_size", "2", "--num_iterations", "3", "--layers", "5",
+            "--style_image", str(tmp_path / "vangogh.png"),
+            "--export_artifact", art_path,
+        ])
+        assert os.path.exists(art_path)
+
+        args = build_parser().parse_args([
+            "--artifact", art_path, "--port", "0",
+        ])
+        srv, svc = start(args)
+        host, port = srv.server_address[:2]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            base = f"http://{host}:{port}"
+            code, body = _http_get(base + "/styles")
+            assert json.loads(body) == {"styles": ["vangogh"]}
+            img = np.random.RandomState(21).randint(
+                0, 256, (224, 224, 3), np.uint8
+            )
+            code, png, headers = _http_post(
+                base + "/style", img.tobytes(),
+                {"X-Raw-Shape": "224,224,3", "X-Style": "vangogh"},
+            )
+            assert code == 200
+            assert int(headers["X-Iterations"]) == 3
+            out = np.asarray(Image.open(io.BytesIO(png)))
+            assert out.shape == (224, 224, 3)
+        finally:
+            srv.shutdown()
+            svc.stop()
+
+    def test_cli_missing_model_args_rejected(self):
+        from heuristique_style_transfer_code_tpu.cli.serve_style import main
+
+        with pytest.raises(SystemExit):
+            main(["--port", "0", "--max_seconds", "1"])
