@@ -59,8 +59,12 @@ def build_parser():
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8001,
                         help="0 picks a free port (printed at startup)")
-    parser.add_argument("--batch_size", type=int, default=8,
-                        help="Jobs per batched while_loop dispatch")
+    parser.add_argument("--batch_size", type=str, default="8",
+                        help="Jobs per batched while_loop dispatch. A "
+                        "comma list ('8,64') compiles several sizes and "
+                        "each dispatch uses the smallest that fits the "
+                        "queued jobs — light load answers at small-batch "
+                        "latency, full load at big-batch throughput")
     parser.add_argument("--max_delay_ms", type=float, default=200.0,
                         help="Flush deadline for a partially filled batch "
                         "(style jobs run for seconds — waiting to double "
@@ -223,16 +227,17 @@ def build_service(args, crop: int = 224):
         kwargs = _build_content_style_kwargs(args)
     else:
         kwargs = dict(gram_fn=_build_gram_fn(args))
+    sizes = [int(s) for s in str(args.batch_size).split(",") if s.strip()]
     return StyleTransferService(
         crop=crop,
         **kwargs,
-        batch_size=args.batch_size,
+        batch_size=sizes if len(sizes) > 1 else sizes[0],
         max_delay_ms=args.max_delay_ms,
         num_iterations=args.num_iterations,
         threshold=args.threshold,
         learning_rate=args.lr,
         max_in_flight=args.max_in_flight,
-        mesh=resolve_eval_mesh(args.devices, args.batch_size),
+        mesh=resolve_eval_mesh(args.devices, min(sizes)),
         seed=getattr(args, "seed", None) or 0,
     )
 
@@ -297,8 +302,9 @@ def main(argv=None):
         pass  # not the main thread (programmatic use)
     srv, service = start(args)
     host, port = srv.server_address[:2]
+    batch_str = ",".join(str(s) for s in service.batch_sizes)
     print(f"Serving style transfer on http://{host}:{port} "
-          f"(batch {service.batch_size}, {args.num_iterations} iters, "
+          f"(batch {batch_str}, {args.num_iterations} iters, "
           f"{args.precision})", flush=True)
     if service.style_names:
         print(f"Style gallery: {service.style_names}", flush=True)

@@ -105,7 +105,16 @@ class StyleTransferService:
     extract_fn : per-image ``(feats, [style Grams])`` program
         (``make_extract_fn_gram_attention``) — content+style mode; requires
         ``styles``, a non-empty ``{name: (H, W, 3) uint8}`` mapping.
-    batch_size : static device batch B (jobs per while_loop dispatch).
+    batch_size : static device batch B (jobs per while_loop dispatch), or a
+        sequence of sizes: the dispatcher then picks the SMALLEST compiled
+        size that fits the collected jobs. Per-iteration wall time scales
+        with the compiled batch (measured 2.1 ms/iter at b8 vs 12.0 at b64,
+        PERF.md), so under light load a multi-size service answers ~5×
+        sooner than one padded to the big batch — while full batches still
+        ride the throughput-optimal size. Results stay deterministic per
+        (job, chosen size); the composition-invariance guarantee holds
+        within each size (XLA may tile different batch shapes ~1 ULP
+        apart).
     max_delay_ms : flush deadline for a partially filled batch. Style jobs
         run for seconds, so the default is far looser than the
         classification batcher's — waiting 200 ms to double occupancy is
@@ -162,7 +171,19 @@ class StyleTransferService:
             raise ValueError(f"init must be 'content' or 'noise', got {init!r}")
 
         self.crop = int(crop)
-        self.batch_size = int(batch_size)
+        try:
+            sizes = sorted({int(b) for b in batch_size})
+        except TypeError:
+            sizes = [int(batch_size)]
+        if not sizes or sizes[0] < 1:
+            raise ValueError(f"batch sizes must be >= 1, got {batch_size}")
+        if job_fn is not None and len(sizes) > 1:
+            raise ValueError(
+                "job_fn= (an AOT artifact) is compiled at ONE batch shape; "
+                "multi-size dispatch needs the live program builders"
+            )
+        self.batch_sizes = sizes
+        self.batch_size = sizes[-1]  # collection cap / throughput size
         self.max_delay = max_delay_ms / 1e3
         self.num_iterations = int(num_iterations)
         if styles:
@@ -264,6 +285,7 @@ class StyleTransferService:
         self._jobs = 0
         self._iters_sum = 0
         self._occupancy_sum = 0.0
+        self._size_hist: dict = {}
         self._consecutive_failures = 0
         self._latencies = deque(maxlen=2048)
         self._started = None
@@ -287,17 +309,18 @@ class StyleTransferService:
         import jax
         import jax.numpy as jnp
 
-        b, c = self.batch_size, self.crop
-        img_s = jax.ShapeDtypeStruct((b, c, c, 3), jnp.uint8)
-        if self._sharding is not None:
-            img_s = jax.ShapeDtypeStruct(
-                (b, c, c, 3), jnp.uint8, sharding=self._sharding
+        c = self.crop
+        for b in self.batch_sizes:
+            img_s = jax.ShapeDtypeStruct((b, c, c, 3), jnp.uint8)
+            if self._sharding is not None:
+                img_s = jax.ShapeDtypeStruct(
+                    (b, c, c, 3), jnp.uint8, sharding=self._sharding
+                )
+            ids_s = jax.ShapeDtypeStruct((b,), jnp.int32)
+            w_s = jax.ShapeDtypeStruct(
+                (b, max(1, len(self.style_names))), jnp.float32
             )
-        ids_s = jax.ShapeDtypeStruct((b,), jnp.int32)
-        w_s = jax.ShapeDtypeStruct(
-            (b, max(1, len(self.style_names))), jnp.float32
-        )
-        self._job.lower(img_s, w_s, ids_s).compile()
+            self._job.lower(img_s, w_s, ids_s).compile()
 
     def _style_weights(self, style) -> np.ndarray:
         """(K,) f32 blend weights from a gallery name, a {name: weight}
@@ -425,6 +448,9 @@ class StyleTransferService:
                 "jobs_per_sec": self._jobs / elapsed if elapsed > 0 else 0.0,
                 "latency_p50_ms": pct(0.50),
                 "latency_p95_ms": pct(0.95),
+                "batch_size_hist": {
+                    str(k): v for k, v in sorted(self._size_hist.items())
+                },
             }
 
     # ---- internals -----------------------------------------------------
@@ -475,12 +501,15 @@ class StyleTransferService:
                 break
             images, sidx, ids, futures = batch
             n = len(images)
-            if n < self.batch_size:
+            # smallest compiled size that fits: per-iteration wall time
+            # scales with the compiled batch, so light batches answer sooner
+            size = next(s for s in self.batch_sizes if s >= n)
+            if n < size:
                 # pad with the first job (its lane converges at the same
                 # iteration as the twin, so padding costs no wall time)
-                images = images + [images[0]] * (self.batch_size - n)
-                sidx = sidx + [sidx[0]] * (self.batch_size - n)
-                ids = ids + [ids[0]] * (self.batch_size - n)
+                images = images + [images[0]] * (size - n)
+                sidx = sidx + [sidx[0]] * (size - n)
+                ids = ids + [ids[0]] * (size - n)
             try:
                 arr = np.stack(images)
                 sidx_arr = np.stack(sidx).astype(np.float32)
@@ -494,14 +523,14 @@ class StyleTransferService:
                 with self._stats_lock:
                     self._consecutive_failures += 1
                 continue
-            self._in_flight.put((out, futures, n))
+            self._in_flight.put((out, futures, n, size))
 
     def _fetch_loop(self):
         while True:
             item = self._in_flight.get()
             if item is None:
                 break
-            (pixels, iters, per_loss), futures, n = item
+            (pixels, iters, per_loss), futures, n, size = item
             try:
                 pixels = np.asarray(pixels)
                 iters = int(iters)
@@ -529,5 +558,6 @@ class StyleTransferService:
                 self._jobs += n
                 self._iters_sum += iters
                 self._consecutive_failures = 0
-                self._occupancy_sum += n / self.batch_size
+                self._occupancy_sum += n / size
+                self._size_hist[size] = self._size_hist.get(size, 0) + 1
                 self._latencies.extend(lats)

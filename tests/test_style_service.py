@@ -129,6 +129,43 @@ class TestService:
             r = svc.submit(_images(1, seed=6)[0]).result(timeout=120)
             assert r.image.shape == (CROP, CROP, 3)
 
+    def test_multi_size_dispatch(self):
+        """batch_size=(2, 4): a lone job dispatches at the SMALL compiled
+        size, a 4-job burst at the big one; a small-size result is
+        bit-identical to a dedicated batch_size=2 service (same compiled
+        program, same job id)."""
+        imgs = _images(4, seed=50)
+        with _service(batch_size=(2, 4)) as svc:
+            assert svc.batch_sizes == [2, 4] and svc.batch_size == 4
+            r_lone = svc.submit(imgs[0]).result(timeout=120)
+            futs = [svc.submit(im) for im in imgs]
+            for f in futs:
+                f.result(timeout=120)
+            hist = svc.stats()["batch_size_hist"]
+        assert hist.get("2", 0) >= 1  # the lone job rode the small size
+        assert hist.get("4", 0) >= 1  # the burst rode the big one
+        with _service(batch_size=2) as ref:
+            r_ref = ref.submit(imgs[0]).result(timeout=120)  # job id 0 too
+        np.testing.assert_array_equal(r_lone.image, r_ref.image)
+
+    def test_multi_size_validation(self):
+        with pytest.raises(ValueError, match=">= 1"):
+            _service(batch_size=(0, 4))
+        with pytest.raises(ValueError, match="ONE batch shape"):
+            StyleTransferService(
+                job_fn=lambda *a: a, style_names=["a"], batch_size=(2, 4),
+            )
+
+    def test_multi_size_warmup(self):
+        svc = _service(batch_size=(2, 4))
+        svc.warmup()  # compiles both sizes without running either
+        svc.start()
+        try:
+            r = svc.submit(_images(1, seed=51)[0]).result(timeout=120)
+            assert r.image.shape == (CROP, CROP, 3)
+        finally:
+            svc.stop()
+
     def test_submit_after_stop_raises(self):
         svc = _service().start()
         svc.stop()
