@@ -71,6 +71,13 @@ def build_parser():
         "multi-scale Gatys statistics; same encoder pass either way)",
     )
     parser.add_argument(
+        "--remat", action="store_true",
+        help="Checkpoint encoder bottlenecks inside the style-transfer "
+        "loop (jax.checkpoint): the backward recomputes within-block "
+        "activations instead of keeping them resident — bigger canvases "
+        "per chip at ~+1/3 forward FLOPs (style_transfer mode only)",
+    )
+    parser.add_argument(
         "--style_init", choices=["content", "noise"], default="content",
         help="Pixel initialisation for --style_image runs: the content "
         "image (classic, fastest) or randn like the texture loop",
@@ -293,6 +300,7 @@ def main(argv=None):
                 num_iterations=args.num_iterations,
                 learning_rate=args.learning_rate,
                 init=args.style_init, compute_dtype=dtype, mesh=mesh,
+                remat=args.remat,
             )
         else:
             from ..tasks.style_transfer import style_transfer_gram_attention
@@ -303,7 +311,7 @@ def main(argv=None):
                 num_iterations=args.num_iterations,
                 learning_rate=args.learning_rate,
                 truncate_layer=truncate, compute_dtype=dtype,
-                mesh=mesh,
+                mesh=mesh, remat=args.remat,
             )
 
 

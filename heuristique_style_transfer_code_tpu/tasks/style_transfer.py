@@ -134,10 +134,14 @@ def make_feature_fn_gram_attention(
     truncate_layer: int = 8,
     layers: Optional[int] = None,
     compute_dtype=None,
+    remat: bool = False,
 ) -> Callable:
     """Family-2 truncated-encoder feature program: ``images (B,H,W,3) ->
     feats (B,h,w,C)``. The Gram builder below and the content+style loss
-    both ride on it (one encoder pass serves both terms)."""
+    both ride on it (one encoder pass serves both terms). ``remat``
+    checkpoints each bottleneck — inside the style while_loop that shrinks
+    the per-iteration activation footprint, raising the single-chip canvas
+    ceiling (the differentiable counterpart of the train CLIs' --remat)."""
     from ..nn.resnet import resnet50_apply
 
     truncate = min(
@@ -152,7 +156,9 @@ def make_feature_fn_gram_attention(
     def feature_fn(images):
         if compute_dtype is not None:
             images = images.astype(compute_dtype)
-        feats, _, _ = resnet50_apply(enc, images, truncate=truncate)
+        feats, _, _ = resnet50_apply(
+            enc, images, truncate=truncate, remat=remat
+        )
         return feats
 
     return feature_fn
@@ -164,6 +170,7 @@ def make_extract_fn_gram_attention(
     layers: Optional[int] = None,
     compute_dtype=None,
     style_layers: str = "last",
+    remat: bool = False,
 ) -> Callable:
     """Content+style extraction program: ``images (B,H,W,3) -> (feats,
     [style Grams])``, one encoder pass.
@@ -197,7 +204,7 @@ def make_extract_fn_gram_attention(
             images = images.astype(compute_dtype)
         feats, grams, _ = resnet50_apply(
             enc, images, truncate=truncate,
-            collect_grams=(style_layers == "all"),
+            collect_grams=(style_layers == "all"), remat=remat,
         )
         if style_layers != "all" or not grams:
             grams = [gram_matrix_nhwc(feats)]
@@ -211,6 +218,7 @@ def make_gram_fn_gram_attention(
     truncate_layer: int = 8,
     layers: Optional[int] = None,
     compute_dtype=None,
+    remat: bool = False,
 ) -> Callable:
     """Family-2 per-image target-Gram program (shared by the batch task
     below and the style service, tasks/style_service.py): truncated encoder
@@ -219,7 +227,8 @@ def make_gram_fn_gram_attention(
     from ..ops.gram import gram_matrix_nhwc
 
     feature_fn = make_feature_fn_gram_attention(
-        variables, truncate_layer, layers=layers, compute_dtype=compute_dtype
+        variables, truncate_layer, layers=layers,
+        compute_dtype=compute_dtype, remat=remat,
     )
 
     def gram_fn(images):
@@ -403,19 +412,22 @@ def style_transfer_gram_attention(
     log_fn=print,
     compute_dtype=None,
     mesh=None,
+    remat: bool = False,
 ) -> List[str]:
     """Family-2 style transfer. ``layers`` truncates the encoder's child list
     exactly like the reference's Sequential slice (:239-241). Returns saved
     paths. ``compute_dtype=bfloat16`` runs the encoder fwd/bwd in bf16
     (pixels/Adam/loss stay f32 — module docstring); ``mesh`` batch-shards
-    the per-image optimisations over its 'data' axis."""
+    the per-image optimisations over its 'data' axis; ``remat`` checkpoints
+    encoder bottlenecks inside the loop (bigger canvases per chip)."""
     from ..data.augment import eval_preprocess
 
     if key is None:
         key = jax.random.PRNGKey(0)
 
     gram_fn = make_gram_fn_gram_attention(
-        variables, truncate_layer, layers=layers, compute_dtype=compute_dtype
+        variables, truncate_layer, layers=layers,
+        compute_dtype=compute_dtype, remat=remat,
     )
     optimise = make_style_transfer_optimizer(
         gram_fn, learning_rate, num_iterations, threshold, mesh=mesh
@@ -477,6 +489,7 @@ def content_style_transfer_gram_attention(
     log_fn=print,
     compute_dtype=None,
     mesh=None,
+    remat: bool = False,
 ) -> List[str]:
     """Classic content+style transfer (beyond parity — the reference's loop
     has no content term): every content image in ``loader`` is re-rendered
@@ -495,7 +508,7 @@ def content_style_transfer_gram_attention(
 
     extract_fn = make_extract_fn_gram_attention(
         variables, truncate_layer, layers=layers,
-        compute_dtype=compute_dtype, style_layers=style_layers,
+        compute_dtype=compute_dtype, style_layers=style_layers, remat=remat,
     )
     optimise = make_content_style_optimizer(
         extract_fn, style_weight, content_weight,
