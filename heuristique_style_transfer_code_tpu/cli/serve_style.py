@@ -99,6 +99,20 @@ def build_parser():
         help="Style Grams at the truncation point only, or at every "
         "executed ResNet stage (classic multi-scale Gatys statistics)",
     )
+    parser.add_argument(
+        "--net", type=str, default=None,
+        help="Serve a trained feed-forward style network "
+        "(hst-train-style-net's style_net.npz) instead of the iterative "
+        "loop: each job is ONE forward pass — milliseconds, not seconds. "
+        "--config_path/--model_path and the loop knobs are ignored; crop "
+        "and the style name come from the net's hyperparameters file.",
+    )
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="Checkpoint encoder bottlenecks inside the job while_loop "
+        "(family gram_attention): smaller per-iteration activation "
+        "footprint -> bigger batch x canvas per chip",
+    )
     parser.add_argument("--afficher_params", action="store_true")
     parser.add_argument("--max_seconds", type=float, default=None,
                         help="Exit after this many seconds (smoke tests)")
@@ -127,7 +141,7 @@ def _build_gram_fn(args):
             )
         return make_gram_fn_gram_attention(
             variables, cfg.truncate_layer, layers=args.layers,
-            compute_dtype=dtype,
+            compute_dtype=dtype, remat=args.remat,
         )
     from ..config.schema import MultiPatchGANConfig
     from ..tasks.style_transfer import make_gram_fn_patches
@@ -173,7 +187,7 @@ def _build_content_style_kwargs(args):
     extract_fn = make_extract_fn_gram_attention(
         variables, cfg.truncate_layer, layers=args.layers,
         compute_dtype=resolve_compute_dtype(args.precision),
-        style_layers=args.style_layers,
+        style_layers=args.style_layers, remat=args.remat,
     )
     styles = {}
     for spec in args.style_image:
@@ -203,6 +217,40 @@ def build_service(args, crop: int = 224):
     flags, or from an AOT artifact with everything baked in."""
     from ..tasks.style_service import StyleTransferService
 
+    if args.net:
+        import os
+
+        from ..checkpoint.io import load_hyperparameters, load_pytree_npz
+        from ..tasks.fast_style import make_net_job_fn
+
+        params = load_pytree_npz(args.net)
+        hyper_path = args.net.replace(".npz", "_hyperparameters.json")
+        hyper = (
+            load_hyperparameters(hyper_path)
+            if os.path.exists(hyper_path) else {}
+        )
+        net_crop = int(hyper.get("crop", crop))
+        style_name = os.path.splitext(
+            str(hyper.get("style_image", "style"))
+        )[0]
+        sizes = [int(s) for s in str(args.batch_size).split(",") if s.strip()]
+        print(
+            f"Feed-forward net: style {style_name!r}, crop {net_crop} "
+            f"(one forward per job)", flush=True,
+        )
+        return StyleTransferService(
+            job_fn=make_net_job_fn(
+                params, crop=net_crop,
+                compute_dtype=resolve_compute_dtype(args.precision),
+            ),
+            style_names=[style_name],
+            crop=net_crop,
+            batch_size=sizes[-1],
+            num_iterations=1,
+            max_delay_ms=args.max_delay_ms,
+            max_in_flight=args.max_in_flight,
+            mesh=resolve_eval_mesh(args.devices, sizes[-1]),
+        )
     if args.artifact:
         from ..deploy.artifact import load_style_artifact
 
@@ -304,7 +352,7 @@ def main(argv=None):
     host, port = srv.server_address[:2]
     batch_str = ",".join(str(s) for s in service.batch_sizes)
     print(f"Serving style transfer on http://{host}:{port} "
-          f"(batch {batch_str}, {args.num_iterations} iters, "
+          f"(batch {batch_str}, {service.num_iterations} iters, "
           f"{args.precision})", flush=True)
     if service.style_names:
         print(f"Style gallery: {service.style_names}", flush=True)

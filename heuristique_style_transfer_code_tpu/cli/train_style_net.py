@@ -1,0 +1,186 @@
+"""Train a feed-forward style network (fast neural style) for ONE style.
+
+Beyond parity: the reference stylises only by per-image pixel optimisation
+(functions/functions_RESNET50_Truncate_Gram_Attention.py:218-285). This CLI
+trains nn/transformer_net.py against the same truncated-encoder Gram +
+content losses, producing a checkpoint that stylises in ONE forward pass —
+serve it with ``hst-serve-style --net <path>``.
+
+    python -m heuristique_style_transfer_code_tpu.cli.train_style_net \\
+        --data datasets/weather --style_image vangogh.jpg \\
+        --config_path cfg.json --model_path models/best_global_model.npz \\
+        --epochs 2 --batch_size 16 --precision bf16 \\
+        --save_dir style_net_out
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from ._common import (
+    add_tpu_args,
+    apply_debug_flags,
+    build_mesh,
+    count_params,
+    load_checkpoint_tree,
+    resolve_compute_dtype,
+    start_profile,
+)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Train a feed-forward (one-pass) style-transfer network"
+    )
+    parser.add_argument("--data", type=str, required=True,
+                        help="Content images: an ImageFolder root (its "
+                        "train/ split is used when present)")
+    parser.add_argument("--style_image", type=str, required=True)
+    parser.add_argument("--config_path", type=str, required=True,
+                        help="Family-2 (gram_attention) encoder config")
+    parser.add_argument("--model_path", type=str, required=True,
+                        help="Family-2 encoder checkpoint (the frozen "
+                        "loss network)")
+    parser.add_argument(
+        "--layers", type=int, default=None,
+        help="Encoder truncation, the reference's Sequential slice",
+    )
+    parser.add_argument(
+        "--style_layers", choices=["last", "all"], default="all",
+        help="Style Grams at the truncation point only, or at every "
+        "executed ResNet stage (default here: 'all' — multi-scale "
+        "statistics are the classic fast-style recipe)",
+    )
+    parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--width", type=int, default=32,
+                        help="Transformer-net base channel width")
+    parser.add_argument("--n_res", type=int, default=5,
+                        help="Residual blocks at the bottleneck")
+    parser.add_argument("--style_weight", type=float, default=1.0)
+    parser.add_argument("--content_weight", type=float, default=1.0)
+    parser.add_argument("--tv_weight", type=float, default=0.0)
+    parser.add_argument("--crop", type=int, default=224,
+                        help="Training crop (multiple of 4)")
+    parser.add_argument("--save_dir", type=str, default="style_net_out")
+    parser.add_argument("--num_samples", type=int, default=None,
+                        help="Subsample the content set (smoke tests)")
+    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument(
+        "--stylize_dir", type=str, default=None,
+        help="After training, stylise one content batch and write "
+        "[original | stylised] PNGs here (visual check)",
+    )
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--afficher_params", action="store_true")
+    add_tpu_args(parser)
+    return parser
+
+
+def _content_samples(root: str):
+    from ..data.imagefolder import ImageFolderIndex
+
+    train_dir = os.path.join(root, "train")
+    chosen = train_dir if os.path.isdir(train_dir) else root
+    return ImageFolderIndex(chosen).samples
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
+    if args.crop % 4:
+        raise SystemExit("--crop must be a multiple of 4 (two 2x down/up stages)")
+
+    import jax
+    import numpy as np
+
+    from ..checkpoint.io import save_model_and_hyperparameters
+    from ..config.schema import GramAttentionConfig
+    from ..data.loader import HostLoader, load_image_staged
+    from ..nn.transformer_net import transformer_net_init
+    from ..tasks.fast_style import make_stylize_fn, train_fast_style
+    from ..tasks.style_transfer import make_extract_fn_gram_attention
+    from ._common import maybe_subset
+
+    start_profile(args.profile_dir)
+    dtype = resolve_compute_dtype(args.precision)
+
+    cfg = GramAttentionConfig.from_json(args.config_path)
+    variables = load_checkpoint_tree(
+        args.model_path, "gram_attention", cfg.to_dict()
+    )
+    extract_fn = make_extract_fn_gram_attention(
+        variables, cfg.truncate_layer, layers=args.layers,
+        compute_dtype=dtype, style_layers=args.style_layers,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    net_params = transformer_net_init(key, width=args.width, n_res=args.n_res)
+    if args.afficher_params:
+        print(
+            f"Nombre total de paramètres du modèle : {count_params(net_params)}"
+        )
+
+    samples = maybe_subset(_content_samples(args.data), args.num_samples,
+                           seed=args.seed)
+    loader = HostLoader(samples, args.batch_size, shuffle=True, seed=args.seed)
+    style_u8 = load_image_staged(args.style_image)
+    mesh = build_mesh(args.devices, args.batch_size)
+
+    params, history = train_fast_style(
+        net_params, extract_fn, loader, style_u8,
+        epochs=args.epochs,
+        style_weight=args.style_weight,
+        content_weight=args.content_weight,
+        tv_weight=args.tv_weight,
+        learning_rate=args.lr,
+        crop=args.crop,
+        compute_dtype=dtype,
+        mesh=mesh,
+        log_every=args.log_every,
+    )
+
+    hyper = {
+        "family": "style_net",
+        "width": args.width,
+        "n_res": args.n_res,
+        "crop": args.crop,
+        "style_image": os.path.basename(args.style_image),
+        "style_layers": args.style_layers,
+        "style_weight": args.style_weight,
+        "content_weight": args.content_weight,
+        "tv_weight": args.tv_weight,
+        "lr": args.lr,
+        "epochs": args.epochs,
+        "batch_size": args.batch_size,
+        "encoder_config": cfg.to_dict(),
+        "final_loss": history[-1] if history else None,
+    }
+    save_model_and_hyperparameters(params, hyper, args.save_dir, "style_net")
+    print(f"Réseau de style sauvegardé dans {args.save_dir}/style_net.npz "
+          f"(loss finale {hyper['final_loss']})")
+
+    if args.stylize_dir:
+        from ..tasks.style_transfer import _save_side_by_side
+
+        stylize = make_stylize_fn(params, crop=args.crop, compute_dtype=dtype)
+        batch = next(iter(loader))["image"]
+        out = np.asarray(stylize(jax.numpy.asarray(batch)))
+        from ..core.geometry import center_crop_offsets
+
+        c = args.crop
+        top, left = center_crop_offsets(batch.shape[1], batch.shape[2], c)
+
+        for i in range(min(8, out.shape[0])):
+            orig = batch[i][top:top + c, left:left + c]
+            _save_side_by_side(
+                orig.astype(np.float32) / 255.0,
+                out[i].astype(np.float32) / 255.0,
+                os.path.join(args.stylize_dir, f"stylise_{i}.png"),
+            )
+        print(f"Exemples stylisés écrits dans {args.stylize_dir}")
+
+
+if __name__ == "__main__":
+    main()

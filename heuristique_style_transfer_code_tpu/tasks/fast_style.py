@@ -1,0 +1,230 @@
+"""Fast (feed-forward) style transfer: train once per style, stylise in one
+forward pass.
+
+Beyond parity. The reference stylises by per-image pixel optimisation only
+(functions/functions_RESNET50_Turncate_Gram_Attention — see
+tasks/style_transfer.py for the faithful rebuild); this module trains a
+small residual conv net (nn/transformer_net.py) against the SAME loss the
+iterative content+style loop minimises — Gram MSE on the truncated encoder's
+stages + content-feature MSE + optional TV — so a trained net replaces ~500
+Adam iterations per image with one forward (~3 orders of magnitude serving
+throughput for a fixed style; measured numbers in PERF.md).
+
+TPU shape:
+- ONE jitted donated-carry train step: on-device eval_preprocess (uint8
+  batches over the wire), transformer net forward, frozen-encoder
+  feature/Gram extraction for both the stylised output and the content
+  target, Adam update. The encoder is the same `extract_fn` the iterative
+  loop uses (`make_extract_fn_gram_attention`) — one builder, three
+  consumers.
+- `mesh=` batch-shards the step over 'data' (net params replicated, grads
+  all-reduced by GSPMD) — the standard DP recipe shared with the train CLIs.
+- bf16 via the extract_fn's / net's `compute_dtype` (losses and Adam f32).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..nn.transformer_net import transformer_net_apply
+from .style_transfer import total_variation
+
+
+def make_fast_style_train_step(
+    extract_fn: Callable,
+    *,
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    tv_weight: float = 0.0,
+    learning_rate: float = 1e-3,
+    crop: int = 224,
+    compute_dtype=None,
+    mesh=None,
+) -> Tuple[Callable, Callable]:
+    """Build (init_opt_state, step).
+
+    ``step(params, opt_state, images_u8, style_grams) ->
+    (params, opt_state, loss)`` — params/opt_state donated, images uint8
+    (B, H, W, 3) staged crops, ``style_grams`` the per-layer target list
+    from the style image (leading dim 1, broadcast against the batch).
+    """
+    from ..data.augment import eval_preprocess
+
+    adam = optax.adam(learning_rate)
+    sw, cw, tw = float(style_weight), float(content_weight), float(tv_weight)
+
+    def loss_fn(params, images, style_grams):
+        content_feats = jax.lax.stop_gradient(
+            extract_fn(images)[0].astype(jnp.float32)
+        )
+        stylised = transformer_net_apply(params, images, compute_dtype)
+        feats, grams = extract_fn(stylised)
+        style = 0.0
+        for g, t in zip(grams, style_grams):
+            style = style + jnp.mean(
+                jnp.square(g.astype(jnp.float32) - t.astype(jnp.float32))
+            )
+        content = jnp.mean(
+            jnp.square(feats.astype(jnp.float32) - content_feats)
+        )
+        loss = sw * style + cw * content
+        if tw != 0.0:
+            loss = loss + tw * jnp.mean(total_variation(stylised))
+        return loss
+
+    def step(params, opt_state, images_u8, style_grams):
+        images = eval_preprocess(images_u8, crop)
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, style_grams)
+        updates, opt_state = adam.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        jit_step = jax.jit(
+            step,
+            in_shardings=(repl, repl, data, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+    else:
+        jit_step = jax.jit(step, donate_argnums=(0, 1))
+    return adam.init, jit_step
+
+
+def encode_style_grams(
+    extract_fn: Callable, style_u8: np.ndarray, crop: int = 224
+) -> List[jax.Array]:
+    """Per-layer f32 target Grams of one style image, leading dim 1."""
+    from ..data.augment import eval_preprocess
+    from .style_service import _to_canvas
+
+    canvas = _to_canvas(np.asarray(style_u8), crop)[None]
+
+    def encode(u8):
+        return [g.astype(jnp.float32) for g in extract_fn(eval_preprocess(u8, crop))[1]]
+
+    return [jnp.asarray(g) for g in jax.jit(encode)(canvas)]
+
+
+def train_fast_style(
+    net_params: dict,
+    extract_fn: Callable,
+    loader,
+    style_u8: np.ndarray,
+    *,
+    epochs: int = 2,
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    tv_weight: float = 0.0,
+    learning_rate: float = 1e-3,
+    crop: int = 224,
+    compute_dtype=None,
+    mesh=None,
+    log_fn=print,
+    log_every: int = 50,
+) -> Tuple[dict, List[float]]:
+    """Drive the step over a content loader for ``epochs``. ``loader``
+    yields HostLoader batch dicts (the "image" entry is used; labels are
+    ignored — content images are unlabelled here) or plain tuples with the
+    uint8 images first. Returns
+    (params, per-log loss history). The step donates its carry:
+    ``net_params``' buffers are consumed (keep a copy if you need the
+    init)."""
+    init_opt, step = make_fast_style_train_step(
+        extract_fn,
+        style_weight=style_weight,
+        content_weight=content_weight,
+        tv_weight=tv_weight,
+        learning_rate=learning_rate,
+        crop=crop,
+        compute_dtype=compute_dtype,
+        mesh=mesh,
+    )
+    style_grams = encode_style_grams(extract_fn, style_u8, crop)
+    opt_state = init_opt(net_params)
+    params = net_params
+    history: List[float] = []
+    seen = 0
+    t0 = time.perf_counter()
+    for epoch in range(int(epochs)):
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+        for batch in loader:
+            images_u8 = batch["image"] if isinstance(batch, dict) else batch[0]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(images_u8), style_grams
+            )
+            seen += 1
+            if seen % int(log_every) == 0 or seen == 1:
+                lv = float(loss)
+                history.append(lv)
+                log_fn(
+                    f"fast-style epoch {epoch + 1}/{epochs} step {seen} "
+                    f"loss {lv:.6f} ({time.perf_counter() - t0:.1f}s)"
+                )
+    if seen:
+        # one final fetch so the history always carries the end state
+        history.append(float(jax.device_get(loss)))
+    return params, history
+
+
+def _stylize_body(net_params, images_u8, crop: int, compute_dtype):
+    """uint8 staged crops -> stylised uint8, untraced (callers jit)."""
+    from ..data.augment import eval_preprocess
+    from ..ops.resize import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(np.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3))
+    std = jnp.asarray(np.asarray(IMAGENET_STD).reshape(1, 1, 1, 3))
+    images = eval_preprocess(images_u8, crop)
+    out = transformer_net_apply(net_params, images, compute_dtype)
+    canvas = jnp.clip(out.astype(jnp.float32) * std + mean, 0.0, 1.0)
+    return jnp.round(canvas * 255.0).astype(jnp.uint8)
+
+
+def make_stylize_fn(
+    net_params: dict,
+    *,
+    crop: int = 224,
+    compute_dtype=None,
+    mesh=None,
+) -> Callable:
+    """jitted ``images_u8 (B, H, W, 3) -> stylised uint8`` single forward —
+    the serving-side program (plugs into StyleTransferService as a job_fn
+    via make_net_job_fn below, or is exported as an AOT artifact)."""
+
+    def stylize(images_u8):
+        return _stylize_body(net_params, images_u8, crop, compute_dtype)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(stylize, in_shardings=(data,), out_shardings=data)
+    return jax.jit(stylize)
+
+
+def make_net_job_fn(
+    net_params: dict, *, crop: int = 224, compute_dtype=None
+) -> Callable:
+    """Adapt the single-forward program to StyleTransferService's job
+    contract ``(images_u8, style_w, job_ids) -> (u8, iters, per_loss)``:
+    iters is 1 (one forward), per-image loss 0 (nothing optimised). The
+    service jits and (under mesh=) shards the returned function itself, so
+    this body stays untraced."""
+
+    def job(images_u8, style_w, job_ids):
+        del style_w, job_ids
+        out = _stylize_body(net_params, images_u8, crop, compute_dtype)
+        b = out.shape[0]
+        return out, jnp.asarray(1), jnp.zeros((b,), jnp.float32)
+
+    return job

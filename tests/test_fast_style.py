@@ -1,0 +1,280 @@
+"""Feed-forward fast style transfer (beyond parity): nn/transformer_net.py,
+tasks/fast_style.py, the hst-train-style-net CLI and serve_style --net."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heuristique_style_transfer_code_tpu.nn.transformer_net import (
+    count_params,
+    transformer_net_apply,
+    transformer_net_init,
+)
+from heuristique_style_transfer_code_tpu.ops.gram import gram_matrix_nhwc
+from heuristique_style_transfer_code_tpu.ops.resize import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+
+
+def _identity_extract(images):
+    # feats = pixels, style layer = the pixel Gram: makes losses analytic
+    return images, [gram_matrix_nhwc(images)]
+
+
+class TestTransformerNet:
+    def test_shapes_and_range(self):
+        params = transformer_net_init(jax.random.PRNGKey(0), width=4, n_res=2)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        y = transformer_net_apply(params, x)
+        assert y.shape == x.shape and y.dtype == jnp.float32
+        # output denormalises into [0, 1] by construction (sigmoid head)
+        y01 = np.asarray(y) * IMAGENET_STD + IMAGENET_MEAN
+        assert y01.min() >= 0.0 and y01.max() <= 1.0
+
+    def test_bf16_close_to_f32(self):
+        params = transformer_net_init(jax.random.PRNGKey(0), width=4, n_res=1)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+        y32 = transformer_net_apply(params, x)
+        y16 = transformer_net_apply(params, x, compute_dtype=jnp.bfloat16)
+        # [0,1]-space agreement
+        a = np.asarray(y32) * IMAGENET_STD + IMAGENET_MEAN
+        b = np.asarray(y16) * IMAGENET_STD + IMAGENET_MEAN
+        assert np.abs(a - b).max() < 0.05
+
+    def test_param_count_classic_config(self):
+        params = transformer_net_init(jax.random.PRNGKey(0))
+        n = count_params(params)
+        assert 1.5e6 < n < 2.0e6  # ~1.68 M, the Johnson-net scale
+
+    def test_odd_size_rejected_by_cli_guard(self):
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import main
+
+        with pytest.raises(SystemExit):
+            main(["--data", "x", "--style_image", "y",
+                  "--config_path", "c", "--model_path", "m", "--crop", "30"])
+
+
+def _style_target():
+    """Horizontal stripes: a pixel-Gram distinct from random content."""
+    style01 = np.zeros((1, 8, 8, 3), np.float32)
+    style01[:, ::2] = 1.0
+    style = (style01 - IMAGENET_MEAN) / IMAGENET_STD
+    return [gram_matrix_nhwc(jnp.asarray(style))]
+
+
+class TestFastStyleTraining:
+    def test_step_reduces_loss(self):
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_fast_style_train_step,
+        )
+
+        rng = np.random.RandomState(0)
+        images_u8 = jnp.asarray(
+            rng.randint(0, 256, (4, 12, 12, 3), dtype=np.uint8)
+        )
+        style_grams = _style_target()
+        params = transformer_net_init(jax.random.PRNGKey(0), width=4, n_res=1)
+        init_opt, step = make_fast_style_train_step(
+            _identity_extract, style_weight=1.0, content_weight=0.1,
+            learning_rate=5e-3, crop=8,
+        )
+        opt_state = init_opt(params)
+        losses = []
+        for _ in range(120):
+            params, opt_state, loss = step(
+                params, opt_state, images_u8, style_grams
+            )
+            losses.append(float(loss))
+        assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+        # the trained net's output Gram is closer to the style target than
+        # the content input's own Gram: it learned to impose the style
+        from heuristique_style_transfer_code_tpu.data.augment import (
+            eval_preprocess,
+        )
+
+        content = eval_preprocess(images_u8, 8)
+        out = transformer_net_apply(params, content)
+        t = style_grams[0]
+        d_out = float(jnp.mean(jnp.square(gram_matrix_nhwc(out) - t)))
+        d_in = float(jnp.mean(jnp.square(gram_matrix_nhwc(content) - t)))
+        assert d_out < d_in
+
+    def test_driver_and_mesh_equivalence(self):
+        """train_fast_style over a fake loader; the batch-sharded step's
+        first update equals single-device (DP grads all-reduce exactly)."""
+        from heuristique_style_transfer_code_tpu.core.mesh import create_mesh
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_fast_style_train_step,
+            train_fast_style,
+        )
+
+        rng = np.random.RandomState(1)
+        batch = rng.randint(0, 256, (8, 12, 12, 3), dtype=np.uint8)
+        loader = [(batch, None, None, None)] * 3
+
+        def fresh_params():
+            # the train step donates params/opt_state: every consumer below
+            # needs its own buffers
+            return transformer_net_init(jax.random.PRNGKey(1), width=4, n_res=1)
+
+        style_u8 = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+
+        params, history = train_fast_style(
+            fresh_params(), _identity_extract, loader, style_u8,
+            epochs=1, crop=8, learning_rate=1e-3, log_every=1,
+            log_fn=lambda *_: None,
+        )
+        assert len(history) == 4  # 3 steps + final
+        assert history[-1] <= history[0] * 1.5  # moved, sane
+
+        style_grams = _style_target()
+        outs = {}
+        for mesh in (None, create_mesh(4)):
+            init_opt, step = make_fast_style_train_step(
+                _identity_extract, learning_rate=1e-3, crop=8, mesh=mesh
+            )
+            p = fresh_params()
+            o = init_opt(p)
+            losses = []
+            for _ in range(3):
+                p, o, loss = step(p, o, jnp.asarray(batch), style_grams)
+                losses.append(float(loss))
+            outs[mesh is None] = (jax.device_get(p), losses)
+        p1, l1 = outs[True]
+        p2, l2 = outs[False]
+        # batch-sharding reorders the f32 loss-mean reduction (CLAUDE.md
+        # numerics note). The LOSS trajectory stays tight; params drift by
+        # up to ~lr per step where Adam's g/sqrt(g²) sign-normalisation
+        # flips on near-zero gradients — bound, don't bit-compare.
+        np.testing.assert_allclose(l1, l2, rtol=2e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            # worst case: the runs take OPPOSITE unit Adam steps -> 2·lr/step
+            assert np.abs(a - b).max() < 2 * 3 * 1e-3
+
+    def test_npz_roundtrip(self, tmp_path):
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+            save_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_stylize_fn,
+        )
+
+        params = transformer_net_init(jax.random.PRNGKey(2), width=4, n_res=2)
+        path = str(tmp_path / "net.npz")
+        save_pytree_npz(params, path)
+        loaded = load_pytree_npz(path)
+        u8 = jnp.asarray(
+            np.random.RandomState(2).randint(0, 256, (2, 12, 12, 3), dtype=np.uint8)
+        )
+        a = make_stylize_fn(params, crop=8)(u8)
+        b = make_stylize_fn(loaded, crop=8)(u8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestNetService:
+    def test_job_fn_through_service(self):
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_net_job_fn,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_service import (
+            StyleTransferService,
+        )
+
+        params = transformer_net_init(jax.random.PRNGKey(3), width=4, n_res=1)
+        svc = StyleTransferService(
+            job_fn=make_net_job_fn(params, crop=8),
+            style_names=["stripes"],
+            crop=8, batch_size=2, max_delay_ms=30.0, num_iterations=1,
+        ).start()
+        try:
+            rng = np.random.RandomState(3)
+            futs = [
+                svc.submit(rng.randint(0, 256, (32, 32, 3), dtype=np.uint8))
+                for _ in range(3)
+            ]
+            for f in futs:
+                r = f.result(timeout=120)
+                assert r.image.shape == (8, 8, 3) and r.image.dtype == np.uint8
+                assert r.iterations == 1
+        finally:
+            svc.stop()
+        assert svc.stats()["jobs"] == 3
+
+
+@pytest.fixture(scope="module")
+def f2_encoder(tmp_path_factory):
+    """Tiny family-2 encoder checkpoint + config json on disk."""
+    from heuristique_style_transfer_code_tpu.checkpoint.io import (
+        save_pytree_npz,
+    )
+    from heuristique_style_transfer_code_tpu.models.gram_attention import (
+        gram_attention_init,
+    )
+
+    d = tmp_path_factory.mktemp("f2enc")
+    cfg = {"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+           "gram_matrix_size": 4, "num_classes": 4, "seed": 0}
+    cfg_path = str(d / "f2.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    variables = gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4)
+    model_path = str(d / "model.npz")
+    save_pytree_npz(variables, model_path)
+    return cfg_path, model_path
+
+
+class TestStyleNetCLI:
+    def test_train_and_serve(self, tiny_imagefolder, f2_encoder, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+            main as train_main,
+        )
+
+        cfg_path, model_path = f2_encoder
+        save_dir = str(tmp_path / "net_out")
+        stylize_dir = str(tmp_path / "samples")
+        style_path = str(
+            next((tiny_imagefolder / "test" / "fog").glob("*.png"))
+        )
+        train_main([
+            "--data", str(tiny_imagefolder), "--style_image", style_path,
+            "--config_path", cfg_path, "--model_path", model_path,
+            "--epochs", "1", "--batch_size", "4", "--num_samples", "8",
+            "--width", "4", "--n_res", "1", "--crop", "32",
+            "--log_every", "1", "--save_dir", save_dir,
+            "--stylize_dir", stylize_dir, "--devices", "1", "--seed", "0",
+        ])
+        net_path = os.path.join(save_dir, "style_net.npz")
+        assert os.path.exists(net_path)
+        with open(os.path.join(save_dir, "style_net_hyperparameters.json")) as f:
+            hyper = json.load(f)
+        assert hyper["family"] == "style_net" and hyper["crop"] == 32
+        assert hyper["final_loss"] is not None
+        assert os.path.exists(os.path.join(stylize_dir, "stylise_0.png"))
+
+        # serve the trained net: build_service --net path
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            build_parser,
+            build_service,
+        )
+
+        args = build_parser().parse_args([
+            "--net", net_path, "--batch_size", "2", "--max_delay_ms", "30",
+        ])
+        svc = build_service(args).start()
+        try:
+            img = np.random.RandomState(4).randint(
+                0, 256, (64, 64, 3), dtype=np.uint8
+            )
+            assert svc.style_names == ["img_000"]  # hyper's style stem
+            r = svc.submit(img, style="img_000").result(timeout=120)
+            assert r.image.shape == (32, 32, 3)
+            assert r.iterations == 1
+        finally:
+            svc.stop()
