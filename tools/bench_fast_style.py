@@ -102,19 +102,19 @@ def main():
     init_opt, train_step = make_fast_style_train_step(
         extract_fn, learning_rate=1e-3, crop=224, compute_dtype=jnp.bfloat16
     )
-    opt_state = init_opt(net)
 
-    def tstep(carry):
-        p, o = carry
-        p, o, loss = train_step(p, o, images_u8, style_grams)
-        return (p, o)
+    # train_step donates params/opt_state: every rep needs FRESH device
+    # buffers (reusing `net` after the first rep is a deleted-buffer error
+    # on the TPU). Keep a host copy and re-put per rep.
+    net_host = jax.device_get(net)
 
-    # train_step is already jitted+donating; time it dispatch-at-a-time over
-    # K calls minus RTT is noisy — use two call-counts instead
+    # time dispatch-at-a-time over K calls minus RTT is noisy — use two
+    # call-counts instead
     times = {}
     for n in (5, 25):
         for _ in range(3):
-            p, o = net, init_opt(net)
+            p = jax.device_put(net_host)
+            o = init_opt(p)
             t0 = time.perf_counter()
             for _ in range(n):
                 p, o, loss = train_step(p, o, images_u8, style_grams)
