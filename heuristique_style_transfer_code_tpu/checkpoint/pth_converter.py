@@ -164,7 +164,11 @@ def convert_moco_checkpoint(path_or_sd) -> Dict[str, Any]:
     encoder = convert_resnet_children(moco_sd, prefix="truncated_encoder.")
     moco = {"encoder": encoder, "fc": _linear(moco_sd, "fc")}
     if "fc.weight" not in clf_sd and "classifier_state_dict" not in sd:
-        raise KeyError("classifier weights not found in checkpoint")
+        # moco-only checkpoint: the updated reference tolerates this (each
+        # fold gets a fresh classifier with a console note,
+        # train_best_RESNET50_Truncate.py:172-174) — return just the moco
+        # tree and let the caller initialise the classifier
+        return {"moco": moco}
     classifier = {"fc": _linear(clf_sd, "fc")}
     return {"moco": moco, "classifier": classifier}
 

@@ -318,6 +318,29 @@ def make_save_fn(checkpoint_format: str):
     return save_model_and_hyperparameters
 
 
+def weighted_auc_or_none(labels, probs):
+    """Reference --compute_auc semantics on the eval CLIs
+    (test_RESNET50_Truncate_gram_attention.py:106-117,
+    test_Multi_PatchGAN.py:218-235): weighted one-vs-rest for >2 classes,
+    ``probs[:, 1]`` for binary; a ValueError (e.g. a class absent from the
+    labels) prints the reference's warning and yields None."""
+    import numpy as np
+    from sklearn.metrics import roc_auc_score
+
+    labels = np.asarray(labels)
+    probs = np.asarray(probs)
+    try:
+        if len(np.unique(labels)) > 2:
+            return float(
+                roc_auc_score(labels, probs, multi_class="ovr",
+                              average="weighted")
+            )
+        return float(roc_auc_score(labels, probs[:, 1]))
+    except ValueError as e:
+        print(f"[WARNING] Impossible de calculer l'AUC : {e}")
+        return None
+
+
 def add_calib_data_arg(parser: argparse.ArgumentParser):
     parser.add_argument(
         "--calib_data", type=str, default=None,
@@ -794,6 +817,8 @@ def signature_extra_from_args(args) -> Optional[dict]:
         ("early_stop", None),
         # EMA changes the optimiser-state structure (extra param tree)
         ("ema_decay", None),
+        # freezing changes which leaves the optimiser updates
+        ("freeze_encoder", False),
         # mixing changes the training trajectory
         ("mixup", None),
         ("cutmix", None),

@@ -221,6 +221,7 @@ def build_service(args, crop: int = 224):
         import os
 
         from ..checkpoint.io import load_hyperparameters, load_pytree_npz
+        from ..nn.transformer_net import net_n_styles
         from ..tasks.fast_style import make_net_job_fn
 
         params = load_pytree_npz(args.net)
@@ -230,12 +231,21 @@ def build_service(args, crop: int = 224):
             if os.path.exists(hyper_path) else {}
         )
         net_crop = int(hyper.get("crop", crop))
-        style_name = os.path.splitext(
-            str(hyper.get("style_image", "style"))
-        )[0]
+        fallback = os.path.splitext(str(hyper.get("style_image", "style")))[0]
+        style_names = [str(n) for n in hyper.get("style_names", [fallback])]
+        n_styles = net_n_styles(params)
+        if n_styles is not None and n_styles != len(style_names):
+            raise SystemExit(
+                f"--net has {n_styles} conditional styles but its "
+                f"hyperparameters name {len(style_names)}: {style_names}"
+            )
         sizes = [int(s) for s in str(args.batch_size).split(",") if s.strip()]
+        kind = (
+            f"conditional gallery {style_names}" if n_styles is not None
+            else f"style {style_names[0]!r}"
+        )
         print(
-            f"Feed-forward net: style {style_name!r}, crop {net_crop} "
+            f"Feed-forward net: {kind}, crop {net_crop} "
             f"(one forward per job)", flush=True,
         )
         return StyleTransferService(
@@ -243,7 +253,7 @@ def build_service(args, crop: int = 224):
                 params, crop=net_crop,
                 compute_dtype=resolve_compute_dtype(args.precision),
             ),
-            style_names=[style_name],
+            style_names=style_names,
             crop=net_crop,
             batch_size=sizes[-1],
             num_iterations=1,

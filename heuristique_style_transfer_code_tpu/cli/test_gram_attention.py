@@ -88,6 +88,10 @@ def build_parser():
         "(skips calibration), else written after calibration",
     )
     parser.add_argument("--afficher_params", action="store_true")
+    parser.add_argument(
+        "--compute_auc", action="store_true",
+        help="Calculer le score AUC pour le modèle",
+    )
     parser.add_argument("--camera_index", type=str, default="0")
     parser.add_argument("--device_preprocess", action="store_true",
                         help="Run the full resize pipeline on-device instead of "
@@ -215,12 +219,15 @@ def main(argv=None):
         from ..data.augment import eval_preprocess
 
         def step(v, images_u8):
+            import jax
+
             images = eval_preprocess(images_u8)
             _, logits = apply_eval(v, images)
-            return jnp.argmax(logits, axis=-1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.argmax(logits, axis=-1), probs
 
-        preds, labels = [], []
-        for batch, p in scanned_eval_iter(
+        preds, labels, probs = [], [], []
+        for batch, (p, pr) in scanned_eval_iter(
             step, variables, loader,
             resolve_eval_mesh(args.devices, loader.batch_size),
             input_keys=("image",),
@@ -229,12 +236,19 @@ def main(argv=None):
             n = batch["n_valid"]
             preds.extend(p[:n].tolist())
             labels.extend(batch["label"][:n].tolist())
+            probs.append(pr[:n])
 
         results = {
             "precision": precision_score(labels, preds, average="weighted", zero_division=0),
             "recall": recall_score(labels, preds, average="weighted", zero_division=0),
             "f1_score": f1_score(labels, preds, average="weighted", zero_division=0),
         }
+        if args.compute_auc:
+            # reference test_RESNET50_Truncate_gram_attention.py:106-117
+            # ('auc' is written even when the computation degenerates)
+            from ._common import weighted_auc_or_none
+
+            results["auc"] = weighted_auc_or_none(labels, np.concatenate(probs))
         results_path = os.path.join(args.save_dir, "classification_results.json")
         with open(results_path, "w") as f:
             json.dump(results, f, indent=4)

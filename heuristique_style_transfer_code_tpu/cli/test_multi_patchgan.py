@@ -55,6 +55,10 @@ def build_parser():
                         "discriminator fwd/bwd — this family optimises one "
                         "image at a time, so 'spatial' is the useful axis)")
     parser.add_argument("--afficher_params", action="store_true")
+    parser.add_argument(
+        "--compute_auc", action="store_true",
+        help="Calculer le score AUC pour le modèle",
+    )
     parser.add_argument("--camera_index", type=str, default="0")
     parser.add_argument("--device_preprocess", action="store_true",
                         help="Run the full resize pipeline on-device instead of "
@@ -192,12 +196,15 @@ def main(argv=None):
             )
 
         def step(v, images_u8):
+            import jax
+
             images = eval_preprocess(images_u8)
             _, logits, _ = multiscale_test_apply(v, images, gdim, norm=norm)
-            return jnp.argmax(logits, axis=-1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.argmax(logits, axis=-1), probs
 
         mesh = resolve_eval_mesh(args.devices, loader.batch_size)
-        all_preds, all_labels, times = [], [], []
+        all_preds, all_labels, all_probs, times = [], [], [], []
         if args.measure_time:
             # time the step only (batch already in hand), like the
             # reference's evaluate_model_test — the loader pull stays
@@ -205,13 +212,14 @@ def main(argv=None):
             jstep = jit_eval_step(step, mesh, n_batch_inputs=1)
             for batch in loader:
                 t0 = time.perf_counter()
-                p = np.asarray(jstep(variables, jnp.asarray(batch["image"])))
+                p, pr = map(np.asarray, jstep(variables, jnp.asarray(batch["image"])))
                 n = batch["n_valid"]
                 times.append((time.perf_counter() - t0) / max(n, 1))
                 all_preds.extend(p[:n].tolist())
                 all_labels.extend(batch["label"][:n].tolist())
+                all_probs.append(pr[:n])
         else:
-            for batch, p in scanned_eval_iter(
+            for batch, (p, pr) in scanned_eval_iter(
                 step, variables, loader, mesh,
                 input_keys=("image",),
                 steps_per_dispatch=args.steps_per_dispatch,
@@ -219,6 +227,7 @@ def main(argv=None):
                 n = batch["n_valid"]
                 all_preds.extend(p[:n].tolist())
                 all_labels.extend(batch["label"][:n].tolist())
+                all_probs.append(pr[:n])
         if args.measure_time and times:
             # per-image average, like evaluate_model_test
             # (functions_Multi_PatchGAN.py:167-174,188)
@@ -234,6 +243,9 @@ def main(argv=None):
         print(f"F1 Score: {f1:.4f}")
 
         cm = confusion_matrix(all_labels, all_preds)
+        # the updated reference computes cm but comments out the plot call
+        # (test_Multi_PatchGAN.py:199 '#plot_confusion_matrix'); the PNG is
+        # kept here as an additive artifact (documented deviation)
         plot_and_save_confusion_matrix(cm, classes, args.save_dir)
 
         results = {
@@ -244,6 +256,15 @@ def main(argv=None):
             "predictions": [int(p) for p in all_preds],
             "labels": [int(l) for l in all_labels],
         }
+        if args.compute_auc:
+            # reference test_Multi_PatchGAN.py:218-241 (auc always written,
+            # printed only when computable)
+            from ._common import weighted_auc_or_none
+
+            auc = weighted_auc_or_none(all_labels, np.concatenate(all_probs))
+            results["auc"] = auc
+            if auc is not None:
+                print(f"AUC Score: {auc:.4f}")
         results_path = os.path.join(args.save_dir, "classification_results.json")
         with open(results_path, "w") as f:
             json.dump(results, f, indent=4)

@@ -1,8 +1,9 @@
 """Evaluation/inference CLI, family 1 — mode-compatible with the reference's
 test_RESNET50_Truncate.py: classification / tsne / tsne_interactive / camera /
-inference / clustering (the reference declares 'inference' but never handles
-it, test_RESNET50_Truncate.py:40,245 — here it runs single-image-per-batch
-classification so the flag actually works)."""
+inference / clustering. The inference mode classifies arbitrary unlabelled
+images from ``--inference_input`` (a directory walked recursively, or one
+file) into ``inference_predictions.json`` — reference
+test_RESNET50_Truncate.py:33-164,503-527 (tasks/inference.py here)."""
 from __future__ import annotations
 
 import argparse
@@ -73,6 +74,21 @@ def build_parser():
     parser.add_argument("--compute_auc", action="store_true")
     parser.add_argument("--classes", nargs="+", type=str)
     parser.add_argument("--afficher_params", action="store_true")
+    # inference-mode arguments (test_RESNET50_Truncate.py:238-241)
+    parser.add_argument(
+        "--inference_input", type=str,
+        help="Chemin vers un dossier d’images ou une image unique pour le "
+        "mode inference",
+    )
+    parser.add_argument(
+        "--inference_json_name", type=str,
+        default="inference_predictions.json",
+        help="Nom du fichier JSON de sortie pour le mode inference",
+    )
+    parser.add_argument(
+        "--num_workers", type=int, default=4,
+        help="Nombre de workers pour les DataLoader",
+    )
     add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
     from ._common import add_calib_data_arg, add_eval_dispatch_arg
 
@@ -137,7 +153,9 @@ def main(argv=None):
             idx = ImageFolderIndex(os.path.join(args.data, "test"))
             samples = maybe_subset(idx.samples, args.num_samples, cfg.seed)
             _loader_cache.append(
-                (idx, samples, HostLoader(samples, args.batch_size, shuffle=False))
+                (idx, samples,
+                 HostLoader(samples, args.batch_size, shuffle=False,
+                            num_workers=args.num_workers))
             )
         return _loader_cache[0]
 
@@ -147,11 +165,12 @@ def main(argv=None):
         # exists — make_calibration_loader warns in that case). Camera mode
         # works too when either flag provides a calibration set.
         has_quantized = args.quantized_path and os.path.exists(args.quantized_path)
-        if args.mode == "camera" and not (args.data or args.calib_data or has_quantized):
+        if (args.mode in ("camera", "inference")
+                and not (args.data or args.calib_data or has_quantized)):
             raise ValueError(
                 "--precision int8 nécessite un dataset de calibration "
                 "(--calib_data ou --data) ou un --quantized_path existant; "
-                "utilisez bf16 pour le mode camera sans dataset"
+                f"utilisez bf16 pour le mode {args.mode} sans dataset"
             )
         from ._common import (
             build_int8_family1,
@@ -181,12 +200,36 @@ def main(argv=None):
             labeled_batches=labeled,
         )
 
-    if args.mode in ("classification", "inference"):
+    if args.mode == "inference":
+        # reference semantics (test_RESNET50_Truncate.py:503-527): classify
+        # arbitrary unlabelled images from --inference_input into one JSON
+        if not args.inference_input:
+            raise ValueError(
+                "Le chemin --inference_input doit être spécifié pour le mode inference"
+            )
+        if args.steps_per_dispatch > 1 and args.measure_time:
+            raise SystemExit(
+                "--steps_per_dispatch > 1 dispatche K batches à la fois; le "
+                "temps par image ne peut pas être mesuré — utilisez "
+                "--steps_per_dispatch 1 avec --measure_time"
+            )
+        from ..tasks.inference import run_inference
+
+        run_inference(
+            forward_eval, variables, args.inference_input, class_names,
+            args.save_dir,
+            batch_size=args.batch_size,
+            json_name=args.inference_json_name,
+            measure_time=args.measure_time,
+            mesh=resolve_eval_mesh(args.devices, args.batch_size),
+            steps_per_dispatch=args.steps_per_dispatch,
+            num_workers=args.num_workers,
+        )
+
+    elif args.mode == "classification":
         from ..tasks.classification import run_classification_test
 
         idx, samples, loader = make_loader()
-        if args.mode == "inference":
-            loader = HostLoader(samples, 1, shuffle=False)
         mesh = resolve_eval_mesh(args.devices, loader.batch_size)
 
         gradcam_fn = None

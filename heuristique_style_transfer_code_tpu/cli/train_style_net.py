@@ -1,4 +1,4 @@
-"""Train a feed-forward style network (fast neural style) for ONE style.
+"""Train a feed-forward style network (fast neural style).
 
 Beyond parity: the reference stylises only by per-image pixel optimisation
 (functions/functions_RESNET50_Truncate_Gram_Attention.py:218-285). This CLI
@@ -6,8 +6,15 @@ trains nn/transformer_net.py against the same truncated-encoder Gram +
 content losses, producing a checkpoint that stylises in ONE forward pass —
 serve it with ``hst-serve-style --net <path>``.
 
+ONE ``--style_image`` trains the classic single-style net; REPEATED
+``--style_image NAME=PATH`` flags train one CONDITIONAL net for the whole
+gallery (conditional instance norm — shared convs, per-style affines):
+the served net then honours per-request X-Style picks and blends exactly
+like the iterative gallery mode, at one forward per job.
+
     python -m heuristique_style_transfer_code_tpu.cli.train_style_net \\
-        --data datasets/weather --style_image vangogh.jpg \\
+        --data datasets/weather --style_image vangogh=vangogh.jpg \\
+        --style_image monet=monet.jpg \\
         --config_path cfg.json --model_path models/best_global_model.npz \\
         --epochs 2 --batch_size 16 --precision bf16 \\
         --save_dir style_net_out
@@ -35,7 +42,12 @@ def build_parser():
     parser.add_argument("--data", type=str, required=True,
                         help="Content images: an ImageFolder root (its "
                         "train/ split is used when present)")
-    parser.add_argument("--style_image", type=str, required=True)
+    parser.add_argument(
+        "--style_image", action="append", required=True, metavar="NAME=PATH",
+        help="Style image (a bare PATH names the style after the file "
+        "stem). Repeat the flag to train ONE conditional net for a whole "
+        "gallery (per-style instance-norm affines, shared convs)",
+    )
     parser.add_argument("--config_path", type=str, required=True,
                         help="Family-2 (gram_attention) encoder config")
     parser.add_argument("--model_path", type=str, required=True,
@@ -99,12 +111,27 @@ def main(argv=None):
     from ..config.schema import GramAttentionConfig
     from ..data.loader import HostLoader, load_image_staged
     from ..nn.transformer_net import transformer_net_init
-    from ..tasks.fast_style import make_stylize_fn, train_fast_style
+    from ..tasks.fast_style import (
+        make_stylize_fn,
+        train_fast_style,
+        train_multi_style,
+    )
     from ..tasks.style_transfer import make_extract_fn_gram_attention
     from ._common import maybe_subset
 
     start_profile(args.profile_dir)
     dtype = resolve_compute_dtype(args.precision)
+
+    styles = {}
+    for spec in args.style_image:
+        name, sep, path = spec.partition("=")
+        if not sep:
+            name, path = os.path.splitext(os.path.basename(spec))[0], spec
+        if name in styles:
+            raise SystemExit(f"duplicate style name {name!r}")
+        styles[name] = path
+    style_names = list(styles)
+    multi = len(style_names) > 1
 
     cfg = GramAttentionConfig.from_json(args.config_path)
     variables = load_checkpoint_tree(
@@ -116,7 +143,10 @@ def main(argv=None):
     )
 
     key = jax.random.PRNGKey(args.seed)
-    net_params = transformer_net_init(key, width=args.width, n_res=args.n_res)
+    net_params = transformer_net_init(
+        key, width=args.width, n_res=args.n_res,
+        n_styles=len(style_names) if multi else None,
+    )
     if args.afficher_params:
         print(
             f"Nombre total de paramètres du modèle : {count_params(net_params)}"
@@ -125,11 +155,10 @@ def main(argv=None):
     samples = maybe_subset(_content_samples(args.data), args.num_samples,
                            seed=args.seed)
     loader = HostLoader(samples, args.batch_size, shuffle=True, seed=args.seed)
-    style_u8 = load_image_staged(args.style_image)
+    styles_u8 = [load_image_staged(p) for p in styles.values()]
     mesh = build_mesh(args.devices, args.batch_size)
 
-    params, history = train_fast_style(
-        net_params, extract_fn, loader, style_u8,
+    knobs = dict(
         epochs=args.epochs,
         style_weight=args.style_weight,
         content_weight=args.content_weight,
@@ -140,13 +169,24 @@ def main(argv=None):
         mesh=mesh,
         log_every=args.log_every,
     )
+    if multi:
+        params, history = train_multi_style(
+            net_params, extract_fn, loader, styles_u8,
+            seed=args.seed, **knobs,
+        )
+    else:
+        params, history = train_fast_style(
+            net_params, extract_fn, loader, styles_u8[0], **knobs,
+        )
 
     hyper = {
         "family": "style_net",
         "width": args.width,
         "n_res": args.n_res,
         "crop": args.crop,
-        "style_image": os.path.basename(args.style_image),
+        "style_image": os.path.basename(next(iter(styles.values()))),
+        "style_names": style_names,
+        "style_images": [os.path.basename(p) for p in styles.values()],
         "style_layers": args.style_layers,
         "style_weight": args.style_weight,
         "content_weight": args.content_weight,
@@ -158,27 +198,37 @@ def main(argv=None):
         "final_loss": history[-1] if history else None,
     }
     save_model_and_hyperparameters(params, hyper, args.save_dir, "style_net")
+    gallery = f" (galerie {style_names})" if multi else ""
     print(f"Réseau de style sauvegardé dans {args.save_dir}/style_net.npz "
-          f"(loss finale {hyper['final_loss']})")
+          f"(loss finale {hyper['final_loss']}){gallery}")
 
     if args.stylize_dir:
+        from ..core.geometry import center_crop_offsets
         from ..tasks.style_transfer import _save_side_by_side
 
-        stylize = make_stylize_fn(params, crop=args.crop, compute_dtype=dtype)
         batch = next(iter(loader))["image"]
-        out = np.asarray(stylize(jax.numpy.asarray(batch)))
-        from ..core.geometry import center_crop_offsets
-
         c = args.crop
         top, left = center_crop_offsets(batch.shape[1], batch.shape[2], c)
-
-        for i in range(min(8, out.shape[0])):
-            orig = batch[i][top:top + c, left:left + c]
-            _save_side_by_side(
-                orig.astype(np.float32) / 255.0,
-                out[i].astype(np.float32) / 255.0,
-                os.path.join(args.stylize_dir, f"stylise_{i}.png"),
+        if multi:
+            variants = []
+            for s, name in enumerate(style_names):
+                onehot = np.zeros((len(style_names),), np.float32)
+                onehot[s] = 1.0
+                variants.append((f"_{name}", onehot))
+        else:
+            variants = [("", None)]
+        for suffix, weights in variants:
+            stylize = make_stylize_fn(
+                params, crop=c, compute_dtype=dtype, style_weights=weights
             )
+            out = np.asarray(stylize(jax.numpy.asarray(batch)))
+            for i in range(min(8, out.shape[0])):
+                orig = batch[i][top:top + c, left:left + c]
+                _save_side_by_side(
+                    orig.astype(np.float32) / 255.0,
+                    out[i].astype(np.float32) / 255.0,
+                    os.path.join(args.stylize_dir, f"stylise{suffix}_{i}.png"),
+                )
         print(f"Exemples stylisés écrits dans {args.stylize_dir}")
 
 

@@ -54,6 +54,10 @@ def build_parser():
     parser.add_argument("--num_geom_transforms", type=int, default=0)
     parser.add_argument("--geom_transforms", nargs="+", type=str, default=None)
     parser.add_argument(
+        "--freeze_encoder", action="store_true",
+        help="Freeze all encoder layers and train only the classifier",
+    )
+    parser.add_argument(
         "--steps_per_dispatch", type=int, default=1,
         help="Train steps fused per device dispatch (lax.scan on-device): "
         "same RNG/losses, ~1/K the host round trips — useful when the TPU "
@@ -82,11 +86,33 @@ def main(argv=None):
     writer = make_writer(args.tensorboard, args.save_dir)
     mesh = build_mesh(args.devices, cfg.batch_size)
 
+    # Checkpoint load semantics (reference train_best_RESNET50_Truncate.py:
+    # 151-177): the moco encoder always loads; the classifier only when its
+    # fc shape matches the dataset's class count, else each fold gets a
+    # fresh classifier — with the reference's per-fold console message.
     pretrained = None
+    fold_load_msg = "pas de checkpoint fourni, entraînement from scratch."
     if args.model_path:
         tree = load_checkpoint_tree(args.model_path, "truncated_resnet50", hyperparameters)
-        pretrained = tree
-        print(f"Poids du modèle chargés depuis {args.model_path}")
+        fc = tree.get("classifier", {}).get("fc") if isinstance(tree, dict) else None
+        if isinstance(fc, dict) and "kernel" in fc and "bias" in fc:
+            got = tuple(int(s) for s in fc["kernel"].shape)  # (in, out)
+            want = (cfg.dim, num_classes)
+            if got == want:
+                pretrained = tree
+                fold_load_msg = "Classifier chargé depuis le checkpoint."
+            else:
+                # the reference prints torch-layout (out, in) shapes
+                pretrained = {"moco": tree["moco"]}
+                fold_load_msg = (
+                    f"mismatch classifier → checkpoint a {tuple(reversed(got))}, "
+                    f"attendu {(num_classes, cfg.dim)}. Nouveau classifieur non chargé."
+                )
+        else:
+            pretrained = {"moco": tree["moco"]}
+            fold_load_msg = (
+                "pas de poids de classifieur dans le checkpoint → nouveau classifieur."
+            )
 
     lr_schedule, clip_norm = resolve_lr_schedule(
         args, cfg, len(dataset.samples), args.k_folds
@@ -95,6 +121,7 @@ def main(argv=None):
     setup = setup_truncated_resnet50(
         cfg, num_classes, combos, mesh=mesh, pretrained=pretrained,
         compute_dtype=resolve_compute_dtype(args.precision), zero1=args.zero1, remat=args.remat,
+        freeze_encoder=args.freeze_encoder,
         lr_schedule=lr_schedule, clip_norm=clip_norm,
         label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
         mix_fn=resolve_mix_fn(args),
@@ -102,6 +129,10 @@ def main(argv=None):
 
     def init_fn(key, fold):
         variables, opt_state = setup.init(key)
+        print(f"Fold {fold}: {fold_load_msg}")
+        if args.freeze_encoder:
+            print(f"Fold {fold}: encodeur gelé (seul le classifieur sera "
+                  f"entraîné).")
         return variables, opt_state, setup.train_step, setup.eval_step
 
     apply_auto_batch(args, setup, cfg, mesh, hyperparameters)

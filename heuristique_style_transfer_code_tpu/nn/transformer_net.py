@@ -26,6 +26,16 @@ TPU-first shape of the net:
 
 ``compute_dtype=bfloat16`` runs the conv stack in bf16 (statistics and the
 [0,1] boundary affines stay f32), mirroring the encoder's policy.
+
+Conditional (multi-style) variant: ``transformer_net_init(n_styles=S)``
+makes every instance-norm affine a per-style TABLE of shape (S, C) —
+conditional instance normalisation (Dumoulin et al. 2017, "A Learned
+Representation for Artistic Style"). All convs are SHARED across styles;
+a per-image weight row ``style_weights (B, S)`` selects the affine as
+``w @ table`` — a one-hot row indexes one style's affine exactly, and any
+convex row interpolates styles continuously. This matches the service's
+per-request ``style_w`` contract (tasks/style_service.py), so one trained
+net serves the whole gallery with X-Style selection AND blending.
 """
 from __future__ import annotations
 
@@ -38,18 +48,33 @@ from ..ops.conv import conv2d, conv2d_init
 from ..ops.resize import IMAGENET_MEAN, IMAGENET_STD
 
 
-def _in_init(c: int):
-    return {"scale": jnp.ones((c,), jnp.float32),
-            "bias": jnp.zeros((c,), jnp.float32)}
+def _in_init(c: int, n_styles: Optional[int] = None):
+    shape = (c,) if n_styles is None else (int(n_styles), c)
+    return {"scale": jnp.ones(shape, jnp.float32),
+            "bias": jnp.zeros(shape, jnp.float32)}
 
 
-def _in_apply(p, x, eps: float = 1e-5):
-    """Affine instance norm, f32 statistics (torch InstanceNorm2d(affine=True))."""
+def _in_apply(p, x, style_w=None, eps: float = 1e-5):
+    """Affine instance norm, f32 statistics (torch InstanceNorm2d(affine=True)).
+
+    A (S, C) ``scale``/``bias`` table is conditional instance norm: the
+    affine is ``style_w @ table`` per image (one-hot = exact indexing,
+    convex rows = style interpolation)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"] + p["bias"]
+    scale, bias = p["scale"], p["bias"]
+    if scale.ndim == 2:
+        if style_w is None:
+            raise ValueError(
+                "conditional net: pass style_weights (B, S) to select/blend "
+                "per-style instance-norm affines"
+            )
+        w = style_w.astype(jnp.float32)
+        scale = (w @ scale)[:, None, None, :]
+        bias = (w @ bias)[:, None, None, :]
+    y = y * scale + bias
     return y.astype(x.dtype)
 
 
@@ -63,64 +88,113 @@ def _upsample2(x):
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
-def transformer_net_init(key: jax.Array, width: int = 32, n_res: int = 5) -> dict:
+def transformer_net_init(
+    key: jax.Array,
+    width: int = 32,
+    n_res: int = 5,
+    n_styles: Optional[int] = None,
+) -> dict:
     """Parameter tree for the transformation net.
 
     width=32, n_res=5 is the classic configuration (~1.7 M params); the
-    texture-unit tests shrink both.
+    texture-unit tests shrink both. ``n_styles=S`` makes the instance-norm
+    affines per-style (S, C) tables (conditional instance norm) — the convs
+    stay shared, so S styles cost S× only the tiny affine vectors.
     """
     w = int(width)
     keys = jax.random.split(key, 6 + 2 * n_res)
     params = {
         "conv1": conv2d_init(keys[0], 3, w, 9),
-        "in1": _in_init(w),
+        "in1": _in_init(w, n_styles),
         "conv2": conv2d_init(keys[1], w, 2 * w, 3),
-        "in2": _in_init(2 * w),
+        "in2": _in_init(2 * w, n_styles),
         "conv3": conv2d_init(keys[2], 2 * w, 4 * w, 3),
-        "in3": _in_init(4 * w),
+        "in3": _in_init(4 * w, n_styles),
         "res": [],
         "up1": conv2d_init(keys[3], 4 * w, 2 * w, 3),
-        "in_up1": _in_init(2 * w),
+        "in_up1": _in_init(2 * w, n_styles),
         "up2": conv2d_init(keys[4], 2 * w, w, 3),
-        "in_up2": _in_init(w),
+        "in_up2": _in_init(w, n_styles),
         "out": conv2d_init(keys[5], w, 3, 9),
     }
     for i in range(n_res):
         params["res"].append({
             "conv_a": conv2d_init(keys[6 + 2 * i], 4 * w, 4 * w, 3),
-            "in_a": _in_init(4 * w),
+            "in_a": _in_init(4 * w, n_styles),
             "conv_b": conv2d_init(keys[7 + 2 * i], 4 * w, 4 * w, 3),
-            "in_b": _in_init(4 * w),
+            "in_b": _in_init(4 * w, n_styles),
         })
     return params
+
+
+def net_n_styles(params: dict) -> Optional[int]:
+    """S for a conditional net, None for a single-style one."""
+    scale = params["in1"]["scale"]
+    return int(scale.shape[0]) if getattr(scale, "ndim", 1) == 2 else None
+
+
+def select_style(params: dict, index: int) -> dict:
+    """Materialise style ``index`` of a conditional net as a plain
+    single-style tree (every (S, C) affine sliced to (C,)) — exact, since a
+    one-hot ``style_weights`` row IS this slice."""
+    def slice_leaf(path, leaf):
+        names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+        if getattr(leaf, "ndim", 0) == 2 and {"scale", "bias"} & names:
+            return leaf[int(index)]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(slice_leaf, params)
 
 
 def transformer_net_apply(
     params: dict,
     images: jax.Array,
     compute_dtype: Optional[jnp.dtype] = None,
+    style_weights: Optional[jax.Array] = None,
 ) -> jax.Array:
     """``images`` (B, H, W, 3) ImageNet-normalised → stylised, same space.
 
     H and W must be multiples of 4 (two stride-2 stages, two ×2 upsamples).
+    For a conditional net ``style_weights`` is the per-image (B, S) mix row
+    — required there, rejected on a single-style net; an (S,) row broadcasts
+    over the batch.
     """
+    cond = net_n_styles(params)
+    if cond is None:
+        if style_weights is not None:
+            raise ValueError("style_weights given but the net is single-style")
+        sw = None
+    else:
+        if style_weights is None:
+            raise ValueError(
+                f"conditional net ({cond} styles): style_weights is required"
+            )
+        sw = jnp.asarray(style_weights, jnp.float32)
+        if sw.ndim == 1:
+            sw = sw[None]
+        if sw.shape[-1] != cond:
+            raise ValueError(
+                f"style_weights last dim {sw.shape[-1]} != n_styles {cond}"
+            )
+        sw = jnp.broadcast_to(sw, (images.shape[0], cond))
+
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     x = images.astype(jnp.float32) * std + mean  # [0, 1] content
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
-    x = jax.nn.relu(_in_apply(params["in1"], _reflect_conv(params["conv1"], x, 4)))
-    x = jax.nn.relu(_in_apply(params["in2"], _reflect_conv(params["conv2"], x, 1, 2)))
-    x = jax.nn.relu(_in_apply(params["in3"], _reflect_conv(params["conv3"], x, 1, 2)))
+    x = jax.nn.relu(_in_apply(params["in1"], _reflect_conv(params["conv1"], x, 4), sw))
+    x = jax.nn.relu(_in_apply(params["in2"], _reflect_conv(params["conv2"], x, 1, 2), sw))
+    x = jax.nn.relu(_in_apply(params["in3"], _reflect_conv(params["conv3"], x, 1, 2), sw))
     for blk in params["res"]:
-        y = jax.nn.relu(_in_apply(blk["in_a"], _reflect_conv(blk["conv_a"], x, 1)))
-        y = _in_apply(blk["in_b"], _reflect_conv(blk["conv_b"], y, 1))
+        y = jax.nn.relu(_in_apply(blk["in_a"], _reflect_conv(blk["conv_a"], x, 1), sw))
+        y = _in_apply(blk["in_b"], _reflect_conv(blk["conv_b"], y, 1), sw)
         x = x + y
     x = _upsample2(x)
-    x = jax.nn.relu(_in_apply(params["in_up1"], _reflect_conv(params["up1"], x, 1)))
+    x = jax.nn.relu(_in_apply(params["in_up1"], _reflect_conv(params["up1"], x, 1), sw))
     x = _upsample2(x)
-    x = jax.nn.relu(_in_apply(params["in_up2"], _reflect_conv(params["up2"], x, 1)))
+    x = jax.nn.relu(_in_apply(params["in_up2"], _reflect_conv(params["up2"], x, 1), sw))
     x = _reflect_conv(params["out"], x, 4)
 
     y01 = jax.nn.sigmoid(x.astype(jnp.float32))  # [0, 1] stylised

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..nn.transformer_net import transformer_net_apply
+from ..nn.transformer_net import net_n_styles, transformer_net_apply
 from .style_transfer import total_variation
 
 
@@ -115,6 +115,172 @@ def encode_style_grams(
     return [jnp.asarray(g) for g in jax.jit(encode)(canvas)]
 
 
+def encode_style_gram_stacks(
+    extract_fn: Callable, styles_u8, crop: int = 224
+) -> List[jax.Array]:
+    """Per-layer f32 (S, ...) target-Gram stacks for a style gallery
+    (sequence of uint8 images) — ONE encoder dispatch, device-resident; the
+    same shape the style service keeps (tasks/style_service.py)."""
+    from ..data.augment import eval_preprocess
+    from .style_service import _to_canvas
+
+    canvas = np.stack([_to_canvas(np.asarray(s), crop) for s in styles_u8])
+
+    def encode(u8):
+        return [g.astype(jnp.float32) for g in extract_fn(eval_preprocess(u8, crop))[1]]
+
+    return [jnp.asarray(g) for g in jax.jit(encode)(canvas)]
+
+
+def make_multi_style_train_step(
+    extract_fn: Callable,
+    *,
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    tv_weight: float = 0.0,
+    learning_rate: float = 1e-3,
+    crop: int = 224,
+    compute_dtype=None,
+    mesh=None,
+) -> Tuple[Callable, Callable]:
+    """Conditional-net counterpart of :func:`make_fast_style_train_step`.
+
+    ``step(params, opt_state, images_u8, style_w, gram_stacks) ->
+    (params, opt_state, loss)`` — ``style_w`` is the per-image (B, S)
+    one-hot (or blend) row selecting both the net's conditional
+    instance-norm affines AND the target Grams (``style_w @ stack`` per
+    layer, one contraction); ``gram_stacks`` the device-resident (S, ...)
+    list from :func:`encode_style_gram_stacks`."""
+    from ..data.augment import eval_preprocess
+
+    adam = optax.adam(learning_rate)
+    sw_, cw, tw = float(style_weight), float(content_weight), float(tv_weight)
+
+    def loss_fn(params, images, style_w, gram_stacks):
+        content_feats = jax.lax.stop_gradient(
+            extract_fn(images)[0].astype(jnp.float32)
+        )
+        stylised = transformer_net_apply(
+            params, images, compute_dtype, style_weights=style_w
+        )
+        feats, grams = extract_fn(stylised)
+        style = 0.0
+        for g, stack in zip(grams, gram_stacks):
+            target = jnp.einsum(
+                "bk,k...->b...", style_w.astype(jnp.float32),
+                stack.astype(jnp.float32),
+            )
+            style = style + jnp.mean(
+                jnp.square(g.astype(jnp.float32) - target)
+            )
+        content = jnp.mean(
+            jnp.square(feats.astype(jnp.float32) - content_feats)
+        )
+        loss = sw_ * style + cw * content
+        if tw != 0.0:
+            loss = loss + tw * jnp.mean(total_variation(stylised))
+        return loss
+
+    def step(params, opt_state, images_u8, style_w, gram_stacks):
+        images = eval_preprocess(images_u8, crop)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, images, style_w, gram_stacks
+        )
+        updates, opt_state = adam.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        jit_step = jax.jit(
+            step,
+            in_shardings=(repl, repl, data, data, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+    else:
+        jit_step = jax.jit(step, donate_argnums=(0, 1))
+    return adam.init, jit_step
+
+
+def train_multi_style(
+    net_params: dict,
+    extract_fn: Callable,
+    loader,
+    styles_u8,
+    *,
+    epochs: int = 2,
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    tv_weight: float = 0.0,
+    learning_rate: float = 1e-3,
+    crop: int = 224,
+    compute_dtype=None,
+    mesh=None,
+    seed: int = 0,
+    log_fn=print,
+    log_every: int = 50,
+) -> Tuple[dict, List[float]]:
+    """Train ONE conditional net on a gallery (``styles_u8``: sequence of
+    uint8 style images, index-aligned with the net's style axis). Each
+    content image trains against a style drawn uniformly per image from a
+    seeded host RNG — the classic CIN recipe: shared convs learn generic
+    rendering, the per-style affines specialise. Carry donation as in
+    :func:`train_fast_style`."""
+    n_styles = net_n_styles(net_params)
+    if n_styles is None:
+        raise ValueError("train_multi_style needs a conditional net "
+                         "(transformer_net_init(n_styles=S))")
+    if len(styles_u8) != n_styles:
+        raise ValueError(
+            f"{len(styles_u8)} style images for a {n_styles}-style net"
+        )
+    init_opt, step = make_multi_style_train_step(
+        extract_fn,
+        style_weight=style_weight,
+        content_weight=content_weight,
+        tv_weight=tv_weight,
+        learning_rate=learning_rate,
+        crop=crop,
+        compute_dtype=compute_dtype,
+        mesh=mesh,
+    )
+    gram_stacks = encode_style_gram_stacks(extract_fn, styles_u8, crop)
+    rng = np.random.default_rng(seed)
+    opt_state = init_opt(net_params)
+    params = net_params
+    history: List[float] = []
+    seen = 0
+    t0 = time.perf_counter()
+    for epoch in range(int(epochs)):
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+        for batch in loader:
+            images_u8 = batch["image"] if isinstance(batch, dict) else batch[0]
+            onehot = np.zeros((images_u8.shape[0], n_styles), np.float32)
+            onehot[np.arange(images_u8.shape[0]),
+                   rng.integers(0, n_styles, size=images_u8.shape[0])] = 1.0
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(images_u8),
+                jnp.asarray(onehot), gram_stacks,
+            )
+            seen += 1
+            if seen % int(log_every) == 0 or seen == 1:
+                lv = float(loss)
+                history.append(lv)
+                log_fn(
+                    f"fast-style ({n_styles} styles) epoch {epoch + 1}/{epochs} "
+                    f"step {seen} loss {lv:.6f} "
+                    f"({time.perf_counter() - t0:.1f}s)"
+                )
+    if seen:
+        history.append(float(jax.device_get(loss)))
+    return params, history
+
+
 def train_fast_style(
     net_params: dict,
     extract_fn: Callable,
@@ -177,7 +343,8 @@ def train_fast_style(
     return params, history
 
 
-def _stylize_body(net_params, images_u8, crop: int, compute_dtype):
+def _stylize_body(net_params, images_u8, crop: int, compute_dtype,
+                  style_weights=None):
     """uint8 staged crops -> stylised uint8, untraced (callers jit)."""
     from ..data.augment import eval_preprocess
     from ..ops.resize import IMAGENET_MEAN, IMAGENET_STD
@@ -185,7 +352,8 @@ def _stylize_body(net_params, images_u8, crop: int, compute_dtype):
     mean = jnp.asarray(np.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3))
     std = jnp.asarray(np.asarray(IMAGENET_STD).reshape(1, 1, 1, 3))
     images = eval_preprocess(images_u8, crop)
-    out = transformer_net_apply(net_params, images, compute_dtype)
+    out = transformer_net_apply(net_params, images, compute_dtype,
+                                style_weights=style_weights)
     canvas = jnp.clip(out.astype(jnp.float32) * std + mean, 0.0, 1.0)
     return jnp.round(canvas * 255.0).astype(jnp.uint8)
 
@@ -196,13 +364,17 @@ def make_stylize_fn(
     crop: int = 224,
     compute_dtype=None,
     mesh=None,
+    style_weights=None,
 ) -> Callable:
     """jitted ``images_u8 (B, H, W, 3) -> stylised uint8`` single forward —
     the serving-side program (plugs into StyleTransferService as a job_fn
-    via make_net_job_fn below, or is exported as an AOT artifact)."""
+    via make_net_job_fn below, or is exported as an AOT artifact). For a
+    conditional net ``style_weights`` ((S,) or (B, S)) fixes the style mix
+    baked into this program."""
 
     def stylize(images_u8):
-        return _stylize_body(net_params, images_u8, crop, compute_dtype)
+        return _stylize_body(net_params, images_u8, crop, compute_dtype,
+                             style_weights)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -217,13 +389,26 @@ def make_net_job_fn(
 ) -> Callable:
     """Adapt the single-forward program to StyleTransferService's job
     contract ``(images_u8, style_w, job_ids) -> (u8, iters, per_loss)``:
-    iters is 1 (one forward), per-image loss 0 (nothing optimised). The
-    service jits and (under mesh=) shards the returned function itself, so
-    this body stays untraced."""
+    iters is 1 (one forward), per-image loss 0 (nothing optimised). On a
+    conditional net the service's per-job ``style_w`` row drives the
+    conditional instance-norm affines — X-Style name picks and blends work
+    exactly as in the iterative gallery mode, but each job costs one
+    forward. The service jits and (under mesh=) shards the returned
+    function itself, so this body stays untraced."""
+    n_styles = net_n_styles(net_params)
 
     def job(images_u8, style_w, job_ids):
-        del style_w, job_ids
-        out = _stylize_body(net_params, images_u8, crop, compute_dtype)
+        del job_ids
+        if n_styles is None:
+            sw = None
+        else:
+            if style_w.shape[-1] != n_styles:
+                raise ValueError(
+                    f"service gallery width {style_w.shape[-1]} != the "
+                    f"net's {n_styles} styles"
+                )
+            sw = style_w
+        out = _stylize_body(net_params, images_u8, crop, compute_dtype, sw)
         b = out.shape[0]
         return out, jnp.asarray(1), jnp.zeros((b,), jnp.float32)
 

@@ -150,6 +150,7 @@ def setup_truncated_resnet50(
     compute_dtype=None,
     zero1: bool = False,
     remat: bool = False,
+    freeze_encoder: bool = False,
     lr_schedule=None,
     clip_norm=None,
     label_smoothing: float = 0.0,
@@ -167,7 +168,16 @@ def setup_truncated_resnet50(
 
     def init_variables(key):
         if pretrained is not None:
-            return _fresh_copy(pretrained)
+            if "classifier" in pretrained:
+                return _fresh_copy(pretrained)
+            # encoder-only load (the CLI dropped a shape-mismatched or
+            # absent classifier, reference train_best_RESNET50_Truncate.py:
+            # 160-176): checkpoint moco + a freshly initialised classifier
+            _, k2 = jax.random.split(key)
+            return {
+                "moco": _fresh_copy(pretrained["moco"]),
+                "classifier": classifier_init(k2, config.dim, num_classes),
+            }
         return fresh_init(key)
 
     def forward_train(v, images):
@@ -179,9 +189,18 @@ def setup_truncated_resnet50(
         logits, _ = combined_apply(v["moco"], v["classifier"], images, t, train=False)
         return logits
 
+    frozen_fn = None
+    if freeze_encoder:
+        # reference --freeze_encoder (train_best_RESNET50_Truncate.py:45,180):
+        # requires_grad=False on every moco_model param — only the classifier
+        # trains. BN running stats still evolve (torch train() mode updates
+        # them regardless of requires_grad; here they merge through the
+        # forward, outside the optimiser, so the semantics match for free).
+        frozen_fn = lambda path: path.startswith("moco")
     return _setup(init_variables, forward_train, forward_eval,
                   lr_schedule if lr_schedule is not None else config.lr,
-                  combos, mesh, compute_dtype=compute_dtype, zero1=zero1,
+                  combos, mesh, frozen_fn=frozen_fn,
+                  compute_dtype=compute_dtype, zero1=zero1,
                   template_init=fresh_init, clip_norm=clip_norm,
                   label_smoothing=label_smoothing, ema_decay=ema_decay,
                   mix_fn=mix_fn)

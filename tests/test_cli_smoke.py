@@ -50,6 +50,101 @@ class TestTrainCLIs:
         for f in ("training_info.json", "best_model_results.json", "best_global_model.npz"):
             assert os.path.exists(os.path.join(trained_f1, f)), f
 
+    def test_train_f1_freeze_encoder(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path, capsys
+    ):
+        """--freeze_encoder (reference train_best_RESNET50_Truncate.py:45,
+        180): only the classifier trains; the per-fold console messages for
+        the frozen encoder AND the matched-classifier checkpoint load."""
+        import numpy as np
+
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
+
+        ckpt = os.path.join(trained_f1, "best_global_model.npz")
+        save_dir = str(tmp_path / "frozen")
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", ckpt, "--epochs", "1", "--k_folds", "2",
+            "--save_dir", save_dir, "--seed", "0", "--freeze_encoder",
+        ])
+        outp = capsys.readouterr().out
+        assert "Fold 0: Classifier chargé depuis le checkpoint." in outp
+        assert ("Fold 0: encodeur gelé (seul le classifieur sera entraîné)."
+                in outp)
+        before = load_pytree_npz(ckpt)
+        after = load_pytree_npz(os.path.join(save_dir, "best_global_model.npz"))
+        # stem conv bit-identical (frozen); BN stats may evolve
+        np.testing.assert_array_equal(
+            before["moco"]["encoder"]["conv1"]["kernel"],
+            after["moco"]["encoder"]["conv1"]["kernel"],
+        )
+        assert not np.array_equal(
+            before["classifier"]["fc"]["kernel"],
+            after["classifier"]["fc"]["kernel"],
+        )
+
+    def test_train_f1_classifier_mismatch_messages(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path, capsys
+    ):
+        """Reference train_best_RESNET50_Truncate.py:151-177: a checkpoint
+        whose classifier fc shape disagrees with the dataset's class count
+        keeps the encoder but re-initialises the classifier, with the exact
+        per-fold message; a moco-only checkpoint likewise; no checkpoint
+        prints the from-scratch line."""
+        import numpy as np
+
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+            save_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_truncated_resnet50 import main
+
+        tree = load_pytree_npz(os.path.join(trained_f1, "best_global_model.npz"))
+        narrow = {
+            "moco": tree["moco"],
+            "classifier": {"fc": {
+                "kernel": np.asarray(tree["classifier"]["fc"]["kernel"])[:, :3],
+                "bias": np.asarray(tree["classifier"]["fc"]["bias"])[:3],
+            }},
+        }
+        mism = str(tmp_path / "narrow.npz")
+        save_pytree_npz(narrow, mism)
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", mism, "--epochs", "1", "--k_folds", "2",
+            "--save_dir", str(tmp_path / "m1"), "--seed", "0",
+        ])
+        outp = capsys.readouterr().out
+        assert ("Fold 0: mismatch classifier → checkpoint a (3, 16), "
+                "attendu (4, 16). Nouveau classifieur non chargé." in outp)
+
+        moco_only = str(tmp_path / "moco_only.npz")
+        save_pytree_npz({"moco": tree["moco"]}, moco_only)
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--model_path", moco_only, "--epochs", "1", "--k_folds", "2",
+            "--save_dir", str(tmp_path / "m2"), "--seed", "0",
+        ])
+        outp = capsys.readouterr().out
+        assert ("Fold 0: pas de poids de classifieur dans le checkpoint → "
+                "nouveau classifieur." in outp)
+        # the encoder DID load: trained artifact starts from the checkpoint
+        after = load_pytree_npz(
+            os.path.join(str(tmp_path / "m2"), "best_model_fold_0.npz")
+        )
+        assert after["classifier"]["fc"]["kernel"].shape[-1] == 4
+
+        main([
+            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--epochs", "1", "--k_folds", "2",
+            "--save_dir", str(tmp_path / "m3"), "--seed", "0",
+        ])
+        outp = capsys.readouterr().out
+        assert "Fold 0: pas de checkpoint fourni, entraînement from scratch." in outp
+
     def test_train_gram_attention_freeze(self, tiny_imagefolder, cfg_file, tmp_path):
         from heuristique_style_transfer_code_tpu.cli.train_gram_attention import main
 
@@ -412,18 +507,106 @@ class TestTestCLIs:
             # raises the same error (test_RESNET50_Truncate.py:202-203)
             assert "No clusters found" in str(e)
 
-    def test_inference_mode_works(self, tiny_imagefolder, cfg_file, trained_f1, tmp_path):
-        """'inference' raises in the reference (declared but unhandled); here it
-        runs batch-1 classification."""
+    def test_inference_mode_directory(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path, capsys
+    ):
+        """Reference inference mode (test_RESNET50_Truncate.py:33-164):
+        recursive directory gather → inference_predictions.json with the
+        exact schema, timing keys under --measure_time, console messages."""
         from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        input_dir = str(tiny_imagefolder / "test")
+        expected = []
+        for root, _, files in os.walk(input_dir):
+            expected.extend(
+                os.path.join(root, f) for f in files
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            )
+        expected.sort()
 
         out = str(tmp_path / "inf")
         main([
-            "--data", str(tiny_imagefolder), "--config_path", cfg_file["f1"],
+            "--config_path", cfg_file["f1"],  # --data not required here
             "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
-            "--mode", "inference", "--save_dir", out, "--num_samples", "3",
+            "--mode", "inference", "--inference_input", input_dir,
+            "--save_dir", out, "--batch_size", "4", "--measure_time",
+            "--classes", "fog", "rain", "snow", "sun",
         ])
-        assert os.path.exists(os.path.join(out, "metrics.txt"))
+        with open(os.path.join(out, "inference_predictions.json")) as f:
+            res = json.load(f)
+        assert res["num_images"] == len(expected) > 0
+        assert res["classes"] == ["fog", "rain", "snow", "sun"]
+        assert [p["image_path"] for p in res["predictions"]] == expected
+        for p in res["predictions"]:
+            assert p["predicted_class"] == res["classes"][p["predicted_class_index"]]
+            probs = p["class_probabilities"]
+            assert set(probs) == set(res["classes"])
+            assert abs(sum(probs.values()) - 1.0) < 1e-4
+            assert abs(p["predicted_probability"] - max(probs.values())) < 1e-9
+        assert res["timing"]["total_inference_time_seconds"] > 0
+        assert res["timing"]["average_time_per_image_seconds"] > 0
+        outp = capsys.readouterr().out
+        assert "Résultats d'inférence sauvegardés dans :" in outp
+        assert f"Nombre d'images traitées : {len(expected)}" in outp
+        assert "Temps total :" in outp
+
+    def test_inference_mode_single_file_and_dispatch(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """Single-file input; --steps_per_dispatch K produces an identical
+        JSON; custom --inference_json_name honoured."""
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        one = str(next((tiny_imagefolder / "test" / "fog").glob("*.png")))
+        common = [
+            "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "inference", "--batch_size", "2",
+            "--data", str(tiny_imagefolder),  # classes from data/test
+        ]
+        out1 = str(tmp_path / "a")
+        main(common + ["--inference_input", one, "--save_dir", out1,
+                       "--inference_json_name", "preds.json"])
+        with open(os.path.join(out1, "preds.json")) as f:
+            res1 = json.load(f)
+        assert res1["num_images"] == 1
+        assert res1["predictions"][0]["image_path"] == one
+
+        dirs = str(tiny_imagefolder / "test")
+        outs = []
+        for k, name in (("1", "k1"), ("3", "k3")):
+            out = str(tmp_path / name)
+            main(common + ["--inference_input", dirs, "--save_dir", out,
+                           "--steps_per_dispatch", k])
+            with open(os.path.join(out, "inference_predictions.json")) as f:
+                outs.append(json.load(f))
+        assert outs[0] == outs[1]  # dispatch granularity is bit-invisible
+
+    def test_inference_mode_errors(
+        self, tiny_imagefolder, cfg_file, trained_f1, tmp_path
+    ):
+        """The reference's exact French error strings."""
+        import pytest
+
+        from heuristique_style_transfer_code_tpu.cli.test_truncated_resnet50 import main
+
+        base = [
+            "--config_path", cfg_file["f1"],
+            "--model_path", os.path.join(trained_f1, "best_global_model.npz"),
+            "--mode", "inference", "--save_dir", str(tmp_path / "e"),
+        ]
+        with pytest.raises(ValueError, match="--inference_input doit être spécifié"):
+            main(base)
+        bad = tmp_path / "notes.txt"
+        bad.write_text("x")
+        with pytest.raises(ValueError, match="n'est pas une image supportée"):
+            main(base + ["--inference_input", str(bad)])
+        with pytest.raises(ValueError, match="Chemin invalide pour l'inférence"):
+            main(base + ["--inference_input", str(tmp_path / "missing")])
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="Aucune image trouvée dans"):
+            main(base + ["--inference_input", str(empty)])
 
     def test_gram_attention_classification_and_style_transfer(
         self, tiny_imagefolder, cfg_file, tmp_path
@@ -445,8 +628,14 @@ class TestTestCLIs:
         test_main([
             "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
             "--model_path", ckpt, "--mode", "classification", "--save_dir", out,
+            "--compute_auc",
         ])
-        assert os.path.exists(os.path.join(out, "classification_results.json"))
+        with open(os.path.join(out, "classification_results.json")) as f:
+            res = json.load(f)
+        # reference --compute_auc (test_RESNET50_Truncate_gram_attention.py:
+        # 106-117): 'auc' present (None when degenerate), weighted OVR else
+        assert "auc" in res
+        assert res["auc"] is None or 0.0 <= res["auc"] <= 1.0
 
         test_main([
             "--data", str(tiny_imagefolder), "--config_path", cfg_file["f2"],
@@ -507,8 +696,12 @@ class TestTestCLIs:
             "--data", str(tiny_imagefolder), "--config_path", cfg_file["f3"],
             "--model_path", os.path.join(models, "best_global_model.npz"),
             "--mode", "classification", "--save_dir", out, "--num_samples", "4",
+            "--compute_auc",
         ])
-        assert os.path.exists(os.path.join(out, "classification_results.json"))
+        with open(os.path.join(out, "classification_results.json")) as f:
+            res = json.load(f)
+        assert "auc" in res  # reference test_Multi_PatchGAN.py:218-241
+        assert res["auc"] is None or 0.0 <= res["auc"] <= 1.0
 
         # style transfer, big-canvas sharding: this family optimises ONE
         # image at a time (reference loop), so 'spatial' is the only useful

@@ -935,3 +935,63 @@ class TestKfoldResume:
         assert os.path.getmtime(
             os.path.join(save_dir, "best_model_fold_0.npz")
         ) == mtime0  # checkpoint untouched
+
+
+class TestFreezeEncoder:
+    def test_freeze_encoder_trains_only_classifier(self):
+        """--freeze_encoder (reference train_best_RESNET50_Truncate.py:45,180:
+        requires_grad=False on every moco param): after a train step the
+        encoder weights are bit-identical, the classifier moved, and the BN
+        running statistics still evolved (torch train() semantics)."""
+        import jax
+        import jax.numpy as jnp
+
+        from heuristique_style_transfer_code_tpu.config.schema import (
+            TruncatedResNetConfig,
+        )
+        from heuristique_style_transfer_code_tpu.train.factories import (
+            setup_truncated_resnet50,
+        )
+
+        cfg = TruncatedResNetConfig(
+            batch_size=8, lr=0.05, truncate_layer=4, dim=16, seed=0
+        )
+        setup = setup_truncated_resnet50(cfg, 4, [(None, None)],
+                                         freeze_encoder=True)
+        variables, opt_state = setup.init(jax.random.PRNGKey(0))
+        before = jax.device_get(variables)
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.randint(0, 256, (8, 32, 32, 3), np.uint8))
+        labels = jnp.asarray(rng.randint(0, 4, (8,), np.int64).astype(np.int32))
+        combos = jnp.zeros(8, dtype=jnp.int32)
+        variables, opt_state, loss = setup.train_step(
+            variables, opt_state, images, labels, combos, jax.random.PRNGKey(1)
+        )
+        after = jax.device_get(variables)
+        assert np.isfinite(float(loss))
+
+        from heuristique_style_transfer_code_tpu.train.optim import (
+            BN_STAT_KEYS,
+            _leaf_name,
+        )
+
+        moved_cls, moved_stats, n_frozen = 0, 0, 0
+
+        def walk(path, a, b):
+            nonlocal moved_cls, moved_stats, n_frozen
+            name = _leaf_name(path)
+            top = str(getattr(path[0], "key", path[0]))
+            if name in BN_STAT_KEYS:
+                moved_stats += int(not np.array_equal(a, b))
+            elif top == "moco":
+                np.testing.assert_array_equal(a, b, err_msg=str(path))
+                n_frozen += 1
+            else:
+                moved_cls += int(not np.array_equal(a, b))
+
+        jax.tree_util.tree_map_with_path(
+            lambda p, a, b: walk(p, a, b), before, after
+        )
+        assert n_frozen >= 3  # every encoder weight checked frozen (t=4 stem)
+        assert moved_cls >= 1  # the classifier trained
+        assert moved_stats >= 1  # BN stats still evolve while frozen

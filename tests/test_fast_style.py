@@ -278,3 +278,236 @@ class TestStyleNetCLI:
             assert r.iterations == 1
         finally:
             svc.stop()
+
+
+def _affine_map(fn, params):
+    """Map fn over the conditional (S, C) instance-norm tables only."""
+    def apply(path, leaf):
+        names = {getattr(p, "key", None) for p in path}
+        if getattr(leaf, "ndim", 0) == 2 and {"scale", "bias"} & names:
+            return fn(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(apply, params)
+
+
+def _distinct_cond_net(key, n_styles=2, width=4, n_res=1):
+    """Conditional net whose per-style affines actually differ (the init's
+    ones/zeros tables are style-identical by design)."""
+    params = transformer_net_init(key, width=width, n_res=n_res,
+                                  n_styles=n_styles)
+    noise_key = jax.random.split(key, 1)[0]
+
+    def perturb(leaf):
+        nonlocal noise_key
+        noise_key, sub = jax.random.split(noise_key)
+        return leaf + 0.2 * jax.random.normal(sub, leaf.shape)
+
+    return _affine_map(perturb, params)
+
+
+class TestConditionalNet:
+    """Conditional instance norm (Dumoulin et al.): one net, S styles."""
+
+    def test_onehot_equals_sliced_single_style_net(self):
+        from heuristique_style_transfer_code_tpu.nn.transformer_net import (
+            net_n_styles,
+            select_style,
+        )
+
+        params = _distinct_cond_net(jax.random.PRNGKey(0), n_styles=3)
+        assert net_n_styles(params) == 3
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        for s in range(3):
+            w = np.zeros((3,), np.float32)
+            w[s] = 1.0
+            out = transformer_net_apply(params, x, style_weights=jnp.asarray(w))
+            sliced = select_style(params, s)
+            assert net_n_styles(sliced) is None
+            np.testing.assert_array_equal(
+                np.asarray(out),
+                np.asarray(transformer_net_apply(sliced, x)),
+            )
+
+    def test_blend_equals_blended_affines(self):
+        """w=(a, 1-a) mixing IS the affine interpolation: identical to a
+        plain net whose instance-norm affines are the same convex blend."""
+        params = _distinct_cond_net(jax.random.PRNGKey(2), n_styles=2)
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 3))
+        w = jnp.asarray([0.3, 0.7])
+        out = transformer_net_apply(params, x, style_weights=w)
+        blended = _affine_map(lambda t: 0.3 * t[0] + 0.7 * t[1], params)
+        # w @ table vs a*t0 + b*t1 round differently in f32 -> ~1 ULP drift
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(transformer_net_apply(blended, x)),
+            atol=5e-6,
+        )
+
+    def test_per_image_rows_match_per_style_calls(self):
+        params = _distinct_cond_net(jax.random.PRNGKey(4), n_styles=2)
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 3))
+        per_image = transformer_net_apply(
+            params, x, style_weights=jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+        )
+        s0 = transformer_net_apply(params, x, style_weights=jnp.asarray([1.0, 0.0]))
+        s1 = transformer_net_apply(params, x, style_weights=jnp.asarray([0.0, 1.0]))
+        np.testing.assert_array_equal(np.asarray(per_image[0]), np.asarray(s0[0]))
+        np.testing.assert_array_equal(np.asarray(per_image[1]), np.asarray(s1[1]))
+
+    def test_style_weights_validation(self):
+        cond = transformer_net_init(jax.random.PRNGKey(0), width=4, n_res=1,
+                                    n_styles=2)
+        plain = transformer_net_init(jax.random.PRNGKey(0), width=4, n_res=1)
+        x = jnp.zeros((1, 8, 8, 3))
+        with pytest.raises(ValueError, match="style_weights is required"):
+            transformer_net_apply(cond, x)
+        with pytest.raises(ValueError, match="single-style"):
+            transformer_net_apply(plain, x, style_weights=jnp.asarray([1.0]))
+        with pytest.raises(ValueError, match="!= n_styles"):
+            transformer_net_apply(cond, x, style_weights=jnp.asarray([1.0, 0.0, 0.0]))
+
+    def test_multi_train_specialises_styles(self):
+        """One conditional net trained on two analytic pixel-Gram targets:
+        each style's output Gram lands closer to its OWN target."""
+        from heuristique_style_transfer_code_tpu.data.augment import (
+            eval_preprocess,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_multi_style_train_step,
+        )
+
+        # style 0: horizontal stripes; style 1: flat bright
+        s0 = np.zeros((8, 8, 3), np.float32)
+        s0[::2] = 1.0
+        s1 = np.full((8, 8, 3), 0.9, np.float32)
+        stacks = [
+            jnp.stack([
+                gram_matrix_nhwc(
+                    jnp.asarray((s - IMAGENET_MEAN) / IMAGENET_STD)[None]
+                )[0]
+                for s in (s0, s1)
+            ])
+        ]
+
+        rng = np.random.RandomState(0)
+        images_u8 = jnp.asarray(rng.randint(0, 256, (4, 12, 12, 3), np.uint8))
+        params = transformer_net_init(jax.random.PRNGKey(0), width=4, n_res=1,
+                                      n_styles=2)
+        init_opt, step = make_multi_style_train_step(
+            _identity_extract, style_weight=1.0, content_weight=0.05,
+            learning_rate=5e-3, crop=8,
+        )
+        opt_state = init_opt(params)
+        onehots = np.eye(2, dtype=np.float32)
+        losses = []
+        srng = np.random.default_rng(0)
+        for _ in range(150):
+            w = jnp.asarray(onehots[srng.integers(0, 2, size=4)])
+            params, opt_state, loss = step(params, opt_state, images_u8, w,
+                                           stacks)
+            losses.append(float(loss))
+        assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+        content = eval_preprocess(images_u8, 8)
+        outs = [
+            transformer_net_apply(
+                params, content, style_weights=jnp.asarray(onehots[s])
+            )
+            for s in range(2)
+        ]
+        for s in range(2):
+            g = gram_matrix_nhwc(outs[s])
+            d_own = float(jnp.mean(jnp.square(g - stacks[0][s])))
+            d_other = float(jnp.mean(jnp.square(g - stacks[0][1 - s])))
+            assert d_own < d_other, (s, d_own, d_other)
+
+    def test_conditional_job_fn_through_service(self):
+        """The service's per-request style_w drives the conditional affines:
+        one-hot picks match direct stylize calls exactly, blends are
+        accepted, unknown names rejected."""
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_net_job_fn,
+            make_stylize_fn,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_service import (
+            StyleTransferService,
+        )
+
+        params = _distinct_cond_net(jax.random.PRNGKey(6), n_styles=2)
+        svc = StyleTransferService(
+            job_fn=make_net_job_fn(params, crop=8),
+            style_names=["stripes", "flat"],
+            crop=8, batch_size=2, max_delay_ms=30.0, num_iterations=1,
+        ).start()
+        try:
+            rng = np.random.RandomState(7)
+            img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+            r0 = svc.submit(img, style="stripes").result(timeout=120)
+            r1 = svc.submit(img, style="flat").result(timeout=120)
+            rb = svc.submit(
+                img, style={"stripes": 0.5, "flat": 0.5}
+            ).result(timeout=120)
+            with pytest.raises(ValueError, match="unknown style"):
+                svc.submit(img, style="nope")
+        finally:
+            svc.stop()
+        direct0 = np.asarray(make_stylize_fn(
+            params, crop=8, style_weights=jnp.asarray([1.0, 0.0])
+        )(jnp.asarray(img[None])))[0]
+        np.testing.assert_array_equal(r0.image, direct0)
+        assert not np.array_equal(r0.image, r1.image)
+        assert rb.image.shape == (8, 8, 3)
+
+    def test_multi_cli_train_and_serve(self, tiny_imagefolder, f2_encoder,
+                                       tmp_path):
+        """Two --style_image flags -> a conditional net; serve_style --net
+        honours X-Style picks from the persisted gallery names."""
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+            main as train_main,
+        )
+
+        cfg_path, model_path = f2_encoder
+        save_dir = str(tmp_path / "net_out")
+        stylize_dir = str(tmp_path / "samples")
+        pngs = sorted((tiny_imagefolder / "test" / "fog").glob("*.png"))
+        train_main([
+            "--data", str(tiny_imagefolder),
+            "--style_image", f"alpha={pngs[0]}",
+            "--style_image", f"beta={pngs[1]}",
+            "--config_path", cfg_path, "--model_path", model_path,
+            "--epochs", "1", "--batch_size", "4", "--num_samples", "8",
+            "--width", "4", "--n_res", "1", "--crop", "32",
+            "--log_every", "1", "--save_dir", save_dir,
+            "--stylize_dir", stylize_dir, "--devices", "1", "--seed", "0",
+        ])
+        net_path = os.path.join(save_dir, "style_net.npz")
+        with open(os.path.join(save_dir,
+                               "style_net_hyperparameters.json")) as f:
+            hyper = json.load(f)
+        assert hyper["style_names"] == ["alpha", "beta"]
+        assert os.path.exists(os.path.join(stylize_dir, "stylise_alpha_0.png"))
+        assert os.path.exists(os.path.join(stylize_dir, "stylise_beta_0.png"))
+
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            build_parser,
+            build_service,
+        )
+
+        args = build_parser().parse_args([
+            "--net", net_path, "--batch_size", "2", "--max_delay_ms", "30",
+        ])
+        svc = build_service(args).start()
+        try:
+            assert svc.style_names == ["alpha", "beta"]
+            img = np.random.RandomState(8).randint(
+                0, 256, (64, 64, 3), dtype=np.uint8
+            )
+            ra = svc.submit(img, style="alpha").result(timeout=120)
+            rblend = svc.submit(
+                img, style={"alpha": 0.5, "beta": 0.5}
+            ).result(timeout=120)
+            assert ra.image.shape == (32, 32, 3) and ra.iterations == 1
+            assert rblend.image.shape == (32, 32, 3)
+        finally:
+            svc.stop()
