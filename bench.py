@@ -716,8 +716,11 @@ def main():
         log(f"[tpu] train bench skipped ({e})")
         tr = {"train_fps": None, "train_batch": None}
     vs = (tpu["batched_fps"] / baseline_fps) if baseline_fps else None
-    print(
-        json.dumps(
+    # Full detail record: goes to stderr and to BENCH_DETAIL.json on disk.
+    # The stdout machine line (printed LAST, below) stays compact — the
+    # driver tail-captures stdout and a ~2 KB single line gets its HEAD
+    # clipped (round-3 artifact was parsed:null for exactly this reason).
+    detail = (
             {
                 "metric": "camera_mode_images_per_sec_per_chip",
                 "value": round(tpu["batched_fps"], 2),
@@ -794,8 +797,37 @@ def main():
                 "compressing relay; the headline stays the incompressible "
                 "independent-frame stream",
             }
-        )
     )
+    log("[detail] " + json.dumps(detail))
+    try:
+        import os
+
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        log(f"[detail] could not write BENCH_DETAIL.json ({e})")
+    # Compact machine line, printed last: only the scoring keys plus the
+    # short per-mode numbers. Prose lives in PERF.md / BENCH_DETAIL.json.
+    compact_keys = [
+        "metric",
+        "value",
+        "unit",
+        "vs_baseline",
+        "batch1_p50_frame_ms",
+        "device_resident_fps",
+        "device_resident_fps_int8",
+        "style_transfer_img_iters_per_sec",
+        "train_fps_bf16",
+        "streaming_fps_b64",
+        "streaming_fps_b256",
+        "baseline_cpu_fps",
+    ]
+    line = json.dumps({k: detail.get(k) for k in compact_keys})
+    assert len(line) < 1000, f"machine line too long ({len(line)} bytes)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -318,19 +318,33 @@ def make_save_fn(checkpoint_format: str):
     return save_model_and_hyperparameters
 
 
-def weighted_auc_or_none(labels, probs):
+def weighted_auc_or_none(labels, probs, branch_on="labels"):
     """Reference --compute_auc semantics on the eval CLIs
     (test_RESNET50_Truncate_gram_attention.py:106-117,
     test_Multi_PatchGAN.py:218-235): weighted one-vs-rest for >2 classes,
     ``probs[:, 1]`` for binary; a ValueError (e.g. a class absent from the
-    labels) prints the reference's warning and yields None."""
+    labels) prints the reference's warning and yields None.
+
+    The two references pick the branch differently: gram_attention tests
+    ``len(np.unique(labels)) > 2`` (``branch_on="labels"``, the default)
+    while Multi_PatchGAN tests the probability-matrix width
+    ``probs.shape[1] > 2`` (``branch_on="probs"``). The distinction matters
+    when a >2-class model is evaluated on a subset whose labels cover <=2
+    classes: the labels branch computes a binary AUC from ``probs[:, 1]``
+    (as the gram_attention reference does) while the probs branch keeps the
+    multiclass path, which raises ValueError for the absent classes and
+    yields the reference's warning + ``auc: null``."""
     import numpy as np
     from sklearn.metrics import roc_auc_score
 
     labels = np.asarray(labels)
     probs = np.asarray(probs)
+    multiclass = (
+        probs.shape[1] > 2 if branch_on == "probs"
+        else len(np.unique(labels)) > 2
+    )
     try:
-        if len(np.unique(labels)) > 2:
+        if multiclass:
             return float(
                 roc_auc_score(labels, probs, multi_class="ovr",
                               average="weighted")

@@ -105,6 +105,16 @@ def _build_forward(family: str, config_path: str, model_path: str):
 
         cfg = TruncatedResNetConfig.from_json(config_path)
         variables = load_checkpoint_tree(model_path, family, cfg.to_dict())
+        # moco-only checkpoints (e.g. pretrain-phase .pth converted by
+        # convert_moco_checkpoint) have no classifier head — fail here with
+        # a clear message instead of a bare KeyError during jit tracing
+        # (same guard as cli/test_truncated_resnet50.py:124-128)
+        if "moco" not in variables or "classifier" not in variables:
+            raise KeyError(
+                f"Checkpoint {model_path} does not contain the family-1 "
+                "{'moco', 'classifier'} tree — classifier weights not "
+                "found in checkpoint."
+            )
         t = cfg.truncate_layer
 
         def forward_eval(v, images):

@@ -206,18 +206,28 @@ def main(argv=None):
         mesh = resolve_eval_mesh(args.devices, loader.batch_size)
         all_preds, all_labels, all_probs, times = [], [], [], []
         if args.measure_time:
+            import jax
             # time the step only (batch already in hand), like the
             # reference's evaluate_model_test — the loader pull stays
             # outside the measured window
             jstep = jit_eval_step(step, mesh, n_batch_inputs=1)
             for batch in loader:
                 t0 = time.perf_counter()
-                p, pr = map(np.asarray, jstep(variables, jnp.asarray(batch["image"])))
+                out = jstep(variables, jnp.asarray(batch["image"]))
+                if args.compute_auc:
+                    # one device_get for both outputs — D2H fetches
+                    # serialise through the axon relay (~30 ms RTT each),
+                    # so two np.asarray calls would inflate the timed
+                    # window by an extra round trip per batch
+                    p, pr = jax.device_get(out)
+                else:
+                    p, pr = np.asarray(out[0]), None
                 n = batch["n_valid"]
                 times.append((time.perf_counter() - t0) / max(n, 1))
                 all_preds.extend(p[:n].tolist())
                 all_labels.extend(batch["label"][:n].tolist())
-                all_probs.append(pr[:n])
+                if pr is not None:
+                    all_probs.append(pr[:n])
         else:
             for batch, (p, pr) in scanned_eval_iter(
                 step, variables, loader, mesh,
@@ -261,7 +271,11 @@ def main(argv=None):
             # printed only when computable)
             from ._common import weighted_auc_or_none
 
-            auc = weighted_auc_or_none(all_labels, np.concatenate(all_probs))
+            # the Multi_PatchGAN reference branches on the probability-matrix
+            # width, not the observed labels (test_Multi_PatchGAN.py:218-235)
+            auc = weighted_auc_or_none(
+                all_labels, np.concatenate(all_probs), branch_on="probs"
+            )
             results["auc"] = auc
             if auc is not None:
                 print(f"AUC Score: {auc:.4f}")

@@ -696,7 +696,7 @@ class TestTestCLIs:
             "--data", str(tiny_imagefolder), "--config_path", cfg_file["f3"],
             "--model_path", os.path.join(models, "best_global_model.npz"),
             "--mode", "classification", "--save_dir", out, "--num_samples", "4",
-            "--compute_auc",
+            "--compute_auc", "--measure_time",
         ])
         with open(os.path.join(out, "classification_results.json")) as f:
             res = json.load(f)

@@ -247,3 +247,40 @@ class TestCompileCache:
         finally:
             # restore the process-global config (monkeypatch only covers env)
             jax.config.update("jax_compilation_cache_dir", before)
+
+
+class TestWeightedAucBranch:
+    """The two eval references pick the binary/multiclass AUC branch
+    differently: gram_attention on the observed labels, Multi_PatchGAN on
+    the probability-matrix width (advisor finding, round 3)."""
+
+    def _subset_probs_labels(self):
+        # 4-class model evaluated on a subset whose labels cover 2 classes
+        rng = np.random.RandomState(0)
+        probs = rng.dirichlet(np.ones(4), size=10)
+        labels = np.array([0, 3] * 5)
+        return labels, probs
+
+    def test_probs_branch_matches_multi_patchgan_reference(self, capsys):
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            weighted_auc_or_none,
+        )
+
+        labels, probs = self._subset_probs_labels()
+        # probs.shape[1] > 2 -> multiclass path -> ValueError on the absent
+        # classes -> reference warning + None (auc: null in the json)
+        auc = weighted_auc_or_none(labels, probs, branch_on="probs")
+        assert auc is None
+        assert "Impossible de calculer l'AUC" in capsys.readouterr().out
+
+    def test_labels_branch_matches_gram_attention_reference(self):
+        from sklearn.metrics import roc_auc_score
+
+        from heuristique_style_transfer_code_tpu.cli._common import (
+            weighted_auc_or_none,
+        )
+
+        labels, probs = self._subset_probs_labels()
+        # <=2 unique labels -> the gram_attention reference's binary branch
+        auc = weighted_auc_or_none(labels, probs)
+        assert auc == pytest.approx(float(roc_auc_score(labels, probs[:, 1])))

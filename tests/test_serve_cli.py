@@ -258,3 +258,25 @@ def test_serve_cli_sigterm_drains_and_exits(f1_checkpoint):
     assert proc.returncode == 0, out[-2000:]
     assert "SIGTERM: draining" in out
     assert "Stats:" in out
+
+
+def test_build_forward_rejects_moco_only_checkpoint(tmp_path):
+    """A classifier-less (pretrain-phase) family-1 checkpoint must fail at
+    load time with a clear message, not a bare KeyError during jit tracing
+    (advisor finding, round 3)."""
+    from heuristique_style_transfer_code_tpu.checkpoint.io import save_pytree_npz
+    from heuristique_style_transfer_code_tpu.cli.serve import _build_forward
+    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+        truncated_moco_init,
+    )
+
+    cfg = str(tmp_path / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                   "seed": 0, "dim": 16}, f)
+    ckpt = str(tmp_path / "moco_only.npz")
+    save_pytree_npz(
+        {"moco": truncated_moco_init(jax.random.PRNGKey(0), 5, dim=16)}, ckpt
+    )
+    with pytest.raises(KeyError, match="classifier weights not found"):
+        _build_forward("truncated_resnet50", cfg, ckpt)
