@@ -248,34 +248,40 @@ def build_service(args, crop: int = 224):
             f"Feed-forward net: {kind}, crop {net_crop} "
             f"(one forward per job)", flush=True,
         )
+        # the net forward is traceable, so the multi-size dispatch ladder
+        # works exactly as in the iterative modes: the same job_fn under
+        # every size — the dispatcher picks the smallest compiled size
+        # that fits the collected jobs (latency under light load)
+        net_job = make_net_job_fn(
+            params, crop=net_crop,
+            compute_dtype=resolve_compute_dtype(args.precision),
+        )
         return StyleTransferService(
-            job_fn=make_net_job_fn(
-                params, crop=net_crop,
-                compute_dtype=resolve_compute_dtype(args.precision),
-            ),
+            job_fn={s: net_job for s in sizes},
             style_names=style_names,
             crop=net_crop,
-            batch_size=sizes[-1],
             num_iterations=1,
             max_delay_ms=args.max_delay_ms,
             max_in_flight=args.max_in_flight,
-            mesh=resolve_eval_mesh(args.devices, sizes[-1]),
+            mesh=resolve_eval_mesh(args.devices, min(sizes)),
         )
     if args.artifact:
         from ..deploy.artifact import load_style_artifact
 
         art = load_style_artifact(args.artifact)
         meta = art.meta
+        sizes = sorted(art.job_fns)
         print(
-            f"Artifact: batch {meta['batch_size']}, crop {meta['crop']}, "
+            f"Artifact: batch sizes {sizes}, crop {meta['crop']}, "
             f"{meta['num_iterations']} iters, gallery {meta['style_names']}, "
             f"platforms {meta['platforms']}", flush=True,
         )
+        # one exported program per size: the dispatcher picks the smallest
+        # that fits, exactly as live serving does (multi-size AOT ladder)
         return StyleTransferService(
-            job_fn=art.job_fn,
+            job_fn=art.job_fns,
             style_names=meta["style_names"],
             crop=meta["crop"],
-            batch_size=meta["batch_size"],
             num_iterations=meta["num_iterations"],
             max_delay_ms=args.max_delay_ms,
             max_in_flight=args.max_in_flight,
@@ -303,19 +309,20 @@ def build_service(args, crop: int = 224):
 def export_artifact(args) -> None:
     """--export_artifact flow: trace+lower the exact job program the server
     would dispatch (same builder) and write it; exits without serving."""
-    from ..deploy.artifact import export_style_artifact, save_infer_artifact
+    from ..deploy.artifact import export_style_artifact, save_style_artifact
 
     service = build_service(args)
     platforms = (
         [p.strip() for p in args.export_platforms.split(",") if p.strip()]
         if args.export_platforms else None
     )
-    blob, meta = export_style_artifact(service, platforms=platforms)
-    save_infer_artifact(args.export_artifact, blob, meta)
+    blobs, meta = export_style_artifact(service, platforms=platforms)
+    save_style_artifact(args.export_artifact, blobs, meta)
+    total = sum(len(b) for b in blobs.values())
     print(
         f"Style artifact written to {args.export_artifact} "
-        f"({len(blob) / 1e6:.1f} MB StableHLO, batch {meta['batch_size']}, "
-        f"platforms {meta['platforms']})"
+        f"({total / 1e6:.1f} MB StableHLO, batch sizes "
+        f"{meta['batch_sizes']}, platforms {meta['platforms']})"
     )
 
 

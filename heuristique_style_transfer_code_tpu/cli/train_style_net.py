@@ -86,6 +86,45 @@ def build_parser():
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--afficher_params", action="store_true")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Continue an interrupted fit from its last in-progress "
+        "checkpoint in --save_dir (bit-identical to an uninterrupted run: "
+        "the loader replays the interrupted epoch's order and skips the "
+        "consumed batches). Also arms SIGTERM preemption: the exact "
+        "position is checkpointed and the process exits 0 with this hint",
+    )
+    parser.add_argument(
+        "--checkpoint_every", type=int, default=200, metavar="STEPS",
+        help="With --resume: in-progress checkpoint cadence in optimiser "
+        "steps (epoch ends always checkpoint; 0 = epoch-granular only)",
+    )
+    parser.add_argument(
+        "--async_checkpoint", action="store_true",
+        help="With --resume: write in-progress checkpoints in a background "
+        "thread (device-side snapshot at submit — training never stalls on "
+        "the write; same atomic on-disk format)",
+    )
+    parser.add_argument(
+        "--lr_schedule", choices=["constant", "cosine", "linear"],
+        default="constant",
+        help="LR schedule over the whole fit (horizon = steps/epoch x "
+        "--epochs). Evaluated from the optimiser step count inside the "
+        "jitted step; the count rides the resume checkpoint, so a resumed "
+        "run continues the curve bit-identically",
+    )
+    parser.add_argument(
+        "--warmup_steps", type=int, default=0,
+        help="Linear LR warmup steps (0 -> --lr) before the schedule",
+    )
+    parser.add_argument(
+        "--min_lr_ratio", type=float, default=0.0,
+        help="Schedule floor as a fraction of --lr",
+    )
+    parser.add_argument(
+        "--clip_grad_norm", type=float, default=None,
+        help="Clip gradients to this global norm before the Adam update",
+    )
     add_tpu_args(parser)
     return parser
 
@@ -158,26 +197,24 @@ def main(argv=None):
     styles_u8 = [load_image_staged(p) for p in styles.values()]
     mesh = build_mesh(args.devices, args.batch_size)
 
-    knobs = dict(
-        epochs=args.epochs,
-        style_weight=args.style_weight,
-        content_weight=args.content_weight,
-        tv_weight=args.tv_weight,
-        learning_rate=args.lr,
-        crop=args.crop,
-        compute_dtype=dtype,
-        mesh=mesh,
-        log_every=args.log_every,
-    )
-    if multi:
-        params, history = train_multi_style(
-            net_params, extract_fn, loader, styles_u8,
-            seed=args.seed, **knobs,
+    # LR schedule horizon = the whole fit (one "fold" of len(loader) steps
+    # per epoch); the plain-float path is kept when no schedule is asked
+    learning_rate = args.lr
+    if args.lr_schedule != "constant" or args.warmup_steps:
+        from ..train.schedules import make_lr_schedule
+
+        total = max(1, len(loader) * args.epochs)
+        sched = make_lr_schedule(
+            args.lr_schedule, args.lr, total, args.warmup_steps,
+            args.min_lr_ratio,
         )
-    else:
-        params, history = train_fast_style(
-            net_params, extract_fn, loader, styles_u8[0], **knobs,
-        )
+        if sched is not None:
+            learning_rate = sched
+            print(
+                f"lr schedule: {args.lr_schedule}, warmup "
+                f"{args.warmup_steps} steps, horizon {total} steps, floor "
+                f"{args.lr * args.min_lr_ratio:g}"
+            )
 
     hyper = {
         "family": "style_net",
@@ -195,9 +232,64 @@ def main(argv=None):
         "epochs": args.epochs,
         "batch_size": args.batch_size,
         "encoder_config": cfg.to_dict(),
-        "final_loss": history[-1] if history else None,
     }
+    # run identity for --resume: the saved hyperparameters plus everything
+    # else that changes the trajectory (seed/subset/schedule/clip/precision)
+    from ..tasks.fast_style import clear_net_inprogress, style_net_signature
+
+    signature = style_net_signature({
+        **hyper,
+        "seed": args.seed,
+        "num_samples": args.num_samples,
+        "lr_schedule": args.lr_schedule,
+        "warmup_steps": args.warmup_steps,
+        "min_lr_ratio": args.min_lr_ratio,
+        "clip_grad_norm": args.clip_grad_norm,
+        "precision": args.precision,
+    })
+
+    knobs = dict(
+        epochs=args.epochs,
+        style_weight=args.style_weight,
+        content_weight=args.content_weight,
+        tv_weight=args.tv_weight,
+        learning_rate=learning_rate,
+        crop=args.crop,
+        compute_dtype=dtype,
+        mesh=mesh,
+        log_every=args.log_every,
+        clip_norm=args.clip_grad_norm,
+        save_dir=args.save_dir,
+        resume=args.resume,
+        checkpoint_every=args.checkpoint_every,
+        async_checkpoint=args.async_checkpoint,
+        signature=signature,
+    )
+    if args.resume:
+        os.makedirs(args.save_dir, exist_ok=True)
+    from ..train.preemption import PreemptedError
+
+    try:
+        if multi:
+            params, history = train_multi_style(
+                net_params, extract_fn, loader, styles_u8,
+                seed=args.seed, **knobs,
+            )
+        else:
+            params, history = train_fast_style(
+                net_params, extract_fn, loader, styles_u8[0], **knobs,
+            )
+    except PreemptedError as e:
+        # SIGTERM on a preemptible fleet: the exact position is durable;
+        # the same command + --resume continues bit-identically
+        print(f"Preempted: {e}")
+        return
+
+    hyper["final_loss"] = history[-1] if history else None
     save_model_and_hyperparameters(params, hyper, args.save_dir, "style_net")
+    if args.resume:
+        # the completed fit supersedes the in-progress artifact
+        clear_net_inprogress(args.save_dir)
     gallery = f" (galerie {style_names})" if multi else ""
     print(f"Réseau de style sauvegardé dans {args.save_dir}/style_net.npz "
           f"(loss finale {hyper['final_loss']}){gallery}")

@@ -106,12 +106,24 @@ class HostLoader:
         self.process_index = process_index
         self.process_count = process_count
         self._epoch = 0
+        self._skip = 0
 
     def set_epoch(self, epoch: int) -> None:
         """Seek the per-epoch shuffle stream (resume support): the next
         ``__iter__`` produces exactly the order a fresh loader would have
         produced on its ``epoch``-th iteration."""
         self._epoch = int(epoch)
+
+    def set_position(self, epoch: int, skip_batches: int = 0) -> None:
+        """Mid-epoch seek (step-granular resume): the next ``__iter__``
+        replays epoch ``epoch``'s exact order but drops its first
+        ``skip_batches`` batches WITHOUT decoding them — the remaining
+        batches are byte-identical to a fresh run's batches
+        ``skip_batches..`` of that epoch (tail padding is computed from the
+        full epoch order before the slice). One-shot: following epochs
+        start at batch 0 again."""
+        self.set_epoch(epoch)
+        self._skip = int(skip_batches)
 
     def _local_n(self) -> int:
         """Per-host sample count after global padding (see class docstring)."""
@@ -155,6 +167,9 @@ class HostLoader:
         ]
         if self.drop_last and batches and len(batches[-1][0]) < bs:
             batches.pop()
+        skip, self._skip = self._skip, 0
+        if skip:
+            batches = batches[skip:]
 
         # two pools: decode workers + batch assemblers (separate pools so an
         # assembler waiting on decodes can never starve the decode pool)

@@ -206,57 +206,111 @@ def export_style_artifact(
     model code, checkpoint or style images (:func:`load_style_artifact` +
     ``StyleTransferService(job_fn=...)``).
 
-    The batch size, crop, iteration cap, threshold and learning rate are
-    part of the traced program (a while_loop's bound is static), so they
+    The batch sizes, crop, iteration cap, threshold and learning rate are
+    part of the traced programs (a while_loop's bound is static), so they
     ride the artifact, not the serving flags — ``meta`` records them all.
+
+    A multi-size service exports its WHOLE dispatch ladder: one StableHLO
+    program per compiled batch size (``meta["batch_sizes"]``), so serving
+    from the artifact keeps the lone-job latency win of small-batch
+    dispatch. Returns ``(blobs, meta)`` with ``blobs`` a
+    ``{batch_size: bytes}`` mapping — write it with
+    :func:`save_style_artifact`.
     """
     import jax
     from jax import export as jexport
     import jax.numpy as jnp
 
-    b, c = service.batch_size, service.crop
+    c = service.crop
     k = max(1, len(service.style_names))
-    specs = (
-        jax.ShapeDtypeStruct((b, c, c, 3), jnp.uint8),
-        jax.ShapeDtypeStruct((b, k), jnp.float32),
-        jax.ShapeDtypeStruct((b,), jnp.int32),
-    )
-    exp = jexport.export(
-        service._job,
-        platforms=tuple(platforms) if platforms is not None else None,
-    )(*specs)
+    blobs = {}
+    platforms_out = n_devices = None
+    for b in service.batch_sizes:
+        specs = (
+            jax.ShapeDtypeStruct((b, c, c, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+        )
+        exp = jexport.export(
+            service._jobs_by_size[b],
+            platforms=tuple(platforms) if platforms is not None else None,
+        )(*specs)
+        blobs[int(b)] = exp.serialize()
+        platforms_out = list(exp.platforms)
+        n_devices = int(exp.nr_devices)
     meta = {
         "format": STYLE_ARTIFACT_FORMAT,
         "version": ARTIFACT_VERSION,
         "crop": int(c),
-        "batch_size": int(b),
+        "batch_size": int(service.batch_size),
+        "batch_sizes": [int(b) for b in service.batch_sizes],
         "num_iterations": int(service.num_iterations),
         "style_names": list(service.style_names),
-        "platforms": list(exp.platforms),
-        "n_devices": int(exp.nr_devices),
+        "platforms": platforms_out,
+        "n_devices": n_devices,
         "jax_version": jax.__version__,
     }
     if extra_meta:
         meta.update(extra_meta)
-    return exp.serialize(), meta
+    return blobs, meta
+
+
+def save_style_artifact(path: str, blobs, meta: dict) -> None:
+    """One self-contained file for the whole dispatch ladder: a
+    ``stablehlo_<batch>`` entry per exported size + JSON metadata, written
+    atomically like :func:`save_infer_artifact`. ``blobs`` may be a
+    ``{batch_size: bytes}`` mapping or a single ``bytes`` (saved under the
+    meta's ``batch_size``)."""
+    import os
+    import tempfile
+
+    if isinstance(blobs, (bytes, bytearray)):
+        blobs = {int(meta["batch_size"]): bytes(blobs)}
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".hst.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                meta=np.asarray(json.dumps(meta)),
+                **{
+                    f"stablehlo_{int(b)}": np.frombuffer(blob, dtype=np.uint8)
+                    for b, blob in blobs.items()
+                },
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 class StyleArtifact:
     """A loaded style-job artifact: ``artifact(images_u8, style_w,
-    job_ids) -> (canvas_u8, iterations, per_image_loss)`` at exactly the
-    exported batch shape. Pass ``artifact.job_fn`` to
-    ``StyleTransferService(job_fn=..., style_names=artifact.meta
-    ["style_names"], batch_size=..., crop=...)`` to serve it."""
+    job_ids) -> (canvas_u8, iterations, per_image_loss)`` at an exported
+    batch shape. ``job_fns`` maps each exported batch size to its program —
+    pass it straight to ``StyleTransferService(job_fn=artifact.job_fns,
+    style_names=artifact.meta["style_names"], crop=...)`` for dispatch-size
+    selection parity with live serving; ``job_fn`` (the largest size's
+    program) remains for single-size use."""
 
-    def __init__(self, exported, meta: dict):
+    def __init__(self, exported_by_size: dict, meta: dict):
         import jax
 
         self.meta = dict(meta)
-        self.exported = exported
-        self.job_fn = jax.jit(exported.call)
+        self.exported_by_size = dict(exported_by_size)
+        self.job_fns = {
+            int(b): jax.jit(e.call) for b, e in exported_by_size.items()
+        }
+        largest = max(self.job_fns)
+        self.exported = self.exported_by_size[largest]
+        self.job_fn = self.job_fns[largest]
 
     def __call__(self, images_u8, style_w, job_ids):
-        return self.job_fn(images_u8, style_w, job_ids)
+        return self.job_fns[int(images_u8.shape[0])](
+            images_u8, style_w, job_ids
+        )
 
 
 def load_style_artifact(path: str) -> StyleArtifact:
@@ -266,8 +320,18 @@ def load_style_artifact(path: str) -> StyleArtifact:
         meta = json.loads(str(z["meta"]))
         if meta.get("format") != STYLE_ARTIFACT_FORMAT:
             raise ValueError(f"{path} is not a {STYLE_ARTIFACT_FORMAT} file")
-        blob = z["stablehlo"].tobytes()
-    return StyleArtifact(jexport.deserialize(bytearray(blob)), meta)
+        if "stablehlo" in z.files:  # single-size artifact (format v1 files)
+            blobs = {int(meta["batch_size"]): z["stablehlo"].tobytes()}
+        else:
+            blobs = {
+                int(name.split("_")[-1]): z[name].tobytes()
+                for name in z.files
+                if name.startswith("stablehlo_")
+            }
+    return StyleArtifact(
+        {b: jexport.deserialize(bytearray(blob)) for b, blob in blobs.items()},
+        meta,
+    )
 
 
 def save_infer_artifact(path: str, blob: bytes, meta: dict) -> None:

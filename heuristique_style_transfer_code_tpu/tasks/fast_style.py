@@ -35,6 +35,18 @@ from ..nn.transformer_net import net_n_styles, transformer_net_apply
 from .style_transfer import total_variation
 
 
+def _make_optimizer(learning_rate, clip_norm=None):
+    """Adam whose ``learning_rate`` may be a float OR an optax schedule
+    (train/schedules.make_lr_schedule — the count lives in the optimiser
+    state, so a resumed run continues the curve bit-identically); optional
+    global-norm gradient clipping chained before it, same semantics as the
+    family train CLIs' ``--clip_grad_norm``."""
+    tx = optax.adam(learning_rate)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(float(clip_norm)), tx)
+    return tx
+
+
 def make_fast_style_train_step(
     extract_fn: Callable,
     *,
@@ -45,6 +57,7 @@ def make_fast_style_train_step(
     crop: int = 224,
     compute_dtype=None,
     mesh=None,
+    clip_norm=None,
 ) -> Tuple[Callable, Callable]:
     """Build (init_opt_state, step).
 
@@ -55,7 +68,7 @@ def make_fast_style_train_step(
     """
     from ..data.augment import eval_preprocess
 
-    adam = optax.adam(learning_rate)
+    adam = _make_optimizer(learning_rate, clip_norm)
     sw, cw, tw = float(style_weight), float(content_weight), float(tv_weight)
 
     def loss_fn(params, images, style_grams):
@@ -142,6 +155,7 @@ def make_multi_style_train_step(
     crop: int = 224,
     compute_dtype=None,
     mesh=None,
+    clip_norm=None,
 ) -> Tuple[Callable, Callable]:
     """Conditional-net counterpart of :func:`make_fast_style_train_step`.
 
@@ -153,7 +167,7 @@ def make_multi_style_train_step(
     list from :func:`encode_style_gram_stacks`."""
     from ..data.augment import eval_preprocess
 
-    adam = optax.adam(learning_rate)
+    adam = _make_optimizer(learning_rate, clip_norm)
     sw_, cw, tw = float(style_weight), float(content_weight), float(tv_weight)
 
     def loss_fn(params, images, style_w, gram_stacks):
@@ -206,6 +220,200 @@ def make_multi_style_train_step(
     return adam.init, jit_step
 
 
+_INPROGRESS_NET = "_inprogress_style_net.npz"
+
+
+def style_net_signature(hyperparameters: dict) -> str:
+    """Identity of a style-net fit (resume safety): resuming under different
+    styles/weights/net shape would silently stitch old state into a new
+    run, so the full hyperparameter dict is the signature (same recipe as
+    train/kfold._run_signature)."""
+    import json
+
+    return json.dumps(hyperparameters, sort_keys=True, default=str)
+
+
+def _save_net_inprogress(save_dir, params, opt_state, epoch, step_in_epoch,
+                         seen, history, signature, async_writer=None):
+    """ONE atomic artifact per checkpoint: net params + flattened optimiser
+    leaves + the exact position (epoch, batches consumed within it, global
+    step) + the loss history so far + the run signature. Position and state
+    in the same file — no crash window pairs step-N weights with a step-M
+    position."""
+    import os
+
+    from ..checkpoint.io import save_pytree_npz
+
+    tree = {
+        "params": params,
+        "opt_leaves": list(jax.tree_util.tree_leaves(opt_state)),
+        "epoch": int(epoch),
+        "step_in_epoch": int(step_in_epoch),
+        "seen": int(seen),
+        "history": np.asarray(history, np.float64),
+        "signature": np.asarray(signature),
+    }
+    path = os.path.join(save_dir, _INPROGRESS_NET)
+    if async_writer is not None:
+        async_writer.submit(tree, path)  # device snapshot; write overlapped
+    else:
+        save_pytree_npz(tree, path)
+
+
+def _load_net_inprogress(save_dir, signature):
+    import os
+
+    from ..checkpoint.io import load_pytree_npz
+
+    path = os.path.join(save_dir, _INPROGRESS_NET)
+    if not os.path.exists(path):
+        return None
+    st = load_pytree_npz(path, as_jax=False)
+    found = str(np.asarray(st["signature"]))
+    if found != signature:
+        raise ValueError(
+            "--resume: this run's configuration does not match the "
+            "interrupted run's (styles/weights/net shape/epochs differ).\n"
+            f"  was: {found}\n  now: {signature}"
+        )
+    return st
+
+
+def clear_net_inprogress(save_dir) -> None:
+    import os
+
+    p = os.path.join(save_dir, _INPROGRESS_NET)
+    if os.path.exists(p):
+        os.unlink(p)
+
+
+def _drive_net_training(
+    dispatch: Callable,
+    init_opt: Callable,
+    net_params: dict,
+    loader,
+    *,
+    epochs: int,
+    log_fn,
+    log_every: int,
+    label: str,
+    save_dir=None,
+    resume: bool = False,
+    checkpoint_every: int = 200,
+    async_checkpoint: bool = False,
+    signature=None,
+) -> Tuple[dict, List[float]]:
+    """Shared resilient loop behind train_fast_style / train_multi_style.
+
+    ``dispatch(params, opt_state, images_u8, seen)`` runs ONE jitted step.
+    With ``resume=True`` (requires ``save_dir``): a SIGTERM is honoured at
+    the next batch boundary — the exact position is checkpointed and
+    PreemptedError raised (the CLI exits 0 with the resume hint) — and an
+    in-progress checkpoint is written every ``checkpoint_every`` steps and
+    at each epoch end; rerunning with the same configuration continues
+    BIT-IDENTICALLY (the loader replays the interrupted epoch's order and
+    skips the consumed batches without decoding them —
+    HostLoader.set_position). ``async_checkpoint`` overlaps the writes with
+    training (checkpoint/async_io; snapshot at submit, donation-safe)."""
+    from ..train.preemption import (
+        PreemptedError,
+        clear_preemption,
+        install_sigterm_handler,
+        preemption_requested,
+    )
+
+    acw = None
+    clear_preemption()  # stale flag from an earlier run in this process
+    if resume:
+        if save_dir is None:
+            raise ValueError("resume=True requires save_dir")
+        install_sigterm_handler()
+        if async_checkpoint:
+            from ..checkpoint.async_io import AsyncCheckpointWriter
+
+            acw = AsyncCheckpointWriter()
+
+    opt_state = init_opt(net_params)
+    params = net_params
+    history: List[float] = []
+    start_epoch = start_step = seen = 0
+    if resume:
+        st = _load_net_inprogress(save_dir, signature)
+        if st is not None:
+            params = st["params"]
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state), st["opt_leaves"]
+            )
+            start_epoch = int(st["epoch"])
+            start_step = int(st["step_in_epoch"])
+            seen = int(st["seen"])
+            history = [float(x) for x in np.asarray(st["history"]).ravel()]
+            log_fn(
+                f"{label}: reprise à l'epoch {start_epoch + 1} "
+                f"(step {seen}, {start_step} batch(s) déjà consommés)"
+            )
+
+    def save(epoch, step_in_epoch):
+        _save_net_inprogress(
+            save_dir, params, opt_state, epoch, step_in_epoch, seen,
+            history, signature, async_writer=acw,
+        )
+
+    loss = None
+    t0 = time.perf_counter()
+    try:
+        for epoch in range(start_epoch, int(epochs)):
+            k = start_step if epoch == start_epoch else 0
+            if k and hasattr(loader, "set_position"):
+                loader.set_position(epoch, k)
+            elif hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+            for batch in loader:
+                if resume and preemption_requested():
+                    if acw is not None:
+                        acw.wait()
+                    save(epoch, k)
+                    if acw is not None:
+                        acw.wait()
+                    raise PreemptedError(
+                        0, epoch,
+                        message=(
+                            f"preempted: progress through step {seen} "
+                            f"(epoch {epoch + 1}, batch {k}) is "
+                            "checkpointed; rerun with --resume to continue"
+                        ),
+                    )
+                images_u8 = (
+                    batch["image"] if isinstance(batch, dict) else batch[0]
+                )
+                params, opt_state, loss = dispatch(
+                    params, opt_state, images_u8, seen
+                )
+                seen += 1
+                k += 1
+                if seen % int(log_every) == 0 or seen == 1:
+                    lv = float(loss)
+                    history.append(lv)
+                    log_fn(
+                        f"{label} epoch {epoch + 1}/{epochs} step {seen} "
+                        f"loss {lv:.6f} ({time.perf_counter() - t0:.1f}s)"
+                    )
+                if (
+                    resume and checkpoint_every
+                    and seen % int(checkpoint_every) == 0
+                ):
+                    save(epoch, k)
+            if resume:
+                save(epoch + 1, 0)
+    finally:
+        if acw is not None:
+            acw.close()
+    if seen and loss is not None:
+        # one final fetch so the history always carries the end state
+        history.append(float(jax.device_get(loss)))
+    return params, history
+
+
 def train_multi_style(
     net_params: dict,
     extract_fn: Callable,
@@ -223,13 +431,22 @@ def train_multi_style(
     seed: int = 0,
     log_fn=print,
     log_every: int = 50,
+    clip_norm=None,
+    save_dir=None,
+    resume: bool = False,
+    checkpoint_every: int = 200,
+    async_checkpoint: bool = False,
+    signature=None,
 ) -> Tuple[dict, List[float]]:
     """Train ONE conditional net on a gallery (``styles_u8``: sequence of
     uint8 style images, index-aligned with the net's style axis). Each
     content image trains against a style drawn uniformly per image from a
-    seeded host RNG — the classic CIN recipe: shared convs learn generic
-    rendering, the per-style affines specialise. Carry donation as in
-    :func:`train_fast_style`."""
+    host RNG seeded by (seed, global step) — counter-based so a resumed run
+    draws the SAME styles a fresh run would have (bit-identical resume) —
+    the classic CIN recipe: shared convs learn generic rendering, the
+    per-style affines specialise. Carry donation as in
+    :func:`train_fast_style`; resume/preemption semantics in
+    :func:`_drive_net_training`."""
     n_styles = net_n_styles(net_params)
     if n_styles is None:
         raise ValueError("train_multi_style needs a conditional net "
@@ -247,38 +464,28 @@ def train_multi_style(
         crop=crop,
         compute_dtype=compute_dtype,
         mesh=mesh,
+        clip_norm=clip_norm,
     )
     gram_stacks = encode_style_gram_stacks(extract_fn, styles_u8, crop)
-    rng = np.random.default_rng(seed)
-    opt_state = init_opt(net_params)
-    params = net_params
-    history: List[float] = []
-    seen = 0
-    t0 = time.perf_counter()
-    for epoch in range(int(epochs)):
-        if hasattr(loader, "set_epoch"):
-            loader.set_epoch(epoch)
-        for batch in loader:
-            images_u8 = batch["image"] if isinstance(batch, dict) else batch[0]
-            onehot = np.zeros((images_u8.shape[0], n_styles), np.float32)
-            onehot[np.arange(images_u8.shape[0]),
-                   rng.integers(0, n_styles, size=images_u8.shape[0])] = 1.0
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(images_u8),
-                jnp.asarray(onehot), gram_stacks,
-            )
-            seen += 1
-            if seen % int(log_every) == 0 or seen == 1:
-                lv = float(loss)
-                history.append(lv)
-                log_fn(
-                    f"fast-style ({n_styles} styles) epoch {epoch + 1}/{epochs} "
-                    f"step {seen} loss {lv:.6f} "
-                    f"({time.perf_counter() - t0:.1f}s)"
-                )
-    if seen:
-        history.append(float(jax.device_get(loss)))
-    return params, history
+
+    def dispatch(params, opt_state, images_u8, seen):
+        rng = np.random.default_rng([seed, seen])
+        onehot = np.zeros((images_u8.shape[0], n_styles), np.float32)
+        onehot[np.arange(images_u8.shape[0]),
+               rng.integers(0, n_styles, size=images_u8.shape[0])] = 1.0
+        return step(
+            params, opt_state, jnp.asarray(images_u8),
+            jnp.asarray(onehot), gram_stacks,
+        )
+
+    return _drive_net_training(
+        dispatch, init_opt, net_params, loader,
+        epochs=epochs, log_fn=log_fn, log_every=log_every,
+        label=f"fast-style ({n_styles} styles)",
+        save_dir=save_dir, resume=resume,
+        checkpoint_every=checkpoint_every,
+        async_checkpoint=async_checkpoint, signature=signature,
+    )
 
 
 def train_fast_style(
@@ -297,6 +504,12 @@ def train_fast_style(
     mesh=None,
     log_fn=print,
     log_every: int = 50,
+    clip_norm=None,
+    save_dir=None,
+    resume: bool = False,
+    checkpoint_every: int = 200,
+    async_checkpoint: bool = False,
+    signature=None,
 ) -> Tuple[dict, List[float]]:
     """Drive the step over a content loader for ``epochs``. ``loader``
     yields HostLoader batch dicts (the "image" entry is used; labels are
@@ -304,7 +517,7 @@ def train_fast_style(
     uint8 images first. Returns
     (params, per-log loss history). The step donates its carry:
     ``net_params``' buffers are consumed (keep a copy if you need the
-    init)."""
+    init). Resume/preemption semantics in :func:`_drive_net_training`."""
     init_opt, step = make_fast_style_train_step(
         extract_fn,
         style_weight=style_weight,
@@ -314,33 +527,22 @@ def train_fast_style(
         crop=crop,
         compute_dtype=compute_dtype,
         mesh=mesh,
+        clip_norm=clip_norm,
     )
     style_grams = encode_style_grams(extract_fn, style_u8, crop)
-    opt_state = init_opt(net_params)
-    params = net_params
-    history: List[float] = []
-    seen = 0
-    t0 = time.perf_counter()
-    for epoch in range(int(epochs)):
-        if hasattr(loader, "set_epoch"):
-            loader.set_epoch(epoch)
-        for batch in loader:
-            images_u8 = batch["image"] if isinstance(batch, dict) else batch[0]
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(images_u8), style_grams
-            )
-            seen += 1
-            if seen % int(log_every) == 0 or seen == 1:
-                lv = float(loss)
-                history.append(lv)
-                log_fn(
-                    f"fast-style epoch {epoch + 1}/{epochs} step {seen} "
-                    f"loss {lv:.6f} ({time.perf_counter() - t0:.1f}s)"
-                )
-    if seen:
-        # one final fetch so the history always carries the end state
-        history.append(float(jax.device_get(loss)))
-    return params, history
+
+    def dispatch(params, opt_state, images_u8, seen):
+        del seen
+        return step(params, opt_state, jnp.asarray(images_u8), style_grams)
+
+    return _drive_net_training(
+        dispatch, init_opt, net_params, loader,
+        epochs=epochs, log_fn=log_fn, log_every=log_every,
+        label="fast-style",
+        save_dir=save_dir, resume=resume,
+        checkpoint_every=checkpoint_every,
+        async_checkpoint=async_checkpoint, signature=signature,
+    )
 
 
 def _stylize_body(net_params, images_u8, crop: int, compute_dtype,

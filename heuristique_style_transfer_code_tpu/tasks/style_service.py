@@ -105,6 +105,14 @@ class StyleTransferService:
     extract_fn : per-image ``(feats, [style Grams])`` program
         (``make_extract_fn_gram_attention``) — content+style mode; requires
         ``styles``, a non-empty ``{name: (H, W, 3) uint8}`` mapping.
+    job_fn : pre-built ``(images_u8, style_w, job_ids) -> (u8, iters,
+        per_loss)`` batch program (a feed-forward net via
+        ``fast_style.make_net_job_fn``, or a deserialised AOT artifact).
+        A bare callable serves ONE batch size; a mapping
+        ``{batch_size: program}`` enables multi-size dispatch (each size's
+        program is only called at its own shape — the same traceable net
+        forward may appear under every size, an AOT artifact ships one
+        exported program per size) and overrides ``batch_size``.
     batch_size : static device batch B (jobs per while_loop dispatch), or a
         sequence of sizes: the dispatcher then picks the SMALLEST compiled
         size that fits the collected jobs. Per-iteration wall time scales
@@ -171,17 +179,31 @@ class StyleTransferService:
             raise ValueError(f"init must be 'content' or 'noise', got {init!r}")
 
         self.crop = int(crop)
-        try:
-            sizes = sorted({int(b) for b in batch_size})
-        except TypeError:
-            sizes = [int(batch_size)]
+        from collections.abc import Mapping
+
+        jobs_by_size = None
+        if isinstance(job_fn, Mapping):
+            # {batch_size: program} — multi-size dispatch for pre-built
+            # programs: each size's program only ever sees its own shape
+            # (a traceable net forward may appear under several sizes; an
+            # AOT artifact ships one exported program per size). Overrides
+            # batch_size.
+            jobs_by_size = {int(s): f for s, f in job_fn.items()}
+            sizes = sorted(jobs_by_size)
+        else:
+            try:
+                sizes = sorted({int(b) for b in batch_size})
+            except TypeError:
+                sizes = [int(batch_size)]
+            if job_fn is not None and len(sizes) > 1:
+                raise ValueError(
+                    "a bare job_fn= callable is compiled at ONE batch "
+                    "shape; for multi-size dispatch pass a mapping "
+                    "{batch_size: job_fn} (each size's program is only "
+                    "called at its own shape)"
+                )
         if not sizes or sizes[0] < 1:
             raise ValueError(f"batch sizes must be >= 1, got {batch_size}")
-        if job_fn is not None and len(sizes) > 1:
-            raise ValueError(
-                "job_fn= (an AOT artifact) is compiled at ONE batch shape; "
-                "multi-size dispatch needs the live program builders"
-            )
         self.batch_sizes = sizes
         self.batch_size = sizes[-1]  # collection cap / throughput size
         self.max_delay = max_delay_ms / 1e3
@@ -273,7 +295,14 @@ class StyleTransferService:
             from ..parallel.sharding import batch_sharding
 
             self._sharding = batch_sharding(mesh)
-        self._job = jax.jit(job)
+        if jobs_by_size is not None:
+            self._jobs_by_size = {
+                s: jax.jit(f) for s, f in jobs_by_size.items()
+            }
+            self._job = self._jobs_by_size[self.batch_size]
+        else:
+            self._job = jax.jit(job)
+            self._jobs_by_size = {s: self._job for s in sizes}
 
         self._next_id = 0
         self._id_lock = threading.Lock()
@@ -320,7 +349,7 @@ class StyleTransferService:
             w_s = jax.ShapeDtypeStruct(
                 (b, max(1, len(self.style_names))), jnp.float32
             )
-            self._job.lower(img_s, w_s, ids_s).compile()
+            self._jobs_by_size[b].lower(img_s, w_s, ids_s).compile()
 
     def _style_weights(self, style) -> np.ndarray:
         """(K,) f32 blend weights from a gallery name, a {name: weight}
@@ -516,7 +545,7 @@ class StyleTransferService:
                 id_arr = np.asarray(ids, np.int32)
                 if self._sharding is not None:
                     arr = jax.device_put(arr, self._sharding)
-                out = self._job(arr, sidx_arr, id_arr)
+                out = self._jobs_by_size[size](arr, sidx_arr, id_arr)
             except Exception as e:
                 for f in futures:
                     self._resolve(f, exc=e)

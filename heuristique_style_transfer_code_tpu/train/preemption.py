@@ -26,11 +26,12 @@ class PreemptedError(RuntimeError):
     """Raised at a safe point after a preemption request. Everything up to
     ``epochs_done`` of ``fold`` is durable on disk; rerun with --resume."""
 
-    def __init__(self, fold: int, epochs_done: int):
+    def __init__(self, fold: int, epochs_done: int, message: str = None):
         self.fold = int(fold)
         self.epochs_done = int(epochs_done)
         super().__init__(
-            f"preempted: progress through epoch {self.epochs_done} of fold "
+            message
+            or f"preempted: progress through epoch {self.epochs_done} of fold "
             f"{self.fold} is checkpointed; rerun with --resume to continue"
         )
 

@@ -511,3 +511,281 @@ class TestConditionalNet:
             assert rblend.image.shape == (32, 32, 3)
         finally:
             svc.stop()
+
+
+class TestStyleNetResume:
+    """Elastic resume + SIGTERM preemption for hst-train-style-net — the
+    same resilience contract the family train CLIs have (TestEpochResume /
+    test_preemption.py), held by the fast-style fit."""
+
+    def _args(self, tiny_imagefolder, f2_encoder, save_dir, *styles,
+              extra=()):
+        cfg_path, model_path = f2_encoder
+        style_flags = []
+        for s in styles:
+            style_flags += ["--style_image", s]
+        return [
+            "--data", str(tiny_imagefolder), *style_flags,
+            "--config_path", cfg_path, "--model_path", model_path,
+            "--epochs", "2", "--batch_size", "4", "--num_samples", "8",
+            "--width", "4", "--n_res", "1", "--crop", "32",
+            "--log_every", "1", "--save_dir", save_dir,
+            "--devices", "1", "--seed", "0", *extra,
+        ]
+
+    @pytest.mark.parametrize("multi", [False, True])
+    def test_interrupt_and_resume_bit_identical(
+        self, tiny_imagefolder, f2_encoder, tmp_path, monkeypatch, multi
+    ):
+        """Preempt the fit mid-epoch (after a step-granular checkpoint),
+        resume, and require the final net to be BIT-identical to an
+        uninterrupted run — pins the checkpoint tree, the loader's
+        mid-epoch set_position replay, the counter-based style draws
+        (multi), and the optimiser-state restore."""
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+            main,
+        )
+        from heuristique_style_transfer_code_tpu.tasks import fast_style
+        from heuristique_style_transfer_code_tpu.train import preemption
+
+        style_a = str(next((tiny_imagefolder / "test" / "fog").glob("*.png")))
+        styles = [style_a]
+        if multi:
+            rain = str(next((tiny_imagefolder / "test" / "rain").glob("*.png")))
+            styles = [f"fog={style_a}", f"rain={rain}"]
+
+        # run A: uninterrupted, no resume machinery at all
+        dir_a = str(tmp_path / "a")
+        main(self._args(tiny_imagefolder, f2_encoder, dir_a, *styles))
+
+        # run B part 1: --resume + step-granular checkpoints, preempted at
+        # the 4th batch boundary (deterministic: the driver re-imports the
+        # flag check each call, so the monkeypatched module attribute is
+        # what it sees)
+        dir_b = str(tmp_path / "b")
+        args_b = self._args(
+            tiny_imagefolder, f2_encoder, dir_b, *styles,
+            extra=("--resume", "--checkpoint_every", "1"),
+        )
+        calls = {"n": 0}
+
+        def fake_preempt():
+            calls["n"] += 1
+            return calls["n"] > 3
+
+        monkeypatch.setattr(preemption, "preemption_requested", fake_preempt)
+        main(args_b)
+        assert not os.path.exists(os.path.join(dir_b, "style_net.npz"))
+        assert os.path.exists(
+            os.path.join(dir_b, fast_style._INPROGRESS_NET)
+        )
+        monkeypatch.undo()
+
+        # run B part 2: same command + --resume continues to completion
+        main(args_b)
+        assert not os.path.exists(
+            os.path.join(dir_b, fast_style._INPROGRESS_NET)
+        ), "completed fit must clear the in-progress artifact"
+
+        ta = load_pytree_npz(os.path.join(dir_a, "style_net.npz"), as_jax=False)
+        tb = load_pytree_npz(os.path.join(dir_b, "style_net.npz"), as_jax=False)
+        la = jax.tree_util.tree_leaves(ta)
+        lb = jax.tree_util.tree_leaves(tb)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        with open(os.path.join(dir_a, "style_net_hyperparameters.json")) as f:
+            ha = json.load(f)
+        with open(os.path.join(dir_b, "style_net_hyperparameters.json")) as f:
+            hb = json.load(f)
+        assert ha["final_loss"] == hb["final_loss"]
+
+    def test_signature_mismatch_rejected(
+        self, tiny_imagefolder, f2_encoder, tmp_path, monkeypatch
+    ):
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+            main,
+        )
+        from heuristique_style_transfer_code_tpu.train import preemption
+
+        style = str(next((tiny_imagefolder / "test" / "fog").glob("*.png")))
+        d = str(tmp_path / "s")
+        calls = {"n": 0}
+
+        def fake_preempt():
+            calls["n"] += 1
+            return calls["n"] > 2
+
+        monkeypatch.setattr(preemption, "preemption_requested", fake_preempt)
+        main(self._args(tiny_imagefolder, f2_encoder, d, style,
+                        extra=("--resume", "--checkpoint_every", "1")))
+        monkeypatch.undo()
+        with pytest.raises(ValueError, match="does not match"):
+            main(self._args(
+                tiny_imagefolder, f2_encoder, d, style,
+                extra=("--resume", "--style_weight", "2.0"),
+            ))
+
+    def test_async_checkpoint_resume(
+        self, tiny_imagefolder, f2_encoder, tmp_path, monkeypatch
+    ):
+        """--async_checkpoint writes the same artifact from a background
+        thread; a preempted+resumed fit still matches the uninterrupted
+        one."""
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+            main,
+        )
+        from heuristique_style_transfer_code_tpu.train import preemption
+
+        style = str(next((tiny_imagefolder / "test" / "fog").glob("*.png")))
+        dir_a = str(tmp_path / "a")
+        main(self._args(tiny_imagefolder, f2_encoder, dir_a, style))
+        dir_b = str(tmp_path / "b")
+        args_b = self._args(
+            tiny_imagefolder, f2_encoder, dir_b, style,
+            extra=("--resume", "--checkpoint_every", "1",
+                   "--async_checkpoint"),
+        )
+        calls = {"n": 0}
+
+        def fake_preempt():
+            calls["n"] += 1
+            return calls["n"] > 3
+
+        monkeypatch.setattr(preemption, "preemption_requested", fake_preempt)
+        main(args_b)
+        monkeypatch.undo()
+        main(args_b)
+        ta = load_pytree_npz(os.path.join(dir_a, "style_net.npz"), as_jax=False)
+        tb = load_pytree_npz(os.path.join(dir_b, "style_net.npz"), as_jax=False)
+        for x, y in zip(jax.tree_util.tree_leaves(ta),
+                        jax.tree_util.tree_leaves(tb)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_schedule_and_clip(self, tiny_imagefolder, f2_encoder, tmp_path):
+        """--lr_schedule/--warmup_steps/--clip_grad_norm produce a finite
+        fit that actually differs from the constant-rate one (the schedule
+        is live), via the same schedules module the family CLIs use."""
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            load_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+            main,
+        )
+
+        style = str(next((tiny_imagefolder / "test" / "fog").glob("*.png")))
+        d_const = str(tmp_path / "const")
+        main(self._args(tiny_imagefolder, f2_encoder, d_const, style))
+        d_sched = str(tmp_path / "sched")
+        main(self._args(
+            tiny_imagefolder, f2_encoder, d_sched, style,
+            extra=("--lr_schedule", "cosine", "--warmup_steps", "2",
+                   "--min_lr_ratio", "0.1", "--clip_grad_norm", "1.0"),
+        ))
+        tc = load_pytree_npz(os.path.join(d_const, "style_net.npz"), as_jax=False)
+        ts = load_pytree_npz(os.path.join(d_sched, "style_net.npz"), as_jax=False)
+        diffs = [
+            float(np.max(np.abs(np.asarray(x, np.float64) - np.asarray(y, np.float64))))
+            for x, y in zip(jax.tree_util.tree_leaves(tc),
+                            jax.tree_util.tree_leaves(ts))
+        ]
+        assert all(np.isfinite(d) for d in diffs)
+        assert max(diffs) > 0.0
+        with open(os.path.join(d_sched, "style_net_hyperparameters.json")) as f:
+            assert np.isfinite(json.load(f)["final_loss"])
+
+
+class TestNetMultiSizeDispatch:
+    def test_net_multi_size_dispatch(self):
+        """A {size: net_job} mapping gives the --net service the same
+        multi-size ladder as the iterative path: a lone job rides the small
+        compiled size, a burst the big one, and the small-size result is
+        bit-identical to a dedicated small-batch service."""
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_net_job_fn,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.style_service import (
+            StyleTransferService,
+        )
+
+        params = transformer_net_init(jax.random.PRNGKey(3), width=4, n_res=1)
+        job = make_net_job_fn(params, crop=8)
+        rng = np.random.RandomState(7)
+        imgs = [rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+                for _ in range(4)]
+        svc = StyleTransferService(
+            job_fn={2: job, 4: job}, style_names=["stripes"],
+            crop=8, max_delay_ms=30.0, num_iterations=1,
+        ).start()
+        try:
+            assert svc.batch_sizes == [2, 4] and svc.batch_size == 4
+            r_lone = svc.submit(imgs[0]).result(timeout=120)
+            futs = [svc.submit(im) for im in imgs]
+            for f in futs:
+                f.result(timeout=120)
+            hist = svc.stats()["batch_size_hist"]
+        finally:
+            svc.stop()
+        assert hist.get("2", 0) >= 1
+        assert hist.get("4", 0) >= 1
+        ref = StyleTransferService(
+            job_fn={2: job}, style_names=["stripes"],
+            crop=8, max_delay_ms=30.0, num_iterations=1,
+        ).start()
+        try:
+            r_ref = ref.submit(imgs[0]).result(timeout=120)
+        finally:
+            ref.stop()
+        np.testing.assert_array_equal(r_lone.image, r_ref.image)
+
+    def test_serve_cli_net_multi_size(self, tiny_imagefolder, f2_encoder,
+                                      tmp_path):
+        """hst-serve-style --net --batch_size 2,4: the flag is honoured
+        (round-3 pinned sizes[-1] and silently ignored the rest)."""
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+            main as train_main,
+        )
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            build_parser,
+            build_service,
+        )
+
+        cfg_path, model_path = f2_encoder
+        save_dir = str(tmp_path / "net_out")
+        style_path = str(
+            next((tiny_imagefolder / "test" / "fog").glob("*.png"))
+        )
+        train_main([
+            "--data", str(tiny_imagefolder), "--style_image", style_path,
+            "--config_path", cfg_path, "--model_path", model_path,
+            "--epochs", "1", "--batch_size", "4", "--num_samples", "4",
+            "--width", "4", "--n_res", "1", "--crop", "32",
+            "--log_every", "1", "--save_dir", save_dir, "--devices", "1",
+        ])
+        args = build_parser().parse_args([
+            "--net", os.path.join(save_dir, "style_net.npz"),
+            "--batch_size", "2,4", "--max_delay_ms", "30",
+        ])
+        svc = build_service(args).start()
+        try:
+            assert svc.batch_sizes == [2, 4]
+            rng = np.random.RandomState(4)
+            img = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+            r = svc.submit(img).result(timeout=120)
+            assert r.image.shape == (32, 32, 3) and r.iterations == 1
+            futs = [
+                svc.submit(rng.randint(0, 256, (64, 64, 3), dtype=np.uint8))
+                for _ in range(4)
+            ]
+            for f in futs:
+                f.result(timeout=120)
+            hist = svc.stats()["batch_size_hist"]
+        finally:
+            svc.stop()
+        assert hist.get("2", 0) >= 1 and hist.get("4", 0) >= 1

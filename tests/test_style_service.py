@@ -314,17 +314,18 @@ class TestContentStyleService:
         from heuristique_style_transfer_code_tpu.deploy.artifact import (
             export_style_artifact,
             load_style_artifact,
-            save_infer_artifact,
+            save_style_artifact,
         )
 
         imgs = _images(3, seed=40)
         picks = ["warm", "cool", {"warm": 0.5, "cool": 0.5}]
         live = _cs_service()
-        blob, meta = export_style_artifact(live)
+        blobs, meta = export_style_artifact(live)
         assert meta["style_names"] == ["warm", "cool"]
         assert meta["batch_size"] == 4 and meta["crop"] == CROP
+        assert meta["batch_sizes"] == [4] and sorted(blobs) == [4]
         path = str(tmp_path / "style.npz")
-        save_infer_artifact(path, blob, meta)
+        save_style_artifact(path, blobs, meta)
 
         with live:
             r_live = [
@@ -666,3 +667,89 @@ class TestServeStyleCLI:
 
         with pytest.raises(SystemExit):
             main(["--port", "0", "--max_seconds", "1"])
+
+
+class TestMultiSizeArtifact:
+    def test_multi_size_aot_round_trip(self, tmp_path):
+        """A multi-size service exports its whole dispatch ladder (one
+        StableHLO program per compiled size); a service over the loaded
+        artifact picks the SAME dispatch sizes as live serving — a lone job
+        rides the small program, a burst the big one — and returns the same
+        results (allclose, the artifact contract)."""
+        from heuristique_style_transfer_code_tpu.deploy.artifact import (
+            export_style_artifact,
+            load_style_artifact,
+            save_style_artifact,
+        )
+
+        imgs = _images(4, seed=41)
+        live = _cs_service(batch_size=(2, 4))
+        blobs, meta = export_style_artifact(live)
+        assert meta["batch_sizes"] == [2, 4] and sorted(blobs) == [2, 4]
+        path = str(tmp_path / "style_ladder.npz")
+        save_style_artifact(path, blobs, meta)
+
+        def drive(svc):
+            with svc:
+                lone = svc.submit(imgs[0]).result(timeout=120)
+                futs = [svc.submit(im) for im in imgs]
+                burst = [f.result(timeout=120) for f in futs]
+                hist = svc.stats()["batch_size_hist"]
+            return lone, burst, hist
+
+        r_live = drive(live)
+        art = load_style_artifact(path)
+        r_art = drive(StyleTransferService(
+            job_fn=art.job_fns, style_names=art.meta["style_names"],
+            crop=art.meta["crop"],
+            num_iterations=art.meta["num_iterations"],
+            max_delay_ms=150.0,
+        ))
+        # dispatch-size selection parity: both services used the small AND
+        # the big program
+        for hist in (r_live[2], r_art[2]):
+            assert hist.get("2", 0) >= 1, hist
+            assert hist.get("4", 0) >= 1, hist
+        assert r_live[0].iterations == r_art[0].iterations
+        np.testing.assert_allclose(
+            r_live[0].image.astype(np.int32),
+            r_art[0].image.astype(np.int32), atol=1,
+        )
+        for a, b in zip(r_live[1], r_art[1]):
+            assert a.iterations == b.iterations
+            np.testing.assert_allclose(
+                a.image.astype(np.int32), b.image.astype(np.int32), atol=1,
+            )
+
+    def test_single_size_v1_file_still_loads(self, tmp_path):
+        """Format-v1 files (one 'stablehlo' entry) keep loading: the r3
+        export path wrote them via save_infer_artifact."""
+        import numpy as _np
+        import json as _json
+
+        from heuristique_style_transfer_code_tpu.deploy.artifact import (
+            export_style_artifact,
+            load_style_artifact,
+        )
+
+        live = _cs_service()
+        blobs, meta = export_style_artifact(live)
+        (blob,) = blobs.values()
+        meta_v1 = {k: v for k, v in meta.items() if k != "batch_sizes"}
+        path = str(tmp_path / "v1.npz")
+        with open(path, "wb") as f:
+            _np.savez(
+                f,
+                stablehlo=_np.frombuffer(blob, dtype=_np.uint8),
+                meta=_np.asarray(_json.dumps(meta_v1)),
+            )
+        art = load_style_artifact(path)
+        assert sorted(art.job_fns) == [4]
+        img = _images(1, seed=42)[0]
+        with StyleTransferService(
+            job_fn=art.job_fns, style_names=art.meta["style_names"],
+            crop=art.meta["crop"],
+            num_iterations=art.meta["num_iterations"],
+        ) as svc:
+            r = svc.submit(img).result(timeout=120)
+        assert r.image.shape == (CROP, CROP, 3)
