@@ -586,6 +586,123 @@ def make_stylize_fn(
     return jax.jit(stylize)
 
 
+def net_quality_per_image(
+    extract_fn: Callable,
+    net_params: dict,
+    images_u8,
+    style_grams,
+    *,
+    crop: int = 224,
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    tv_weight: float = 0.0,
+    compute_dtype=None,
+    style_weights=None,
+) -> jax.Array:
+    """Per-image achieved content+style loss of the net's ONE-pass output,
+    scored by the iterative loop's exact objective
+    (style_transfer.make_per_image_content_style_loss — one definition,
+    both consumers). ``(B,)`` f32; compare against the loop's
+    ``final_per_image_loss`` at the same weights/extract_fn to price the
+    net in loop iterations."""
+    from ..data.augment import eval_preprocess
+    from .style_transfer import make_per_image_content_style_loss
+
+    loss_fn = make_per_image_content_style_loss(
+        extract_fn, style_weight, content_weight, tv_weight
+    )
+    images = eval_preprocess(images_u8, crop)
+    content_feats = jax.lax.stop_gradient(
+        extract_fn(images)[0].astype(jnp.float32)
+    )
+    stylised = transformer_net_apply(
+        net_params, images, compute_dtype, style_weights=style_weights
+    )
+    return loss_fn(stylised, style_grams, content_feats)
+
+
+def compare_net_to_loop(
+    extract_fn: Callable,
+    net_params: dict,
+    images_u8,
+    style_grams,
+    *,
+    crop: int = 224,
+    iteration_grid=(100, 300, 500),
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    tv_weight: float = 0.0,
+    learning_rate: float = 0.01,
+    compute_dtype=None,
+    style_weights=None,
+) -> dict:
+    """Price the one-pass net in ITERATIONS of the loop it approximates.
+
+    On held-out content ``images_u8``, computes the net's achieved
+    per-image content+style loss and the iterative loop's
+    (content-initialised, full ``k`` iterations — threshold 0 disables
+    early stop) at each ``k`` in ``iteration_grid``; both sides score the
+    SAME objective (one shared loss definition). Returns::
+
+        {"net_loss_mean", "net_loss_per_image",
+         "loop_loss_mean": {k: float}, "loop_loss_per_image": {k: array},
+         "worth_iterations"}
+
+    ``worth_iterations`` is the largest grid ``k`` whose mean loop loss is
+    still >= the net's mean (the net is "worth" at least that many
+    iterations); 0 if even the smallest ``k`` beats the net, and
+    ``max(grid)`` means the net matched or beat the deepest loop measured.
+    """
+    from ..data.augment import eval_preprocess
+    from .style_transfer import make_content_style_optimizer
+
+    net_per = np.asarray(
+        jax.jit(
+            lambda p, u8: net_quality_per_image(
+                extract_fn, p, u8, style_grams,
+                crop=crop, style_weight=style_weight,
+                content_weight=content_weight, tv_weight=tv_weight,
+                compute_dtype=compute_dtype, style_weights=style_weights,
+            )
+        )(net_params, jnp.asarray(images_u8))
+    )
+
+    images = jax.jit(lambda u8: eval_preprocess(u8, crop))(
+        jnp.asarray(images_u8)
+    )
+    content_feats = jax.jit(
+        lambda im: extract_fn(im)[0].astype(jnp.float32)
+    )(images)
+    pixels0 = images.astype(jnp.float32)
+    bcast = [
+        jnp.broadcast_to(g, (images.shape[0],) + g.shape[1:])
+        if g.shape[0] == 1 else g
+        for g in style_grams
+    ]
+    loop_mean, loop_per = {}, {}
+    for k in iteration_grid:
+        optimise = make_content_style_optimizer(
+            extract_fn, style_weight, content_weight, learning_rate,
+            int(k), 0.0, tv_weight=tv_weight,
+        )
+        _, iters, per = optimise(pixels0, bcast, content_feats)
+        assert int(iters) == int(k)
+        loop_per[int(k)] = np.asarray(per)
+        loop_mean[int(k)] = float(np.mean(loop_per[int(k)]))
+    net_mean = float(np.mean(net_per))
+    worth = 0
+    for k in sorted(loop_mean):
+        if loop_mean[k] >= net_mean:
+            worth = k
+    return {
+        "net_loss_mean": net_mean,
+        "net_loss_per_image": net_per,
+        "loop_loss_mean": loop_mean,
+        "loop_loss_per_image": loop_per,
+        "worth_iterations": worth,
+    }
+
+
 def make_net_job_fn(
     net_params: dict, *, crop: int = 224, compute_dtype=None
 ) -> Callable:

@@ -249,6 +249,46 @@ def total_variation(pixels: jax.Array) -> jax.Array:
     return jnp.mean(dh, axis=axes) + jnp.mean(dw, axis=axes)
 
 
+def make_per_image_content_style_loss(
+    extract_fn: Callable,
+    style_weight: float = 1.0,
+    content_weight: float = 1.0,
+    tv_weight: float = 0.0,
+) -> Callable:
+    """The content+style objective, ONE definition for every consumer:
+    ``loss(pixels, style_grams, content_feats) -> (B,)`` =
+    ``style_weight * sum_l MSE(gram_l, style_gram_l) +
+    content_weight * MSE(feats, content_feats) [+ tv_weight * TV]``.
+    Used by the iterative loop (:func:`make_content_style_optimizer`) and
+    by the fast-style quality evaluation (tasks/fast_style.py) — the
+    net-vs-loop comparison is only meaningful because both sides score
+    against this exact function."""
+    sw, cw, tw = float(style_weight), float(content_weight), float(tv_weight)
+
+    def per_image_loss(pixels, style_grams, content_feats):
+        feats, grams = extract_fn(pixels)
+        style = 0.0
+        for g, t in zip(grams, style_grams):
+            axes_g = tuple(range(1, g.ndim))
+            style = style + jnp.mean(
+                jnp.square(g.astype(jnp.float32) - t.astype(jnp.float32)),
+                axis=axes_g,
+            )
+        axes_f = tuple(range(1, feats.ndim))
+        content = jnp.mean(
+            jnp.square(
+                feats.astype(jnp.float32) - content_feats.astype(jnp.float32)
+            ),
+            axis=axes_f,
+        )
+        loss = sw * style + cw * content  # (B,)
+        if tw != 0.0:
+            loss = loss + tw * total_variation(pixels)
+        return loss
+
+    return per_image_loss
+
+
 def make_content_style_optimizer(
     extract_fn: Callable,
     style_weight: float = 1.0,
@@ -279,28 +319,9 @@ def make_content_style_optimizer(
     classic knob: the (normalised) content image converges fastest; noise
     reproduces the texture loop's start."""
     adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-    sw, cw, tw = float(style_weight), float(content_weight), float(tv_weight)
-
-    def per_image_loss(pixels, style_grams, content_feats):
-        feats, grams = extract_fn(pixels)
-        style = 0.0
-        for g, t in zip(grams, style_grams):
-            axes_g = tuple(range(1, g.ndim))
-            style = style + jnp.mean(
-                jnp.square(g.astype(jnp.float32) - t.astype(jnp.float32)),
-                axis=axes_g,
-            )
-        axes_f = tuple(range(1, feats.ndim))
-        content = jnp.mean(
-            jnp.square(
-                feats.astype(jnp.float32) - content_feats.astype(jnp.float32)
-            ),
-            axis=axes_f,
-        )
-        loss = sw * style + cw * content  # (B,)
-        if tw != 0.0:
-            loss = loss + tw * total_variation(pixels)
-        return loss
+    per_image_loss = make_per_image_content_style_loss(
+        extract_fn, style_weight, content_weight, tv_weight
+    )
 
     def run(pixels0, style_grams, content_feats):
         opt_state0 = adam.init(pixels0)

@@ -789,3 +789,48 @@ class TestNetMultiSizeDispatch:
         finally:
             svc.stop()
         assert hist.get("2", 0) >= 1 and hist.get("4", 0) >= 1
+
+
+class TestNetQuality:
+    def test_net_is_worth_iterations_of_the_loop(self):
+        """Quality floor for the fast net: on HELD-OUT content, the one-pass
+        net's achieved content+style loss (scored by the iterative loop's
+        exact objective — one shared loss definition,
+        style_transfer.make_per_image_content_style_loss) must match at
+        least 10 iterations of the loop it replaces. Pins the quality axis
+        of the throughput claim (PERF.md prices the real encoder's net the
+        same way)."""
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            compare_net_to_loop,
+            make_fast_style_train_step,
+        )
+
+        style_grams = _style_target()
+        rng = np.random.RandomState(0)
+        train_u8 = jnp.asarray(
+            rng.randint(0, 256, (8, 12, 12, 3), dtype=np.uint8)
+        )
+        held_u8 = jnp.asarray(
+            rng.randint(0, 256, (6, 12, 12, 3), dtype=np.uint8)
+        )
+        params = transformer_net_init(jax.random.PRNGKey(0), width=4, n_res=1)
+        init_opt, step = make_fast_style_train_step(
+            _identity_extract, style_weight=1.0, content_weight=0.1,
+            learning_rate=5e-3, crop=8,
+        )
+        opt = init_opt(params)
+        for _ in range(300):
+            params, opt, _ = step(params, opt, train_u8, style_grams)
+
+        r = compare_net_to_loop(
+            _identity_extract, params, held_u8, style_grams, crop=8,
+            iteration_grid=(1, 5, 10, 25), style_weight=1.0,
+            content_weight=0.1, learning_rate=0.05,
+        )
+        # structure: per-image arrays align, loop losses decrease with k
+        assert r["net_loss_per_image"].shape == (6,)
+        means = [r["loop_loss_mean"][k] for k in (1, 5, 10, 25)]
+        assert means == sorted(means, reverse=True)
+        # the floor: the net beats >= 10 iterations of the loop
+        assert r["worth_iterations"] >= 10, r
+        assert r["net_loss_mean"] < r["loop_loss_mean"][10]
