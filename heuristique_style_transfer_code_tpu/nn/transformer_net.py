@@ -39,6 +39,7 @@ net serves the whole gallery with X-Style selection AND blending.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -47,6 +48,14 @@ import jax.numpy as jnp
 from ..ops.conv import conv2d, conv2d_init
 from ..ops.resize import IMAGENET_MEAN, IMAGENET_STD
 
+# Instance-norm backend: 'xla' (default — the composition XLA fuses; the
+# only differentiable path) or 'pallas' (ops/pallas/instance_norm_kernel:
+# whole-image VMEM residency fuses stats+apply+relu into 1 HBM read +
+# 1 write — a FORWARD/serving knob; the net forward is IN-bound, PERF.md
+# r4). Select per call (make_stylize_fn/make_net_job_fn in_backend=) or
+# globally via HST_NET_IN_BACKEND.
+IN_BACKEND = os.environ.get("HST_NET_IN_BACKEND", "xla")
+
 
 def _in_init(c: int, n_styles: Optional[int] = None):
     shape = (c,) if n_styles is None else (int(n_styles), c)
@@ -54,16 +63,14 @@ def _in_init(c: int, n_styles: Optional[int] = None):
             "bias": jnp.zeros(shape, jnp.float32)}
 
 
-def _in_apply(p, x, style_w=None, eps: float = 1e-5):
+def _in_apply(p, x, style_w=None, eps: float = 1e-5, relu: bool = False,
+              backend: Optional[str] = None):
     """Affine instance norm, f32 statistics (torch InstanceNorm2d(affine=True)).
 
     A (S, C) ``scale``/``bias`` table is conditional instance norm: the
     affine is ``style_w @ table`` per image (one-hot = exact indexing,
-    convex rows = style interpolation)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    convex rows = style interpolation). ``relu=True`` fuses the activation
+    (identical math to relu-after-norm on both backends)."""
     scale, bias = p["scale"], p["bias"]
     if scale.ndim == 2:
         if style_w is None:
@@ -72,9 +79,28 @@ def _in_apply(p, x, style_w=None, eps: float = 1e-5):
                 "per-style instance-norm affines"
             )
         w = style_w.astype(jnp.float32)
-        scale = (w @ scale)[:, None, None, :]
-        bias = (w @ bias)[:, None, None, :]
+        scale = w @ scale  # (B, C)
+        bias = w @ bias
+    if (backend or IN_BACKEND) == "pallas":
+        from ..ops.pallas.instance_norm_kernel import instance_norm_pallas
+
+        b, c = x.shape[0], x.shape[-1]
+        return instance_norm_pallas(
+            x,
+            jnp.broadcast_to(scale.astype(jnp.float32), (b, c)),
+            jnp.broadcast_to(bias.astype(jnp.float32), (b, c)),
+            eps=eps, relu=relu,
+        )
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if scale.ndim == 2:
+        scale = scale[:, None, None, :]
+        bias = bias[:, None, None, :]
     y = y * scale + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
     return y.astype(x.dtype)
 
 
@@ -151,13 +177,16 @@ def transformer_net_apply(
     images: jax.Array,
     compute_dtype: Optional[jnp.dtype] = None,
     style_weights: Optional[jax.Array] = None,
+    in_backend: Optional[str] = None,
 ) -> jax.Array:
     """``images`` (B, H, W, 3) ImageNet-normalised → stylised, same space.
 
     H and W must be multiples of 4 (two stride-2 stages, two ×2 upsamples).
     For a conditional net ``style_weights`` is the per-image (B, S) mix row
     — required there, rejected on a single-style net; an (S,) row broadcasts
-    over the batch.
+    over the batch. ``in_backend='pallas'`` runs the fused VMEM-resident
+    instance-norm kernel (forward-only serving acceleration; default: the
+    XLA composition, the differentiable path).
     """
     cond = net_n_styles(params)
     if cond is None:
@@ -184,17 +213,23 @@ def transformer_net_apply(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
-    x = jax.nn.relu(_in_apply(params["in1"], _reflect_conv(params["conv1"], x, 4), sw))
-    x = jax.nn.relu(_in_apply(params["in2"], _reflect_conv(params["conv2"], x, 1, 2), sw))
-    x = jax.nn.relu(_in_apply(params["in3"], _reflect_conv(params["conv3"], x, 1, 2), sw))
+    ib = in_backend
+
+    def in_relu(p, v):
+        return _in_apply(p, v, sw, relu=True, backend=ib)
+
+    x = in_relu(params["in1"], _reflect_conv(params["conv1"], x, 4))
+    x = in_relu(params["in2"], _reflect_conv(params["conv2"], x, 1, 2))
+    x = in_relu(params["in3"], _reflect_conv(params["conv3"], x, 1, 2))
     for blk in params["res"]:
-        y = jax.nn.relu(_in_apply(blk["in_a"], _reflect_conv(blk["conv_a"], x, 1), sw))
-        y = _in_apply(blk["in_b"], _reflect_conv(blk["conv_b"], y, 1), sw)
+        y = in_relu(blk["in_a"], _reflect_conv(blk["conv_a"], x, 1))
+        y = _in_apply(blk["in_b"], _reflect_conv(blk["conv_b"], y, 1), sw,
+                      backend=ib)
         x = x + y
     x = _upsample2(x)
-    x = jax.nn.relu(_in_apply(params["in_up1"], _reflect_conv(params["up1"], x, 1), sw))
+    x = in_relu(params["in_up1"], _reflect_conv(params["up1"], x, 1))
     x = _upsample2(x)
-    x = jax.nn.relu(_in_apply(params["in_up2"], _reflect_conv(params["up2"], x, 1), sw))
+    x = in_relu(params["in_up2"], _reflect_conv(params["up2"], x, 1))
     x = _reflect_conv(params["out"], x, 4)
 
     y01 = jax.nn.sigmoid(x.astype(jnp.float32))  # [0, 1] stylised

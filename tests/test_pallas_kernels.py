@@ -43,3 +43,69 @@ def test_backend_selection_via_argument():
 
     got = np.asarray(gram_mod.pooled_gram_nhwc(x, 7, backend="pallas"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestInstanceNormKernel:
+    """Fused IN kernel (ops/pallas/instance_norm_kernel.py) vs the XLA
+    composition in nn/transformer_net._in_apply — the net forward's named
+    bound (PERF.md r4)."""
+
+    def _ref(self, x, scale, bias, eps=1e-5, relu=False):
+        import jax
+
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        y = y * scale[:, None, None, :] + bias[:, None, None, :]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        return y.astype(x.dtype)
+
+    @pytest.mark.parametrize("shape,relu", [
+        ((3, 8, 8, 32), False),
+        ((2, 8, 12, 64), True),
+        ((1, 16, 12, 128), False),
+    ])
+    def test_matches_xla_composition(self, shape, relu):
+        from heuristique_style_transfer_code_tpu.ops.pallas.instance_norm_kernel import (
+            instance_norm_pallas,
+        )
+
+        rng = np.random.RandomState(3)
+        b, c = shape[0], shape[-1]
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32) * 2 + 0.5)
+        scale = jnp.asarray(rng.randn(b, c).astype(np.float32))
+        bias = jnp.asarray(rng.randn(b, c).astype(np.float32))
+        want = np.asarray(self._ref(x, scale, bias, relu=relu))
+        got = np.asarray(
+            instance_norm_pallas(x, scale, bias, relu=relu, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_bf16_matches_in_01_space(self):
+        from heuristique_style_transfer_code_tpu.ops.pallas.instance_norm_kernel import (
+            instance_norm_pallas,
+        )
+
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(
+            rng.randn(2, 8, 8, 32).astype(np.float32), jnp.bfloat16
+        )
+        scale = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+        bias = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+        want = np.asarray(self._ref(x, scale, bias), np.float32)
+        got = np.asarray(
+            instance_norm_pallas(x, scale, bias, interpret=True), np.float32
+        )
+        assert np.abs(got - want).max() < 0.05
+
+    def test_channel_constraint_rejected(self):
+        from heuristique_style_transfer_code_tpu.ops.pallas.instance_norm_kernel import (
+            instance_norm_pallas,
+        )
+
+        x = jnp.zeros((1, 8, 8, 48), jnp.float32)
+        with pytest.raises(ValueError, match="dividing 128"):
+            instance_norm_pallas(x, jnp.ones((1, 48)), jnp.zeros((1, 48)),
+                                 interpret=True)
