@@ -124,6 +124,21 @@ def build_parser():
     return parser
 
 
+def _sizes_gcd(sizes):
+    """Mesh-safe data-axis width for a multi-size dispatch ladder: the mesh
+    must divide EVERY compiled batch size (a dispatch at any ladder size
+    device_puts with the same batch sharding), so the usable device count
+    is bounded by the gcd of the sizes — min(sizes) alone would let e.g.
+    --batch_size 6,8 --devices 3 serve lone jobs fine and fail every
+    full-batch dispatch."""
+    import math
+
+    g = 0
+    for s in sizes:
+        g = math.gcd(g, int(s))
+    return max(1, g)
+
+
 def _build_gram_fn(args):
     """(gram_fn, crop) for the selected family, precision applied."""
     dtype = resolve_compute_dtype(args.precision)
@@ -263,7 +278,7 @@ def build_service(args, crop: int = 224):
             num_iterations=1,
             max_delay_ms=args.max_delay_ms,
             max_in_flight=args.max_in_flight,
-            mesh=resolve_eval_mesh(args.devices, min(sizes)),
+            mesh=resolve_eval_mesh(args.devices, _sizes_gcd(sizes)),
         )
     if args.artifact:
         from ..deploy.artifact import load_style_artifact
@@ -301,7 +316,7 @@ def build_service(args, crop: int = 224):
         threshold=args.threshold,
         learning_rate=args.lr,
         max_in_flight=args.max_in_flight,
-        mesh=resolve_eval_mesh(args.devices, min(sizes)),
+        mesh=resolve_eval_mesh(args.devices, _sizes_gcd(sizes)),
         seed=getattr(args, "seed", None) or 0,
     )
 

@@ -246,6 +246,12 @@ def main(argv=None):
         "min_lr_ratio": args.min_lr_ratio,
         "clip_grad_norm": args.clip_grad_norm,
         "precision": args.precision,
+        # everything else that changes the trajectory: the encoder
+        # truncation + checkpoint define the loss objective, the device
+        # count changes the f32 reduction order under sharding
+        "layers": args.layers,
+        "model_path": os.path.abspath(args.model_path),
+        "devices": args.devices,
     })
 
     knobs = dict(

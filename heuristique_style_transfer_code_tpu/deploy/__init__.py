@@ -6,6 +6,7 @@ from .artifact import (
     load_infer_artifact,
     load_style_artifact,
     save_infer_artifact,
+    save_style_artifact,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "load_infer_artifact",
     "load_style_artifact",
     "save_infer_artifact",
+    "save_style_artifact",
 ]

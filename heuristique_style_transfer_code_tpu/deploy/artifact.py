@@ -255,35 +255,42 @@ def export_style_artifact(
     return blobs, meta
 
 
+def _atomic_npz_write(path: str, **arrays) -> None:
+    """Temp-file + rename npz write (like ``checkpoint.io.save_pytree_npz``)
+    so a crash mid-export can never leave a torn artifact at ``path`` —
+    shared by the infer- and style-artifact savers."""
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".hst.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def save_style_artifact(path: str, blobs, meta: dict) -> None:
     """One self-contained file for the whole dispatch ladder: a
     ``stablehlo_<batch>`` entry per exported size + JSON metadata, written
     atomically like :func:`save_infer_artifact`. ``blobs`` may be a
     ``{batch_size: bytes}`` mapping or a single ``bytes`` (saved under the
     meta's ``batch_size``)."""
-    import os
-    import tempfile
-
     if isinstance(blobs, (bytes, bytearray)):
         blobs = {int(meta["batch_size"]): bytes(blobs)}
-    d = os.path.dirname(os.path.abspath(path))
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".hst.tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(
-                f,
-                meta=np.asarray(json.dumps(meta)),
-                **{
-                    f"stablehlo_{int(b)}": np.frombuffer(blob, dtype=np.uint8)
-                    for b, blob in blobs.items()
-                },
-            )
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    _atomic_npz_write(
+        path,
+        meta=np.asarray(json.dumps(meta)),
+        **{
+            f"stablehlo_{int(b)}": np.frombuffer(blob, dtype=np.uint8)
+            for b, blob in blobs.items()
+        },
+    )
 
 
 class StyleArtifact:
@@ -336,27 +343,13 @@ def load_style_artifact(path: str) -> StyleArtifact:
 
 def save_infer_artifact(path: str, blob: bytes, meta: dict) -> None:
     """One self-contained file: the StableHLO blob + JSON metadata (npz
-    container — stdlib-loadable). Written via temp-file + rename like
-    ``checkpoint.io.save_pytree_npz`` so a crash mid-export can never leave
-    a torn artifact at ``path``."""
-    import os
-    import tempfile
-
-    d = os.path.dirname(os.path.abspath(path))
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".hst.tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(
-                f,
-                stablehlo=np.frombuffer(blob, dtype=np.uint8),
-                meta=np.asarray(json.dumps(meta)),
-            )
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    container — stdlib-loadable), written atomically
+    (:func:`_atomic_npz_write`)."""
+    _atomic_npz_write(
+        path,
+        stablehlo=np.frombuffer(blob, dtype=np.uint8),
+        meta=np.asarray(json.dumps(meta)),
+    )
 
 
 def load_infer_artifact(path: str) -> InferenceArtifact:

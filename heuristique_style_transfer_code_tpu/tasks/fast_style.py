@@ -75,7 +75,10 @@ def make_fast_style_train_step(
         content_feats = jax.lax.stop_gradient(
             extract_fn(images)[0].astype(jnp.float32)
         )
-        stylised = transformer_net_apply(params, images, compute_dtype)
+        # the gradient path: always the XLA composition (the pallas IN
+        # kernel is forward-only — no VJP), immune to HST_NET_IN_BACKEND
+        stylised = transformer_net_apply(params, images, compute_dtype,
+                                         in_backend="xla")
         feats, grams = extract_fn(stylised)
         style = 0.0
         for g, t in zip(grams, style_grams):
@@ -175,7 +178,8 @@ def make_multi_style_train_step(
             extract_fn(images)[0].astype(jnp.float32)
         )
         stylised = transformer_net_apply(
-            params, images, compute_dtype, style_weights=style_w
+            params, images, compute_dtype, style_weights=style_w,
+            in_backend="xla",  # gradient path: pallas IN has no VJP
         )
         feats, grams = extract_fn(stylised)
         style = 0.0
@@ -364,7 +368,17 @@ def _drive_net_training(
     try:
         for epoch in range(start_epoch, int(epochs)):
             k = start_step if epoch == start_epoch else 0
-            if k and hasattr(loader, "set_position"):
+            if k:
+                if not hasattr(loader, "set_position"):
+                    # replaying from batch 0 would apply the consumed
+                    # batches twice — fail loudly instead of silently
+                    # breaking the bit-identical contract
+                    raise ValueError(
+                        "mid-epoch resume (step_in_epoch="
+                        f"{k}) needs a loader with set_position(epoch, "
+                        "skip_batches) — HostLoader has it; wrap custom "
+                        f"loaders, got {type(loader).__name__}"
+                    )
                 loader.set_position(epoch, k)
             elif hasattr(loader, "set_epoch"):
                 loader.set_epoch(epoch)
@@ -546,7 +560,7 @@ def train_fast_style(
 
 
 def _stylize_body(net_params, images_u8, crop: int, compute_dtype,
-                  style_weights=None):
+                  style_weights=None, in_backend=None):
     """uint8 staged crops -> stylised uint8, untraced (callers jit)."""
     from ..data.augment import eval_preprocess
     from ..ops.resize import IMAGENET_MEAN, IMAGENET_STD
@@ -555,7 +569,8 @@ def _stylize_body(net_params, images_u8, crop: int, compute_dtype,
     std = jnp.asarray(np.asarray(IMAGENET_STD).reshape(1, 1, 1, 3))
     images = eval_preprocess(images_u8, crop)
     out = transformer_net_apply(net_params, images, compute_dtype,
-                                style_weights=style_weights)
+                                style_weights=style_weights,
+                                in_backend=in_backend)
     canvas = jnp.clip(out.astype(jnp.float32) * std + mean, 0.0, 1.0)
     return jnp.round(canvas * 255.0).astype(jnp.uint8)
 
@@ -567,16 +582,19 @@ def make_stylize_fn(
     compute_dtype=None,
     mesh=None,
     style_weights=None,
+    in_backend=None,
 ) -> Callable:
     """jitted ``images_u8 (B, H, W, 3) -> stylised uint8`` single forward —
     the serving-side program (plugs into StyleTransferService as a job_fn
     via make_net_job_fn below, or is exported as an AOT artifact). For a
     conditional net ``style_weights`` ((S,) or (B, S)) fixes the style mix
-    baked into this program."""
+    baked into this program. ``in_backend='pallas'`` selects the fused
+    instance-norm kernel (forward-only; PERF.md measured it 0.83× — a
+    validated alternative, not a default)."""
 
     def stylize(images_u8):
         return _stylize_body(net_params, images_u8, crop, compute_dtype,
-                             style_weights)
+                             style_weights, in_backend)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -704,7 +722,8 @@ def compare_net_to_loop(
 
 
 def make_net_job_fn(
-    net_params: dict, *, crop: int = 224, compute_dtype=None
+    net_params: dict, *, crop: int = 224, compute_dtype=None,
+    in_backend=None,
 ) -> Callable:
     """Adapt the single-forward program to StyleTransferService's job
     contract ``(images_u8, style_w, job_ids) -> (u8, iters, per_loss)``:
@@ -727,7 +746,8 @@ def make_net_job_fn(
                     f"net's {n_styles} styles"
                 )
             sw = style_w
-        out = _stylize_body(net_params, images_u8, crop, compute_dtype, sw)
+        out = _stylize_body(net_params, images_u8, crop, compute_dtype, sw,
+                            in_backend)
         b = out.shape[0]
         return out, jnp.asarray(1), jnp.zeros((b,), jnp.float32)
 

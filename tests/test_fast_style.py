@@ -834,3 +834,102 @@ class TestNetQuality:
         # the floor: the net beats >= 10 iterations of the loop
         assert r["worth_iterations"] >= 10, r
         assert r["net_loss_mean"] < r["loop_loss_mean"][10]
+
+
+class TestReviewFixesR4:
+    def test_sizes_gcd_guards_mesh(self):
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            _sizes_gcd,
+        )
+
+        assert _sizes_gcd([6, 8]) == 2
+        assert _sizes_gcd([8, 64]) == 8
+        assert _sizes_gcd([7]) == 7
+
+    def test_layers_in_resume_signature(
+        self, tiny_imagefolder, f2_encoder, tmp_path, monkeypatch
+    ):
+        """--layers changes the loss objective, so resuming under a
+        different value must be rejected (review finding r4)."""
+        from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+            main,
+        )
+        from heuristique_style_transfer_code_tpu.train import preemption
+
+        cfg_path, model_path = f2_encoder
+        style = str(next((tiny_imagefolder / "test" / "fog").glob("*.png")))
+        d = str(tmp_path / "s")
+        base = [
+            "--data", str(tiny_imagefolder), "--style_image", style,
+            "--config_path", cfg_path, "--model_path", model_path,
+            "--epochs", "2", "--batch_size", "4", "--num_samples", "8",
+            "--width", "4", "--n_res", "1", "--crop", "32",
+            "--log_every", "1", "--save_dir", d, "--devices", "1",
+            "--resume", "--checkpoint_every", "1",
+        ]
+        calls = {"n": 0}
+
+        def fake_preempt():
+            calls["n"] += 1
+            return calls["n"] > 1
+
+        monkeypatch.setattr(preemption, "preemption_requested", fake_preempt)
+        main(base)
+        monkeypatch.undo()
+        with pytest.raises(ValueError, match="does not match"):
+            main(base + ["--layers", "4"])
+
+    def test_mid_epoch_resume_requires_set_position(self, tmp_path):
+        """A loader without set_position cannot replay mid-epoch; silent
+        re-training of consumed batches must be a loud error."""
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            _save_net_inprogress,
+            train_fast_style,
+        )
+
+        rng = np.random.RandomState(1)
+        batch = rng.randint(0, 256, (4, 12, 12, 3), dtype=np.uint8)
+        loader = [(batch, None, None, None)] * 3  # no set_position
+        params = transformer_net_init(jax.random.PRNGKey(1), width=4, n_res=1)
+        style_u8 = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        import optax
+
+        opt_state = optax.adam(1e-3).init(params)
+        _save_net_inprogress(
+            str(tmp_path), params, opt_state, 0, 1, 1, [], "sig-x"
+        )
+        with pytest.raises(ValueError, match="set_position"):
+            train_fast_style(
+                params, _identity_extract, loader, style_u8,
+                epochs=1, crop=8, save_dir=str(tmp_path), resume=True,
+                signature="sig-x", log_fn=lambda *_: None,
+            )
+
+    def test_in_backend_plumbed_through_serving_builders(self):
+        """The documented per-call backend selector exists on the serving
+        entry points (review finding r4); 'xla' must behave identically."""
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_net_job_fn,
+            make_stylize_fn,
+        )
+
+        params = transformer_net_init(jax.random.PRNGKey(3), width=4, n_res=1)
+        u8 = jnp.asarray(
+            np.random.RandomState(2).randint(0, 256, (2, 12, 12, 3),
+                                             dtype=np.uint8)
+        )
+        a = make_stylize_fn(params, crop=8)(u8)
+        b = make_stylize_fn(params, crop=8, in_backend="xla")(u8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        job = make_net_job_fn(params, crop=8, in_backend="xla")
+        out, iters, losses = jax.jit(job)(
+            u8, jnp.ones((2, 1), jnp.float32), jnp.arange(2, dtype=jnp.int32)
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(a))
+
+    def test_save_style_artifact_exported(self):
+        from heuristique_style_transfer_code_tpu.deploy import (
+            save_style_artifact,
+        )
+
+        assert callable(save_style_artifact)
