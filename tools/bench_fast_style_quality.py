@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--held", type=int, default=16)
     ap.add_argument("--grid", type=str, default="100,300,500")
+    ap.add_argument("--loop_lr", type=float, default=0.01,
+                    help="Adam lr for the iterative loop being priced "
+                    "against (the serve default is 0.01; probe other "
+                    "values for sensitivity)")
     ap.add_argument("--cpu", action="store_true",
                     help="Tiny smoke run on the CPU backend")
     args = ap.parse_args()
@@ -129,7 +133,7 @@ def main():
     r = compare_net_to_loop(
         extract_fn, net, held_u8, style_grams, crop=crop,
         iteration_grid=grid, style_weight=1.0, content_weight=1.0,
-        learning_rate=0.01,
+        learning_rate=args.loop_lr,
     )
     out = {
         "metric": "fast_style_worth_iterations",
@@ -144,6 +148,7 @@ def main():
         "eval_seconds": round(time.perf_counter() - t1, 1),
         "held_out_images": int(args.held),
         "crop": crop,
+        "loop_lr": args.loop_lr,
     }
     print(json.dumps(out))
 
