@@ -65,6 +65,12 @@ def build_parser():
                         "each dispatch uses the smallest that fits the "
                         "queued jobs — light load answers at small-batch "
                         "latency, full load at big-batch throughput")
+    parser.add_argument(
+        "--transport", choices=["rgb", "yuv420"], default="rgb",
+        help="Device wire format for job pixels. 'yuv420' ships planar "
+        "I420 uint8 BOTH ways (input + the stylised result) — half the "
+        "bytes through a bandwidth-bound link, standard 4:2:0 chroma "
+        "subsampling (lossy, opt-in; the HTTP surface stays RGB/PNG)")
     parser.add_argument("--max_delay_ms", type=float, default=200.0,
                         help="Flush deadline for a partially filled batch "
                         "(style jobs run for seconds — waiting to double "
@@ -279,6 +285,7 @@ def build_service(args, crop: int = 224):
             max_delay_ms=args.max_delay_ms,
             max_in_flight=args.max_in_flight,
             mesh=resolve_eval_mesh(args.devices, _sizes_gcd(sizes)),
+            transport=args.transport,
         )
     if args.artifact:
         from ..deploy.artifact import load_style_artifact
@@ -300,6 +307,7 @@ def build_service(args, crop: int = 224):
             num_iterations=meta["num_iterations"],
             max_delay_ms=args.max_delay_ms,
             max_in_flight=args.max_in_flight,
+            transport=args.transport,
         )
     _require_model_args(args)
     if args.style_image:
@@ -318,6 +326,7 @@ def build_service(args, crop: int = 224):
         max_in_flight=args.max_in_flight,
         mesh=resolve_eval_mesh(args.devices, _sizes_gcd(sizes)),
         seed=getattr(args, "seed", None) or 0,
+        transport=args.transport,
     )
 
 

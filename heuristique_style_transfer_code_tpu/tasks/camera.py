@@ -73,6 +73,29 @@ def rgb_to_yuv420(rgb: np.ndarray) -> np.ndarray:
     return cv2.cvtColor(rgb, cv2.COLOR_RGB2YUV_I420)
 
 
+def rgb_to_yuv420_device(rgb_u8: jax.Array) -> jax.Array:
+    """Jit-compatible inverse-direction packer: RGB (H, W, 3) uint8 ->
+    planar I420 (H*3//2, W) uint8, BT.601 *studio swing* — the same
+    convention as ``rgb_to_yuv420`` (cv2) and ``yuv420_to_rgb_device``, so
+    a device-encoded frame decodes with cv2's ``COLOR_YUV2RGB_I420`` on the
+    host. Chroma is the mean of each 2×2 block (standard 4:2:0). Used to
+    halve D2H bytes for image-valued results (style-service transport)."""
+    h, w = rgb_u8.shape[0], rgb_u8.shape[1]
+    rgbf = rgb_u8.astype(jnp.float32)
+    r, g, b = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
+    y = 16.0 + 0.256788 * r + 0.504129 * g + 0.097906 * b
+    u = 128.0 - 0.148223 * r - 0.290993 * g + 0.439216 * b
+    v = 128.0 + 0.439216 * r - 0.367788 * g - 0.071427 * b
+
+    def subsample(p):  # (H, W) -> (H//2, W//2), 2x2 mean
+        return p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    u_plane = subsample(u).reshape(h // 4, w)
+    v_plane = subsample(v).reshape(h // 4, w)
+    packed = jnp.concatenate([y, u_plane, v_plane], axis=0)
+    return jnp.clip(jnp.round(packed), 0.0, 255.0).astype(jnp.uint8)
+
+
 def yuv420_to_rgb_device(yuv: jax.Array, h: int, w: int) -> jax.Array:
     """Jit-compatible planar I420 -> float RGB in [0,1]. BT.601 *studio
     swing* (Y in [16,235]) — the convention cv2's COLOR_RGB2YUV_I420 emits."""

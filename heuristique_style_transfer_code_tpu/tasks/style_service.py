@@ -133,6 +133,14 @@ class StyleTransferService:
         deterministic per job id, independent of batching.
     mesh : optional Mesh — pixels/Adam state batch-sharded over 'data'
         (and H rows over 'spatial' when present), as in the batch task.
+    transport : 'rgb' (default) or 'yuv420'. Unlike classification, a
+        style job's RESULT is as heavy as its input — a full image — so a
+        bandwidth-bound link pays pixel bytes both ways (the net-service
+        soak measured exactly this as the binding constraint, PERF.md).
+        'yuv420' ships planar I420 uint8 in BOTH directions (1.5 vs 3
+        bytes/px; device decodes before the job, re-packs the canvas after
+        it). Standard 4:2:0 chroma subsampling — lossy, opt-in; the
+        client-facing submit()/result API stays RGB either way.
     """
 
     def __init__(
@@ -157,11 +165,20 @@ class StyleTransferService:
         max_queue: int = 256,
         mesh=None,
         seed: int = 0,
+        transport: str = "rgb",
     ):
         import jax
         import jax.numpy as jnp
 
         from ..data.augment import eval_preprocess
+
+        if transport not in ("rgb", "yuv420"):
+            raise ValueError(
+                f"transport must be 'rgb' or 'yuv420', got {transport!r}"
+            )
+        if transport == "yuv420" and int(crop) % 4:
+            raise ValueError("yuv420 transport needs crop % 4 == 0")
+        self.transport = transport
 
         n_fns = sum(f is not None for f in (gram_fn, extract_fn, job_fn))
         if n_fns != 1:
@@ -295,13 +312,42 @@ class StyleTransferService:
             from ..parallel.sharding import batch_sharding
 
             self._sharding = batch_sharding(mesh)
+        if self.transport == "yuv420":
+            # halve the bytes BOTH ways through a bandwidth-bound link
+            # (each image-valued result is as heavy as its input — the
+            # style soak measured exactly this as the binding constraint,
+            # PERF.md): jobs arrive as planar I420 (crop*3//2, crop) and
+            # the stylised canvas is re-packed to I420 ON DEVICE before
+            # the fetch. Standard 4:2:0 chroma subsampling — lossy, opt-in
+            # (the camera-transport precedent, tasks/camera.py).
+            from .camera import rgb_to_yuv420_device, yuv420_to_rgb_device
+
+            c = self.crop
+
+            def _with_yuv_transport(inner):
+                def yuv_job(yuv_u8, style_w, job_ids):
+                    rgb01 = jax.vmap(
+                        lambda f: yuv420_to_rgb_device(f, c, c)
+                    )(yuv_u8)
+                    rgb_u8 = jnp.round(rgb01 * 255.0).astype(jnp.uint8)
+                    out_u8, iters, per = inner(rgb_u8, style_w, job_ids)
+                    return (
+                        jax.vmap(rgb_to_yuv420_device)(out_u8), iters, per
+                    )
+
+                return yuv_job
+        else:
+            def _with_yuv_transport(inner):
+                return inner
+
         if jobs_by_size is not None:
             self._jobs_by_size = {
-                s: jax.jit(f) for s, f in jobs_by_size.items()
+                s: jax.jit(_with_yuv_transport(f))
+                for s, f in jobs_by_size.items()
             }
             self._job = self._jobs_by_size[self.batch_size]
         else:
-            self._job = jax.jit(job)
+            self._job = jax.jit(_with_yuv_transport(job))
             self._jobs_by_size = {s: self._job for s in sizes}
 
         self._next_id = 0
@@ -339,11 +385,14 @@ class StyleTransferService:
         import jax.numpy as jnp
 
         c = self.crop
+        in_tail = (
+            (c * 3 // 2, c) if self.transport == "yuv420" else (c, c, 3)
+        )
         for b in self.batch_sizes:
-            img_s = jax.ShapeDtypeStruct((b, c, c, 3), jnp.uint8)
+            img_s = jax.ShapeDtypeStruct((b,) + in_tail, jnp.uint8)
             if self._sharding is not None:
                 img_s = jax.ShapeDtypeStruct(
-                    (b, c, c, 3), jnp.uint8, sharding=self._sharding
+                    (b,) + in_tail, jnp.uint8, sharding=self._sharding
                 )
             ids_s = jax.ShapeDtypeStruct((b,), jnp.int32)
             w_s = jax.ShapeDtypeStruct(
@@ -396,6 +445,10 @@ class StyleTransferService:
         else:
             style_w = np.zeros((1,), np.float32)
         image = _to_canvas(image, self.crop)
+        if self.transport == "yuv420":
+            from .camera import rgb_to_yuv420
+
+            image = rgb_to_yuv420(image)  # (crop*3//2, crop), host cv2
         with self._id_lock:
             job_id = self._next_id
             self._next_id += 1
@@ -570,6 +623,15 @@ class StyleTransferService:
                 with self._stats_lock:
                     self._consecutive_failures += 1
                 continue
+            if self.transport == "yuv420":
+                # host-side I420 -> RGB so the client contract (RGB uint8)
+                # is transport-independent
+                import cv2
+
+                pixels = np.stack([
+                    cv2.cvtColor(pixels[i], cv2.COLOR_YUV2RGB_I420)
+                    for i in range(pixels.shape[0])
+                ])
             now = time.perf_counter()
             lats = []
             for i, f in enumerate(futures):

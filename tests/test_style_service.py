@@ -12,6 +12,7 @@ import threading
 import urllib.request
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -753,3 +754,108 @@ class TestMultiSizeArtifact:
         ) as svc:
             r = svc.submit(img).result(timeout=120)
         assert r.image.shape == (CROP, CROP, 3)
+
+
+class TestYuvTransport:
+    """transport='yuv420': planar I420 uint8 BOTH ways — half the pixel
+    bytes through a bandwidth-bound link (the net-soak's measured
+    constraint); client API stays RGB."""
+
+    def _smooth(self, seed=0):
+        # smooth content: 4:2:0 chroma loss is small where chroma is smooth
+        rng = np.random.RandomState(seed)
+        base = rng.rand(4, 4, 3).astype(np.float32)
+        up = jax.image.resize(jnp.asarray(base), (CROP, CROP, 3), "linear")
+        return np.asarray(jnp.round(jnp.clip(up, 0, 1) * 255)).astype(np.uint8)
+
+    def _net_service(self, transport):
+        from heuristique_style_transfer_code_tpu.nn.transformer_net import (
+            transformer_net_init,
+        )
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            make_net_job_fn,
+        )
+
+        params = transformer_net_init(jax.random.PRNGKey(5), width=4, n_res=1)
+        return StyleTransferService(
+            job_fn={2: make_net_job_fn(params, crop=CROP)},
+            style_names=["s"], crop=CROP, max_delay_ms=30.0,
+            num_iterations=1, transport=transport,
+        )
+
+    def test_transport_round_trip_close(self):
+        """Identity job: the result is the input after host-pack -> device
+        unpack -> device repack -> host unpack. On smooth content the two
+        4:2:0 chroma subsamplings cost a few counts — the transport's own
+        loss, isolated from any model's input sensitivity."""
+        img = self._smooth()
+
+        def identity_job(images_u8, style_w, job_ids):
+            del style_w
+            return (
+                images_u8, jnp.asarray(1),
+                jnp.zeros((images_u8.shape[0],), jnp.float32),
+            )
+
+        with StyleTransferService(
+            job_fn={2: identity_job}, style_names=["s"], crop=CROP,
+            max_delay_ms=30.0, num_iterations=1, transport="yuv420",
+        ) as svc:
+            r = svc.submit(img).result(timeout=120)
+        assert r.image.shape == (CROP, CROP, 3) and r.image.dtype == np.uint8
+        diff = np.abs(r.image.astype(np.int32) - img.astype(np.int32))
+        # floor: cv2's own I420 encode->decode round trip (the unavoidable
+        # 4:2:0 + studio-swing loss). The service pipeline (host pack ->
+        # device unpack -> device repack -> host unpack) must add
+        # essentially nothing on top (measured: +0.01 mean counts)
+        import cv2
+
+        from heuristique_style_transfer_code_tpu.tasks.camera import (
+            rgb_to_yuv420,
+        )
+
+        floor = np.abs(
+            cv2.cvtColor(rgb_to_yuv420(img), cv2.COLOR_YUV2RGB_I420)
+            .astype(np.int32) - img.astype(np.int32)
+        )
+        assert diff.mean() <= floor.mean() * 1.2 + 1.0, (
+            diff.mean(), floor.mean()
+        )
+
+    def test_iterative_texture_mode_yuv(self):
+        img = self._smooth(seed=1)
+        with _service(transport="yuv420") as svc:
+            r = svc.submit(img).result(timeout=120)
+        assert r.image.shape == (CROP, CROP, 3) and np.isfinite(r.loss)
+
+    def test_yuv_deterministic(self):
+        img = self._smooth(seed=2)
+        outs = []
+        for _ in range(2):
+            with self._net_service("yuv420") as svc:
+                outs.append(svc.submit(img).result(timeout=120).image)
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="transport"):
+            _service(transport="avif")
+        with pytest.raises(ValueError, match="crop"):
+            _service(transport="yuv420", crop=18)
+
+    def test_warmup_compiles_yuv_shapes(self):
+        svc = self._net_service("yuv420")
+        svc.warmup()
+        svc.start()
+        try:
+            r = svc.submit(self._smooth(3)).result(timeout=120)
+            assert r.image.shape == (CROP, CROP, 3)
+        finally:
+            svc.stop()
+
+    def test_cli_flag(self, tmp_path):
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            build_parser,
+        )
+
+        args = build_parser().parse_args(["--transport", "yuv420"])
+        assert args.transport == "yuv420"

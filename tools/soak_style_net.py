@@ -45,9 +45,11 @@ def main():
     )
 
     duration = float(os.environ.get("SOAK_SECONDS", "300"))
+    transport = os.environ.get("SOAK_TRANSPORT", "rgb")
     crop = 224
     sizes = (8, 64)
-    log(f"devices: {jax.devices()}  duration {duration}s  sizes {sizes}")
+    log(f"devices: {jax.devices()}  duration {duration}s  sizes {sizes} "
+        f"transport {transport}")
 
     import jax.numpy as jnp
 
@@ -56,6 +58,7 @@ def main():
     svc = StyleTransferService(
         job_fn={s: job for s in sizes}, style_names=["soak"],
         crop=crop, max_delay_ms=10.0, num_iterations=1, max_in_flight=2,
+        transport=transport,
     )
     svc.warmup()
     svc.start()
@@ -120,6 +123,7 @@ def main():
 
     print(json.dumps({
         "metric": "style_net_soak",
+        "transport": transport,
         "requests": int(sum(done)),
         "errors": len(errors),
         "error_sample": errors[:3],
