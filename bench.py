@@ -604,6 +604,46 @@ def bench_style_transfer() -> dict:
     }
 
 
+def bench_fast_style_forward() -> dict:
+    """Fast (feed-forward) style stylize capacity — the r4 serving path
+    (classic width-32/5-res net, 224², bf16), scan-slope like the other
+    device-resident numbers. Quality context: this one-pass net measures
+    equal to the 500-iteration loop on held-out images (PERF.md,
+    tools/bench_fast_style_quality.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from heuristique_style_transfer_code_tpu.nn.transformer_net import (
+        transformer_net_apply,
+        transformer_net_init,
+    )
+
+    net = transformer_net_init(jax.random.PRNGKey(0), width=32, n_res=5)
+    b = 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        (rng.rand(b, 224, 224, 3).astype(np.float32) - 0.45) / 0.22
+    )
+
+    def scanned(q, n):
+        def body(c, _):
+            y = transformer_net_apply(net, c, compute_dtype=jnp.bfloat16)
+            return y, None  # stylised re-enters: resident + distinct
+
+        out, _ = jax.lax.scan(body, q, None, length=n)
+        return jnp.sum(out.astype(jnp.float32))  # scalar fetch
+
+    times = {}
+    for n in (8, 72):
+        run = jax.jit(lambda q, n=n: scanned(q, n))
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(np.asarray(run(x)))
+            times.setdefault(n, []).append(time.perf_counter() - t0)
+    dt = (np.median(times[72][1:]) - np.median(times[8][1:])) / 64
+    return {"fwd_img_s": float(b / dt), "batch": b}
+
+
 def bench_torch_cpu() -> dict:
     """Reference-equivalent CPU pipeline, batch 1 (the reference's camera
     semantics: TruncatedMoCoV3 = children[:-1][:8] + AdaptiveAvgPool + fc)."""
@@ -715,6 +755,15 @@ def main():
     except Exception as e:
         log(f"[tpu] train bench skipped ({e})")
         tr = {"train_fps": None, "train_batch": None}
+    try:
+        fs = bench_fast_style_forward()
+        log(
+            f"[tpu] fast-style net forward (b{fs['batch']} 224² bf16): "
+            f"{fs['fwd_img_s']:.0f} img/s"
+        )
+    except Exception as e:
+        log(f"[tpu] fast-style bench skipped ({e})")
+        fs = {"fwd_img_s": None}
     vs = (tpu["batched_fps"] / baseline_fps) if baseline_fps else None
     # Full detail record: goes to stderr and to BENCH_DETAIL.json on disk.
     # The stdout machine line (printed LAST, below) stays compact — the
@@ -765,6 +814,9 @@ def main():
                     round(tr["train_fps"], 1) if tr["train_fps"] else None
                 ),
                 "train_batch": tr["train_batch"],
+                "fast_style_fwd_img_s": (
+                    round(fs["fwd_img_s"], 1) if fs["fwd_img_s"] else None
+                ),
                 "batch_size": tpu["batch_used"],
                 "streaming_fps_b64": round(tpu["streaming_fps_b64"], 1),
                 "streaming_fps_b256": round(tpu["streaming_fps_b256"], 1),

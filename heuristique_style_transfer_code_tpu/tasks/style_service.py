@@ -521,6 +521,7 @@ class StyleTransferService:
             return {
                 "batches": self._batches,
                 "jobs": self._jobs,
+                "transport": self.transport,
                 "mean_batch_occupancy": (
                     self._occupancy_sum / self._batches if self._batches else 0.0
                 ),
