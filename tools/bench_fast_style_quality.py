@@ -57,6 +57,11 @@ def main():
                     help="Adam lr for the iterative loop being priced "
                     "against (the serve default is 0.01; probe other "
                     "values for sensitivity)")
+    ap.add_argument("--styles", type=int, default=1,
+                    help=">1 trains ONE conditional net on that many "
+                    "synthetic styles (conditional instance norm) and "
+                    "prices it per style — the gallery-serving quality "
+                    "axis")
     ap.add_argument("--cpu", action="store_true",
                     help="Tiny smoke run on the CPU backend")
     args = ap.parse_args()
@@ -109,16 +114,86 @@ def main():
     rng = np.random.RandomState(0)
     train_u8 = smooth_scenes(rng, 64 if not args.cpu else 8, size=size)
     held_u8 = smooth_scenes(np.random.RandomState(999), args.held, size=size)
-    style_grams = encode_style_grams(extract_fn, stripe_style(crop), crop)
+    b = args.batch if not args.cpu else 4
+    n_styles = max(1, int(args.styles))
+    multi = n_styles > 1
+    t0 = time.perf_counter()
+    if multi:
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            encode_style_gram_stacks,
+            make_multi_style_train_step,
+        )
 
+        # distinct synthetic styles: different stripe periods/orientations
+        style_imgs = [
+            stripe_style(crop, period=6 + 4 * s) for s in range(n_styles)
+        ]
+        gram_stacks = encode_style_gram_stacks(extract_fn, style_imgs, crop)
+        net = transformer_net_init(
+            jax.random.PRNGKey(0), width=width, n_res=n_res,
+            n_styles=n_styles,
+        )
+        init_opt, step = make_multi_style_train_step(
+            extract_fn, style_weight=1.0, content_weight=1.0,
+            learning_rate=1e-3, crop=crop,
+        )
+        opt = init_opt(net)
+        for i in range(steps):
+            batch = train_u8[rng.randint(0, len(train_u8), size=b)]
+            onehot = np.zeros((b, n_styles), np.float32)
+            onehot[np.arange(b), rng.randint(0, n_styles, size=b)] = 1.0
+            net, opt, loss = step(
+                net, opt, jnp.asarray(batch), jnp.asarray(onehot),
+                gram_stacks,
+            )
+            if i % 200 == 0 or i == steps - 1:
+                print(f"step {i} loss {float(loss):.5f} "
+                      f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+        train_s = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        per_style = {}
+        for s in range(n_styles):
+            onehot = np.zeros((n_styles,), np.float32)
+            onehot[s] = 1.0
+            style_grams_s = [g[s:s + 1] for g in gram_stacks]
+            r = compare_net_to_loop(
+                extract_fn, net, held_u8, style_grams_s, crop=crop,
+                iteration_grid=grid, style_weight=1.0, content_weight=1.0,
+                learning_rate=args.loop_lr, style_weights=jnp.asarray(onehot),
+            )
+            per_style[f"style_{s}"] = {
+                "worth_iterations": r["worth_iterations"],
+                "net_loss_mean": round(r["net_loss_mean"], 6),
+                "loop_loss_mean": {
+                    str(k): round(v, 6)
+                    for k, v in r["loop_loss_mean"].items()
+                },
+            }
+        out = {
+            "metric": "fast_style_worth_iterations_conditional",
+            "value": min(
+                v["worth_iterations"] for v in per_style.values()
+            ),
+            "per_style": per_style,
+            "n_styles": n_styles,
+            "grid": list(grid),
+            "train_steps": steps,
+            "train_seconds": round(train_s, 1),
+            "eval_seconds": round(time.perf_counter() - t1, 1),
+            "held_out_images": int(args.held),
+            "crop": crop,
+            "loop_lr": args.loop_lr,
+        }
+        print(json.dumps(out))
+        return
+
+    style_grams = encode_style_grams(extract_fn, stripe_style(crop), crop)
     net = transformer_net_init(jax.random.PRNGKey(0), width=width, n_res=n_res)
     init_opt, step = make_fast_style_train_step(
         extract_fn, style_weight=1.0, content_weight=1.0,
         learning_rate=1e-3, crop=crop,
     )
     opt = init_opt(net)
-    b = args.batch if not args.cpu else 4
-    t0 = time.perf_counter()
     for i in range(steps):
         batch = train_u8[rng.randint(0, len(train_u8), size=b)]
         net, opt, loss = step(net, opt, jnp.asarray(batch), style_grams)
