@@ -231,8 +231,12 @@ def export_style_artifact(
             jax.ShapeDtypeStruct((b, k), jnp.float32),
             jax.ShapeDtypeStruct((b,), jnp.int32),
         )
+        # the RAW (RGB) program: transport is a serve-time choice — a
+        # yuv420-serving host exports the same RGB artifact, and any host
+        # can serve an artifact with either transport (the service wraps
+        # the deserialised program like any other job)
         exp = jexport.export(
-            service._jobs_by_size[b],
+            jax.jit(service._raw_jobs_by_size[b]),
             platforms=tuple(platforms) if platforms is not None else None,
         )(*specs)
         blobs[int(b)] = exp.serialize()

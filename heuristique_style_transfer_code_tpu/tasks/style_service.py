@@ -340,13 +340,19 @@ class StyleTransferService:
             def _with_yuv_transport(inner):
                 return inner
 
+        # raw (RGB, unwrapped) programs: what export_style_artifact traces —
+        # transport is a SERVE-TIME choice, never an artifact property (an
+        # exported program stays RGB; any host can then serve it with
+        # either transport)
         if jobs_by_size is not None:
+            self._raw_jobs_by_size = dict(jobs_by_size)
             self._jobs_by_size = {
                 s: jax.jit(_with_yuv_transport(f))
                 for s, f in jobs_by_size.items()
             }
             self._job = self._jobs_by_size[self.batch_size]
         else:
+            self._raw_jobs_by_size = {s: job for s in sizes}
             self._job = jax.jit(_with_yuv_transport(job))
             self._jobs_by_size = {s: self._job for s in sizes}
 

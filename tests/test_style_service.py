@@ -859,3 +859,52 @@ class TestYuvTransport:
 
         args = build_parser().parse_args(["--transport", "yuv420"])
         assert args.transport == "yuv420"
+
+
+class TestYuvExportInteraction:
+    def test_export_is_transport_independent(self, tmp_path):
+        """A yuv420-serving service exports the same RGB artifact as an rgb
+        one (transport is serve-time), and the artifact serves under BOTH
+        transports with close results."""
+        from heuristique_style_transfer_code_tpu.deploy.artifact import (
+            export_style_artifact,
+            load_style_artifact,
+            save_style_artifact,
+        )
+
+        rng = np.random.RandomState(9)
+        base = rng.rand(4, 4, 3).astype(np.float32)
+        img = np.asarray(
+            jnp.round(jnp.clip(
+                jax.image.resize(jnp.asarray(base), (CROP, CROP, 3),
+                                 "linear"), 0, 1) * 255)
+        ).astype(np.uint8)
+
+        yuv_svc = _cs_service(transport="yuv420", num_iterations=5)
+        blobs_yuv, meta_yuv = export_style_artifact(yuv_svc)
+        rgb_svc = _cs_service(num_iterations=5)
+        blobs_rgb, _ = export_style_artifact(rgb_svc)
+        assert {b: len(v) for b, v in blobs_yuv.items()} == \
+            {b: len(v) for b, v in blobs_rgb.items()}
+
+        path = str(tmp_path / "a.npz")
+        save_style_artifact(path, blobs_yuv, meta_yuv)
+        art = load_style_artifact(path)
+        results = {}
+        for transport in ("rgb", "yuv420"):
+            with StyleTransferService(
+                job_fn=art.job_fns, style_names=art.meta["style_names"],
+                crop=art.meta["crop"],
+                num_iterations=art.meta["num_iterations"],
+                max_delay_ms=100.0, transport=transport,
+            ) as svc:
+                results[transport] = svc.submit(
+                    img, style="warm"
+                ).result(timeout=120)
+        a, b = results["rgb"], results["yuv420"]
+        assert a.image.shape == b.image.shape == (CROP, CROP, 3)
+        assert a.iterations == b.iterations
+        # yuv is lossy; on smooth content the two paths stay close
+        assert np.abs(
+            a.image.astype(np.int32) - b.image.astype(np.int32)
+        ).mean() < 25.0
