@@ -933,3 +933,58 @@ class TestReviewFixesR4:
         )
 
         assert callable(save_style_artifact)
+
+
+class TestConditionalNetQuality:
+    def test_conditional_net_worth_floor_per_style(self):
+        """The gallery net's quality floor, per style: trained on two
+        distinct pixel-Gram targets, each style's one-hot forward must beat
+        >= 10 iterations of the loop on held-out content (the conditional
+        counterpart of TestNetQuality; on-chip pricing in PERF.md)."""
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            compare_net_to_loop,
+            make_multi_style_train_step,
+        )
+
+        # two analytic styles: horizontal stripes and its inverse-channel
+        # twin — distinct pixel Grams
+        s0 = np.zeros((1, 8, 8, 3), np.float32); s0[:, ::2] = 1.0
+        s1 = np.zeros((1, 8, 8, 3), np.float32); s1[:, :, ::2, :2] = 1.0
+        stacks = [jnp.concatenate([
+            gram_matrix_nhwc(jnp.asarray((s - IMAGENET_MEAN) / IMAGENET_STD))
+            for s in (s0, s1)
+        ])]
+
+        rng = np.random.RandomState(0)
+        train_u8 = jnp.asarray(
+            rng.randint(0, 256, (8, 12, 12, 3), dtype=np.uint8)
+        )
+        held_u8 = jnp.asarray(
+            rng.randint(0, 256, (6, 12, 12, 3), dtype=np.uint8)
+        )
+        params = transformer_net_init(
+            jax.random.PRNGKey(0), width=4, n_res=1, n_styles=2
+        )
+        init_opt, step = make_multi_style_train_step(
+            _identity_extract, style_weight=1.0, content_weight=0.1,
+            learning_rate=5e-3, crop=8,
+        )
+        opt = init_opt(params)
+        for i in range(300):
+            onehot = np.zeros((8, 2), np.float32)
+            onehot[np.arange(8), np.random.RandomState(i).randint(0, 2, 8)] = 1.0
+            params, opt, _ = step(
+                params, opt, train_u8, jnp.asarray(onehot), stacks
+            )
+
+        for s in range(2):
+            onehot = np.zeros((2,), np.float32)
+            onehot[s] = 1.0
+            r = compare_net_to_loop(
+                _identity_extract, params, held_u8,
+                [stacks[0][s:s + 1]], crop=8,
+                iteration_grid=(1, 5, 10, 25), style_weight=1.0,
+                content_weight=0.1, learning_rate=0.05,
+                style_weights=jnp.asarray(onehot),
+            )
+            assert r["worth_iterations"] >= 10, (s, r)
