@@ -988,3 +988,55 @@ class TestConditionalNetQuality:
                 style_weights=jnp.asarray(onehot),
             )
             assert r["worth_iterations"] >= 10, (s, r)
+
+
+def test_net_service_aot_export_round_trip(tiny_imagefolder, f2_encoder,
+                                           tmp_path):
+    """hst-serve-style --net --export_artifact: the fastest serving mode
+    exports its multi-size AOT ladder too (0.1 MB — just the 56 k-param
+    toy net as StableHLO constants), and the artifact serves with
+    dispatch-size parity and equal results."""
+    from heuristique_style_transfer_code_tpu.cli.serve_style import (
+        build_parser,
+        build_service,
+        export_artifact,
+    )
+    from heuristique_style_transfer_code_tpu.cli.train_style_net import (
+        main as train_main,
+    )
+
+    cfg_path, model_path = f2_encoder
+    save_dir = str(tmp_path / "net_out")
+    style_path = str(next((tiny_imagefolder / "test" / "fog").glob("*.png")))
+    train_main([
+        "--data", str(tiny_imagefolder), "--style_image", style_path,
+        "--config_path", cfg_path, "--model_path", model_path,
+        "--epochs", "1", "--batch_size", "4", "--num_samples", "4",
+        "--width", "4", "--n_res", "1", "--crop", "32",
+        "--log_every", "1", "--save_dir", save_dir, "--devices", "1",
+    ])
+    net_path = os.path.join(save_dir, "style_net.npz")
+    art_path = str(tmp_path / "net_art.npz")
+    export_artifact(build_parser().parse_args([
+        "--net", net_path, "--batch_size", "2,4",
+        "--export_artifact", art_path,
+    ]))
+
+    img = np.random.RandomState(4).randint(0, 256, (64, 64, 3), np.uint8)
+    results = {}
+    for name, argv in (
+        ("live", ["--net", net_path, "--batch_size", "2,4",
+                  "--max_delay_ms", "30"]),
+        ("artifact", ["--artifact", art_path, "--max_delay_ms", "30"]),
+    ):
+        svc = build_service(build_parser().parse_args(argv)).start()
+        try:
+            assert svc.batch_sizes == [2, 4]
+            results[name] = svc.submit(img).result(timeout=120)
+        finally:
+            svc.stop()
+    assert results["live"].iterations == results["artifact"].iterations == 1
+    np.testing.assert_allclose(
+        results["live"].image.astype(np.int32),
+        results["artifact"].image.astype(np.int32), atol=1,
+    )
