@@ -634,13 +634,14 @@ def bench_fast_style_forward() -> dict:
         return jnp.sum(out.astype(jnp.float32))  # scalar fetch
 
     times = {}
-    for n in (8, 72):
+    n1, n2 = 8, 72
+    for n in (n1, n2):
         run = jax.jit(lambda q, n=n: scanned(q, n))
         for _ in range(4):
             t0 = time.perf_counter()
             float(np.asarray(run(x)))
             times.setdefault(n, []).append(time.perf_counter() - t0)
-    dt = (np.median(times[72][1:]) - np.median(times[8][1:])) / 64
+    dt = (np.median(times[n2][1:]) - np.median(times[n1][1:])) / (n2 - n1)
     return {"fwd_img_s": float(b / dt), "batch": b}
 
 

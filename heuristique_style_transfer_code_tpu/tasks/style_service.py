@@ -624,21 +624,24 @@ class StyleTransferService:
                 pixels = np.asarray(pixels)
                 iters = int(iters)
                 per_loss = np.asarray(per_loss)
+                if self.transport == "yuv420":
+                    # host-side I420 -> RGB so the client contract (RGB
+                    # uint8) is transport-independent; inside the same
+                    # try as the fetch so a decode failure resolves the
+                    # futures with the error instead of killing the
+                    # fetcher thread (which would wedge the service)
+                    import cv2
+
+                    pixels = np.stack([
+                        cv2.cvtColor(pixels[i], cv2.COLOR_YUV2RGB_I420)
+                        for i in range(pixels.shape[0])
+                    ])
             except Exception as e:
                 for f in futures:
                     self._resolve(f, exc=e)
                 with self._stats_lock:
                     self._consecutive_failures += 1
                 continue
-            if self.transport == "yuv420":
-                # host-side I420 -> RGB so the client contract (RGB uint8)
-                # is transport-independent
-                import cv2
-
-                pixels = np.stack([
-                    cv2.cvtColor(pixels[i], cv2.COLOR_YUV2RGB_I420)
-                    for i in range(pixels.shape[0])
-                ])
             now = time.perf_counter()
             lats = []
             for i, f in enumerate(futures):

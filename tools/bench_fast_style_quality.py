@@ -117,7 +117,6 @@ def main():
     b = args.batch if not args.cpu else 4
     n_styles = max(1, int(args.styles))
     multi = n_styles > 1
-    t0 = time.perf_counter()
     if multi:
         from heuristique_style_transfer_code_tpu.tasks.fast_style import (
             encode_style_gram_stacks,
@@ -138,6 +137,10 @@ def main():
             learning_rate=1e-3, crop=crop,
         )
         opt = init_opt(net)
+        # t0 AFTER the gram encoding/jit setup: train_seconds measures the
+        # 1,500 steps only (axon compile latency is wildly run-variable and
+        # would otherwise dominate the number — CLAUDE.md)
+        t0 = time.perf_counter()
         for i in range(steps):
             batch = train_u8[rng.randint(0, len(train_u8), size=b)]
             onehot = np.zeros((b, n_styles), np.float32)
@@ -194,6 +197,7 @@ def main():
         learning_rate=1e-3, crop=crop,
     )
     opt = init_opt(net)
+    t0 = time.perf_counter()  # steps only (see multi-branch note)
     for i in range(steps):
         batch = train_u8[rng.randint(0, len(train_u8), size=b)]
         net, opt, loss = step(net, opt, jnp.asarray(batch), style_grams)

@@ -79,7 +79,10 @@ def main():
         while not stop.is_set():
             try:
                 pending.append(svc.submit(frames[local.randint(64)]))
-            except Exception as e:  # queue full -> natural backpressure
+            except Exception as e:
+                # submit() BLOCKS when the queue is full (that blocking is
+                # the soak's backpressure); exceptions here are shutdown
+                # races and real failures — counted as errors
                 errors.append(repr(e))
                 time.sleep(0.01)
                 continue
