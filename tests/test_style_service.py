@@ -912,3 +912,43 @@ class TestYuvExportInteraction:
         assert np.abs(
             a.image.astype(np.int32) - b.image.astype(np.int32)
         ).mean() < 25.0
+
+
+def test_yuv_decode_failure_resolves_futures_and_service_survives(monkeypatch):
+    """A host-side I420 decode failure must resolve that batch's futures
+    with the exception (not kill the fetcher thread and wedge the service)
+    — the decode sits inside the fetch-loop's error handling (review
+    finding r4)."""
+    import cv2
+
+    def identity_job(images_u8, style_w, job_ids):
+        del style_w
+        return (
+            images_u8, jnp.asarray(1),
+            jnp.zeros((images_u8.shape[0],), jnp.float32),
+        )
+
+    svc = StyleTransferService(
+        job_fn={2: identity_job}, style_names=["s"], crop=CROP,
+        max_delay_ms=30.0, num_iterations=1, transport="yuv420",
+    ).start()
+    try:
+        real = cv2.cvtColor
+        state = {"fail": True}
+
+        def flaky(*a, **k):
+            if state["fail"]:
+                raise RuntimeError("synthetic decode failure")
+            return real(*a, **k)
+
+        monkeypatch.setattr(cv2, "cvtColor", flaky)
+        img = _images(1, seed=60)[0]
+        with pytest.raises(RuntimeError, match="synthetic decode"):
+            svc.submit(img).result(timeout=60)
+        # the fetcher thread survived: the next job succeeds
+        state["fail"] = False
+        r = svc.submit(img).result(timeout=60)
+        assert r.image.shape == (CROP, CROP, 3)
+    finally:
+        monkeypatch.undo()
+        svc.stop()
