@@ -150,7 +150,19 @@ def bench_tpu() -> dict:
             np.asarray(f)
         return time.perf_counter() - t0
 
-    rgb_fps = ITERS_BATCH * BATCH / pipelined(inferN, batches, ITERS_BATCH)
+    # relay weather is ~2x run-to-run (PERF.md r4 rehearsals 387.8-491.0
+    # on an unchanged path): every SCORED streaming number is the median
+    # of STREAM_REPS timed passes within this one run, spread reported
+    STREAM_REPS = 3
+
+    def stream_fps(infer, data, iters, batch, depth=3):
+        fps = sorted(
+            iters * batch / pipelined(infer, data, iters, depth=depth)
+            for _ in range(STREAM_REPS)
+        )
+        return fps[len(fps) // 2], fps[0], fps[-1]
+
+    rgb_fps, _, _ = stream_fps(inferN, batches, ITERS_BATCH, BATCH)
 
     # camera-native YUV420 transfer: half the bytes per frame; verify the
     # predictions are identical to the RGB path before trusting the number
@@ -163,11 +175,14 @@ def bench_tpu() -> dict:
         max_prob_diff = max(max_prob_diff, float(np.abs(p_rgb - p_yuv).max()))
     for i in range(WARMUP):
         np.asarray(inferY(variables, jnp.asarray(yuv_batches[i % 3])))
-    yuv_fps = ITERS_BATCH * BATCH / pipelined(inferY, yuv_batches, ITERS_BATCH)
+    yuv_fps, yuv_min, yuv_max = stream_fps(
+        inferY, yuv_batches, ITERS_BATCH, BATCH
+    )
     # on a parity failure the headline falls back to the RGB transport; the
     # transport key below makes that visible (the note text describes the
     # verified-YUV420 pipeline, which would otherwise silently mislead)
     bN_fps = yuv_fps if yuv_match_b64 else rgb_fps
+    bN_min, bN_max = (yuv_min, yuv_max) if yuv_match_b64 else (rgb_fps, rgb_fps)
     b64_transport = "yuv420" if yuv_match_b64 else "rgb (yuv argmax mismatch)"
 
     # larger streaming batch (multi-stream serving: e.g. 8 cameras x 32
@@ -201,23 +216,10 @@ def bench_tpu() -> dict:
     for i in range(3):
         np.asarray(inferY2(variables, jnp.asarray(big_yuv[i % 3])))
     iters_big = max(4, ITERS_BATCH * BATCH // BATCH_LARGE)
-
-    def pipelined_big(iters, depth=4):
-        in_flight = []
-        t0 = time.perf_counter()
-        for i in range(iters):
-            x = jax.device_put(big_yuv[i % 3])
-            in_flight.append(inferY2(variables, x))
-            if len(in_flight) >= depth:
-                np.asarray(in_flight.pop(0))
-        for f in in_flight:
-            np.asarray(f)
-        return time.perf_counter() - t0
-
-    big_fps = (
-        iters_big * BATCH_LARGE / pipelined_big(iters_big)
+    big_fps, big_min, big_max = (
+        stream_fps(inferY2, big_yuv, iters_big, BATCH_LARGE, depth=4)
         if yuv_match_b256
-        else 0.0
+        else (0.0, 0.0, 0.0)
     )
 
     # ---- realistic-video delta transport: the headline stream above is
@@ -448,10 +450,16 @@ def bench_tpu() -> dict:
         "relay_rtt_ms": rtt_ms,
         "b1_pipelined_fps": float(b1_pipelined_fps),
         "batched_fps": float(max(bN_fps, big_fps)),
+        "batched_fps_min": float(big_min if big_fps > bN_fps else bN_min),
+        "batched_fps_max": float(big_max if big_fps > bN_fps else bN_max),
         "batch_used": BATCH_LARGE if big_fps > bN_fps else BATCH,
         "streaming_fps_b64": float(bN_fps),
+        "streaming_fps_b64_min": float(bN_min),
+        "streaming_fps_b64_max": float(bN_max),
         "streaming_fps_b64_transport": b64_transport,
         "streaming_fps_b256": float(big_fps),
+        "streaming_fps_b256_min": float(big_min),
+        "streaming_fps_b256_max": float(big_max),
         "rgb_streaming_fps": float(rgb_fps),
         # the flag reported alongside the headline describes the batch size
         # the headline actually used; per-size flags are reported too
@@ -774,6 +782,8 @@ def main():
             {
                 "metric": "camera_mode_images_per_sec_per_chip",
                 "value": round(tpu["batched_fps"], 2),
+                "value_min": round(tpu["batched_fps_min"], 2),
+                "value_max": round(tpu["batched_fps_max"], 2),
                 "unit": "images/s",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "batch1_p50_frame_ms": round(tpu["b1_p50_ms"], 2),
@@ -820,7 +830,11 @@ def main():
                 ),
                 "batch_size": tpu["batch_used"],
                 "streaming_fps_b64": round(tpu["streaming_fps_b64"], 1),
+                "streaming_fps_b64_min": round(tpu["streaming_fps_b64_min"], 1),
+                "streaming_fps_b64_max": round(tpu["streaming_fps_b64_max"], 1),
                 "streaming_fps_b256": round(tpu["streaming_fps_b256"], 1),
+                "streaming_fps_b256_min": round(tpu["streaming_fps_b256_min"], 1),
+                "streaming_fps_b256_max": round(tpu["streaming_fps_b256_max"], 1),
                 "streaming_fps_video_yuv": round(tpu["video_yuv_fps"], 1),
                 "streaming_fps_video_delta": round(tpu["video_delta_fps"], 1),
                 "video_delta_argmax_matches_yuv": tpu["video_delta_match"],
@@ -864,11 +878,14 @@ def main():
         log(f"[detail] could not write BENCH_DETAIL.json ({e})")
     # Compact machine line, printed last: only the scoring keys plus the
     # short per-mode numbers. Prose lives in PERF.md / BENCH_DETAIL.json.
-    compact_keys = [
-        "metric",
-        "value",
-        "unit",
-        "vs_baseline",
+    # required scoring keys first, then optional context keys — if the line
+    # ever nears the 1 KB head-clip limit (the r3 parsed:null failure), the
+    # optional tail is dropped key by key and a valid JSON line still prints
+    # (a bare assert would vanish under -O and crash after all the work)
+    required_keys = ["metric", "value", "unit", "vs_baseline"]
+    optional_keys = [
+        "value_min",
+        "value_max",
         "batch1_p50_frame_ms",
         "device_resident_fps",
         "device_resident_fps_int8",
@@ -878,8 +895,13 @@ def main():
         "streaming_fps_b256",
         "baseline_cpu_fps",
     ]
-    line = json.dumps({k: detail.get(k) for k in compact_keys})
-    assert len(line) < 1000, f"machine line too long ({len(line)} bytes)"
+    keep = list(optional_keys)
+    while True:
+        line = json.dumps({k: detail.get(k) for k in required_keys + keep})
+        if len(line) < 1000 or not keep:
+            break
+        log(f"[machine-line] {len(line)} bytes — dropping {keep[-1]!r}")
+        keep.pop()
     print(line)
 
 

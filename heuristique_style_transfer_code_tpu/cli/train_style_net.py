@@ -125,6 +125,14 @@ def build_parser():
         "--clip_grad_norm", type=float, default=None,
         help="Clip gradients to this global norm before the Adam update",
     )
+    parser.add_argument(
+        "--style_sampling", choices=["balanced", "uniform"],
+        default="balanced",
+        help="Multi-style galleries only: per-batch style draw. 'balanced' "
+        "(default) covers the gallery as evenly as possible every batch "
+        "(shuffled); 'uniform' draws each image's style independently — "
+        "under-trains styles on short fits (r5 pricing)",
+    )
     add_tpu_args(parser)
     return parser
 
@@ -252,6 +260,8 @@ def main(argv=None):
         "layers": args.layers,
         "model_path": os.path.abspath(args.model_path),
         "devices": args.devices,
+        # style draws change the trajectory on multi-style galleries
+        "style_sampling": args.style_sampling if multi else None,
     })
 
     knobs = dict(
@@ -279,7 +289,7 @@ def main(argv=None):
         if multi:
             params, history = train_multi_style(
                 net_params, extract_fn, loader, styles_u8,
-                seed=args.seed, **knobs,
+                seed=args.seed, style_sampling=args.style_sampling, **knobs,
             )
         else:
             params, history = train_fast_style(

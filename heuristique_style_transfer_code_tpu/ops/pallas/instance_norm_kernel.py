@@ -41,6 +41,16 @@ except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
 
+# Per-core VMEM the kernel may claim. The input and output blocks are both
+# whole-image resident and Mosaic double-buffers them across the batch grid,
+# so the working set is ~4x one block (+ small f32 chunk temporaries). 16 MiB
+# is the common per-core floor across TPU generations; exceeding it fails
+# Mosaic compilation with an opaque allocation error, so we pre-check and
+# raise a descriptive ValueError instead (callers fall back to the XLA
+# composition in nn/transformer_net._in_apply).
+VMEM_BUDGET_BYTES = 16 * 2 ** 20
+
+
 def _row_chunk(rows: int, cap: int = 4096) -> int:
     """Largest divisor of ``rows`` not exceeding ``cap`` (static)."""
     best = 1
@@ -50,10 +60,19 @@ def _row_chunk(rows: int, cap: int = 4096) -> int:
     return best
 
 
+# When rows has no divisor near the cap (e.g. prime after an unusual H*W*C),
+# _row_chunk degenerates toward 1 and the fori_loop would run one 128-lane
+# row per iteration — correct but pathologically slow. Below this floor we
+# instead pad the flat view to a chunk-friendly row count and mask the tail
+# out of the statistics (padded output rows are sliced off afterwards).
+_CHUNK_FLOOR = 256
+
+
 def _in_kernel(x_ref, s_ref, b_ref, o_ref, *, hw: int, c: int, g: int,
-               chunk: int, eps: float, relu: bool):
+               chunk: int, eps: float, relu: bool, valid_rows: int):
     rows = x_ref.shape[1]
     nchunks = rows // chunk
+    padded = valid_rows != rows  # static: tail rows are zero padding
 
     # The g-fold group fold/tile between the (1, 128) lane row and the
     # (1, C) channel vector is done with a tiny 0/1 matmul — Mosaic rejects
@@ -86,10 +105,15 @@ def _in_kernel(x_ref, s_ref, b_ref, o_ref, *, hw: int, c: int, g: int,
     mean = total / float(hw)
     mean_t = tile(mean)
 
-    # pass B: two-pass variance (mean of squared deviations)
+    # pass B: two-pass variance (mean of squared deviations). Zero padding
+    # is invisible to pass A's sums but would contribute mean² here, so the
+    # tail rows are masked out of the deviations.
     def body_var(i, acc):
         xv = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
         d = xv - mean_t
+        if padded:
+            r = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
+            d = jnp.where(r < valid_rows, d, 0.0)
         return acc + fold(jnp.sum(d * d, axis=0, keepdims=True))
 
     var = jax.lax.fori_loop(
@@ -142,9 +166,28 @@ def instance_norm_pallas(
     rows = hw * c // 128
     chunk = _row_chunk(rows)
     xf = x.reshape(b, rows, 128)
+    valid_rows = rows
+    if chunk < min(rows, _CHUNK_FLOOR):
+        # divisor-poor row count: pad the flat view to a multiple of a
+        # healthy chunk and mask the tail out of the statistics
+        chunk = min(rows, 2048)
+        padded_rows = -(-rows // chunk) * chunk
+        xf = jnp.pad(xf, ((0, 0), (0, padded_rows - rows), (0, 0)))
+        rows = padded_rows
+    # input + output whole-image blocks, double-buffered across the grid,
+    # plus the f32 chunk temporaries of the three passes
+    need = 4 * rows * 128 * x.dtype.itemsize + 3 * chunk * 128 * 4
+    if need > VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"instance_norm_pallas: per-image working set ~{need / 2**20:.1f}"
+            f" MiB ({h}x{w}x{c} {x.dtype}) exceeds the {VMEM_BUDGET_BYTES // 2**20}"
+            " MiB VMEM budget — the kernel keeps the whole image VMEM-resident;"
+            " use the XLA instance-norm composition (in_backend='xla') for"
+            " crops this large"
+        )
     kernel = functools.partial(
         _in_kernel, hw=hw, c=c, g=g, chunk=chunk, eps=float(eps),
-        relu=bool(relu),
+        relu=bool(relu), valid_rows=valid_rows,
     )
     out = pl.pallas_call(
         kernel,
@@ -169,4 +212,6 @@ def instance_norm_pallas(
         scale.astype(jnp.float32).reshape(b, 1, c),
         bias.astype(jnp.float32).reshape(b, 1, c),
     )
+    if valid_rows != rows:
+        out = out[:, :valid_rows]
     return out.reshape(b, h, w, c)

@@ -825,15 +825,22 @@ class TestNetQuality:
         r = compare_net_to_loop(
             _identity_extract, params, held_u8, style_grams, crop=8,
             iteration_grid=(1, 5, 10, 25), style_weight=1.0,
-            content_weight=0.1, learning_rate=0.05,
+            content_weight=0.1, learning_rates=(0.01, 0.05),
         )
         # structure: per-image arrays align, loop losses decrease with k
         assert r["net_loss_per_image"].shape == (6,)
         means = [r["loop_loss_mean"][k] for k in (1, 5, 10, 25)]
         assert means == sorted(means, reverse=True)
-        # the floor: the net beats >= 10 iterations of the loop
-        assert r["worth_iterations"] >= 10, r
-        assert r["net_loss_mean"] < r["loop_loss_mean"][10]
+        # the denominator is the best-of-sweep loop (r5: pricing against
+        # the serve-default lr alone flattered the net)
+        assert r["learning_rates"] == (0.01, 0.05)
+        assert set(r["loop_best_lr"].values()) <= {0.01, 0.05}
+        # the floor: measured on this fixture the net beats the WHOLE grid
+        # with ~3x headroom at k=25 (net 0.787 vs loop 2.41); assert the
+        # max-grid worth plus a 5% margin under loop@25 so a real quality
+        # regression trips it (was a token >= 10 before r5)
+        assert r["worth_iterations"] == 25, r
+        assert r["net_loss_mean"] <= 0.95 * r["loop_loss_mean"][25], r
 
 
 class TestReviewFixesR4:
@@ -938,10 +945,15 @@ class TestReviewFixesR4:
 class TestConditionalNetQuality:
     def test_conditional_net_worth_floor_per_style(self):
         """The gallery net's quality floor, per style: trained on two
-        distinct pixel-Gram targets, each style's one-hot forward must beat
-        >= 10 iterations of the loop on held-out content (the conditional
-        counterpart of TestNetQuality; on-chip pricing in PERF.md)."""
+        distinct pixel-Gram targets with style-BALANCED batches, each
+        style's one-hot forward must match the deepest measured loop
+        (best-of-lr-sweep denominator) on held-out content with margin —
+        the conditional counterpart of TestNetQuality; on-chip pricing in
+        PERF.md. Width 8: the r4 width-4 fit left the weaker style 1%
+        from the loop@25 line; the conditional IN affines are per-style
+        but the shared convs need the extra capacity (r5 lever sweep)."""
         from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            balanced_style_indices,
             compare_net_to_loop,
             make_multi_style_train_step,
         )
@@ -963,7 +975,7 @@ class TestConditionalNetQuality:
             rng.randint(0, 256, (6, 12, 12, 3), dtype=np.uint8)
         )
         params = transformer_net_init(
-            jax.random.PRNGKey(0), width=4, n_res=1, n_styles=2
+            jax.random.PRNGKey(0), width=8, n_res=1, n_styles=2
         )
         init_opt, step = make_multi_style_train_step(
             _identity_extract, style_weight=1.0, content_weight=0.1,
@@ -971,8 +983,11 @@ class TestConditionalNetQuality:
         )
         opt = init_opt(params)
         for i in range(300):
+            # style-balanced batches (balanced_style_indices): random draws
+            # leave one style under-trained on short fits
             onehot = np.zeros((8, 2), np.float32)
-            onehot[np.arange(8), np.random.RandomState(i).randint(0, 2, 8)] = 1.0
+            idx = balanced_style_indices(8, 2, np.random.RandomState(i))
+            onehot[np.arange(8), idx] = 1.0
             params, opt, _ = step(
                 params, opt, train_u8, jnp.asarray(onehot), stacks
             )
@@ -984,10 +999,14 @@ class TestConditionalNetQuality:
                 _identity_extract, params, held_u8,
                 [stacks[0][s:s + 1]], crop=8,
                 iteration_grid=(1, 5, 10, 25), style_weight=1.0,
-                content_weight=0.1, learning_rate=0.05,
+                content_weight=0.1, learning_rates=(0.01, 0.05),
                 style_weights=jnp.asarray(onehot),
             )
-            assert r["worth_iterations"] >= 10, (s, r)
+            # measured on this fixture (width 8, balanced draws): style 0
+            # net 0.677 vs loop@25 2.41, style 1 net 0.629 vs 0.770 — the
+            # slim one sets the 10% margin. Was a token >= 10 before r5.
+            assert r["worth_iterations"] == 25, (s, r)
+            assert r["net_loss_mean"] <= 0.90 * r["loop_loss_mean"][25], (s, r)
 
 
 def test_net_service_aot_export_round_trip(tiny_imagefolder, f2_encoder,

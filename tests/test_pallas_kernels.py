@@ -109,3 +109,45 @@ class TestInstanceNormKernel:
         with pytest.raises(ValueError, match="dividing 128"):
             instance_norm_pallas(x, jnp.ones((1, 48)), jnp.zeros((1, 48)),
                                  interpret=True)
+
+    def test_prime_row_count_uses_pad_mask_path(self):
+        """H*W*C/128 prime (no divisor near the chunk cap): the kernel pads
+        the flat view and masks the tail out of the statistics instead of
+        degenerating to one 128-lane row per fori_loop iteration."""
+        from heuristique_style_transfer_code_tpu.ops.pallas import (
+            instance_norm_kernel as ink,
+        )
+
+        rng = np.random.RandomState(5)
+        # (1, 4, 149, 32): rows = 4*149*32/128 = 149 (prime, below the
+        # chunk floor — stays on the unpadded path; sanity anchor)
+        x = jnp.asarray(rng.randn(1, 4, 149, 32).astype(np.float32) + 0.3)
+        # a genuinely divisor-poor case past the cap: rows = 4099 (prime,
+        # > 4096) — the only divisor <= cap is 1
+        x2 = jnp.asarray(
+            rng.randn(1, 4, 4099, 32).astype(np.float32) * 1.5 - 0.2
+        )
+        rows2 = 4 * 4099 * 32 // 128
+        assert ink._row_chunk(rows2) == 1  # would be pathological unpadded
+        for xi in (x, x2):
+            b, c = xi.shape[0], xi.shape[-1]
+            scale = jnp.asarray(rng.randn(b, c).astype(np.float32))
+            bias = jnp.asarray(rng.randn(b, c).astype(np.float32))
+            want = np.asarray(self._ref(xi, scale, bias, relu=True))
+            got = np.asarray(
+                ink.instance_norm_pallas(xi, scale, bias, relu=True,
+                                         interpret=True)
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_vmem_budget_rejected_with_clear_error(self):
+        """Whole-image residency past the VMEM budget raises a descriptive
+        ValueError instead of an opaque Mosaic compile failure."""
+        from heuristique_style_transfer_code_tpu.ops.pallas.instance_norm_kernel import (
+            instance_norm_pallas,
+        )
+
+        x = jnp.zeros((1, 512, 512, 128), jnp.float32)  # ~134 MB image
+        with pytest.raises(ValueError, match="VMEM budget"):
+            instance_norm_pallas(x, jnp.ones((1, 128)), jnp.zeros((1, 128)),
+                                 interpret=True)

@@ -53,10 +53,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--held", type=int, default=16)
     ap.add_argument("--grid", type=str, default="100,300,500")
-    ap.add_argument("--loop_lr", type=float, default=0.01,
-                    help="Adam lr for the iterative loop being priced "
-                    "against (the serve default is 0.01; probe other "
-                    "values for sensitivity)")
+    ap.add_argument("--loop_lrs", type=str, default="0.01,0.05",
+                    help="comma list of Adam lrs for the iterative loop "
+                    "being priced against; the denominator at each k is "
+                    "the STRONGEST loop in the sweep (serve default 0.01 "
+                    "+ the r4 sensitivity winner 0.05)")
     ap.add_argument("--styles", type=int, default=1,
                     help=">1 trains ONE conditional net on that many "
                     "synthetic styles (conditional instance norm) and "
@@ -103,6 +104,9 @@ def main():
         min(int(k), 25) if args.cpu else int(k)
         for k in args.grid.split(",")
     ))
+    loop_lrs = tuple(
+        dict.fromkeys(float(lr) for lr in args.loop_lrs.split(","))
+    )
 
     # ONE f32 extract_fn for training, the loop and the scoring: the
     # comparison is only meaningful when every side shares the objective
@@ -141,10 +145,14 @@ def main():
         # 1,500 steps only (axon compile latency is wildly run-variable and
         # would otherwise dominate the number — CLAUDE.md)
         t0 = time.perf_counter()
+        from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+            balanced_style_indices,
+        )
+
         for i in range(steps):
             batch = train_u8[rng.randint(0, len(train_u8), size=b)]
             onehot = np.zeros((b, n_styles), np.float32)
-            onehot[np.arange(b), rng.randint(0, n_styles, size=b)] = 1.0
+            onehot[np.arange(b), balanced_style_indices(b, n_styles, rng)] = 1.0
             net, opt, loss = step(
                 net, opt, jnp.asarray(batch), jnp.asarray(onehot),
                 gram_stacks,
@@ -162,7 +170,7 @@ def main():
             r = compare_net_to_loop(
                 extract_fn, net, held_u8, style_grams_s, crop=crop,
                 iteration_grid=grid, style_weight=1.0, content_weight=1.0,
-                learning_rate=args.loop_lr, style_weights=jnp.asarray(onehot),
+                learning_rates=loop_lrs, style_weights=jnp.asarray(onehot),
             )
             per_style[f"style_{s}"] = {
                 "worth_iterations": r["worth_iterations"],
@@ -170,6 +178,9 @@ def main():
                 "loop_loss_mean": {
                     str(k): round(v, 6)
                     for k, v in r["loop_loss_mean"].items()
+                },
+                "loop_best_lr": {
+                    str(k): v for k, v in r["loop_best_lr"].items()
                 },
             }
         out = {
@@ -185,7 +196,7 @@ def main():
             "eval_seconds": round(time.perf_counter() - t1, 1),
             "held_out_images": int(args.held),
             "crop": crop,
-            "loop_lr": args.loop_lr,
+            "loop_lrs": list(loop_lrs),
         }
         print(json.dumps(out))
         return
@@ -212,7 +223,7 @@ def main():
     r = compare_net_to_loop(
         extract_fn, net, held_u8, style_grams, crop=crop,
         iteration_grid=grid, style_weight=1.0, content_weight=1.0,
-        learning_rate=args.loop_lr,
+        learning_rates=loop_lrs,
     )
     out = {
         "metric": "fast_style_worth_iterations",
@@ -221,13 +232,18 @@ def main():
         "loop_loss_mean": {
             str(k): round(v, 6) for k, v in r["loop_loss_mean"].items()
         },
+        "loop_loss_mean_by_lr": {
+            str(lr): {str(k): round(v, 6) for k, v in d.items()}
+            for lr, d in r["loop_loss_mean_by_lr"].items()
+        },
+        "loop_best_lr": {str(k): v for k, v in r["loop_best_lr"].items()},
         "grid": list(grid),
         "train_steps": steps,
         "train_seconds": round(train_s, 1),
         "eval_seconds": round(time.perf_counter() - t1, 1),
         "held_out_images": int(args.held),
         "crop": crop,
-        "loop_lr": args.loop_lr,
+        "loop_lrs": list(loop_lrs),
     }
     print(json.dumps(out))
 
