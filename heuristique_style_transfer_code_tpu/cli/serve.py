@@ -93,6 +93,15 @@ def build_parser():
     parser.add_argument("--no_warmup", action="store_true",
                         help="Skip the warm dispatch before binding the port "
                         "(first requests then pay the jit compile)")
+    parser.add_argument(
+        "--recycle_after_requests", type=int, default=0,
+        help="Run the batcher in a spawned worker process and respawn it "
+        "after this many requests (drain first — zero request failures "
+        "across the handover; respawns warm-start from the persistent "
+        "compile cache). Bounds host RSS behind the leaking axon relay "
+        "(~4.6 MB per device_put, tasks/recycling.py); unnecessary on "
+        "directly-attached TPUs",
+    )
     add_tpu_args(parser, precisions=("float32", "bf16", "int8"))
     return parser
 
@@ -266,11 +275,12 @@ def export_artifact(args) -> None:
           f"{len(blob) / 1e6:.1f} MB)")
 
 
-def start(args):
-    """Build the batcher + HTTP server and start both (returns (srv, batcher);
-    used by main() and callable programmatically/from tests)."""
+def _build_batcher(args):
+    """Build, start and (unless --no_warmup) warm the batcher: everything
+    device-side, shared by ``start`` (in-process serving) and
+    ``_recycle_worker`` (the spawned worker of --recycle_after_requests).
+    Returns (batcher, class_names, batch_size, served_desc)."""
     from ..tasks.serving import BatchingInferenceServer
-    from ..tasks.serving_http import make_http_server
 
     if args.artifact:
         from ..deploy import load_infer_artifact
@@ -347,6 +357,79 @@ def start(args):
         warm[::2, ::2] = 128  # non-constant: compressible-transport-proof
         batcher.submit(warm).result()
         print(f"Warmup done in {time.time() - t0:.1f}s")
+    served = (
+        f"artifact {args.artifact} [{art.meta.get('family', 'unknown')}]"
+        if args.artifact else args.family
+    )
+    return batcher, class_names, batch_size, served
+
+
+def _recycle_worker(argv):
+    """Builder run INSIDE the recycling worker child (tasks/recycling.py):
+    reconstructs the exact configured batcher from the serve argv."""
+    args = build_parser().parse_args(argv)
+    apply_debug_flags(args)
+    batcher, class_names, batch_size, served = _build_batcher(args)
+    info = {
+        "crop": batcher.crop,
+        "transport": batcher.transport,
+        "class_names": class_names,
+        "batch_size": batch_size,
+        "served": served,
+        "count_key": "images",
+    }
+    return batcher, info
+
+
+def _recycle_preprocess(info):
+    """Parent-side submit preprocessing for the recycling proxy: the same
+    validation + host downscale ``BatchingInferenceServer.submit`` runs, in
+    the HTTP request thread (bad frames still 400 synchronously, and the
+    downscale cost spreads over client threads)."""
+    crop = int(info["crop"])
+
+    def prep(frame):
+        from ..tasks.serving import prepare_frame
+
+        return (prepare_frame(frame, crop),), {}
+
+    return prep
+
+
+def start_recycling(args, argv):
+    """--recycle_after_requests flow: the batcher lives in a spawned worker
+    process (respawned after N requests, drained first); this parent keeps
+    only the HTTP server and never touches the accelerator. Returns
+    (srv, proxy) with the same surface as ``start``."""
+    from ..tasks.recycling import RecyclingServiceProxy, strip_flag
+    from ..tasks.serving_http import make_http_server
+
+    proxy = RecyclingServiceProxy(
+        "heuristique_style_transfer_code_tpu.cli.serve:_recycle_worker",
+        strip_flag(list(argv), "--recycle_after_requests"),
+        recycle_after=args.recycle_after_requests,
+        preprocess_factory=_recycle_preprocess,
+    ).start()
+    srv = make_http_server(
+        proxy, proxy.info["class_names"], args.host, args.port,
+        timeout_s=args.request_timeout,
+    )
+    import threading
+
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    print(f"Serving {proxy.info['served']} on http://{host}:{port} "
+          f"(batch {proxy.info['batch_size']}, deadline {args.max_delay_ms} "
+          f"ms, worker recycled every {args.recycle_after_requests} requests)")
+    return srv, proxy
+
+
+def start(args):
+    """Build the batcher + HTTP server and start both (returns (srv, batcher);
+    used by main() and callable programmatically/from tests)."""
+    from ..tasks.serving_http import make_http_server
+
+    batcher, class_names, batch_size, served = _build_batcher(args)
     srv = make_http_server(
         batcher, class_names, args.host, args.port,
         timeout_s=args.request_timeout,
@@ -355,17 +438,16 @@ def start(args):
 
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     host, port = srv.server_address
-    served = (
-        f"artifact {args.artifact} [{art.meta.get('family', 'unknown')}]"
-        if args.artifact else args.family
-    )
     print(f"Serving {served} on http://{host}:{port} "
           f"(batch {batch_size}, deadline {args.max_delay_ms} ms)")
     return srv, batcher
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    import sys
+
+    raw_argv = list(sys.argv[1:] if argv is None else argv)
+    args = build_parser().parse_args(raw_argv)
     apply_debug_flags(args)
     if args.export_artifact:
         if args.artifact:
@@ -390,7 +472,10 @@ def main(argv=None):
         signal.signal(signal.SIGTERM, _on_sigterm)
     except ValueError:
         pass  # not the main thread (programmatic use)
-    srv, batcher = start(args)
+    if args.recycle_after_requests:
+        srv, batcher = start_recycling(args, raw_argv)
+    else:
+        srv, batcher = start(args)
     try:
         t0 = time.time()
         while args.max_seconds is None or time.time() - t0 < args.max_seconds:

@@ -45,6 +45,29 @@ import numpy as np
 from .camera import downscale_frame, make_camera_infer_fn
 
 
+def prepare_frame(frame: np.ndarray, crop: int) -> np.ndarray:
+    """Validate one RGB uint8 frame and host-downscale it to (crop, crop, 3)
+    with the canonical 256:224 staged geometry — the submit-side
+    preprocessing, run in the CALLER's thread. Shared by ``submit`` and the
+    recycling proxy (tasks/recycling.py), so parent-side validation raises
+    the exact errors the in-process service would."""
+    frame = np.asarray(frame)
+    # Validate HERE, in the caller's thread: a malformed frame must fail
+    # the one client that sent it, never reach np.stack in the dispatcher
+    # (where a shape mismatch would fail everyone sharing the batch).
+    if frame.ndim != 3 or frame.shape[2] != 3 or 0 in frame.shape[:2]:
+        raise ValueError(
+            f"frame must be (H, W, 3) RGB with H, W > 0, got shape {frame.shape}"
+        )
+    if frame.dtype != np.uint8:
+        raise ValueError(f"frame must be uint8, got dtype {frame.dtype}")
+    if frame.shape[:2] != (crop, crop):
+        # keep the canonical resize:crop ratio (256:224) for any crop
+        shorter = max(crop, round(crop * 256 / 224))
+        frame = downscale_frame(frame, crop=crop, shorter=shorter)
+    return frame
+
+
 class BatchingInferenceServer:
     """Dynamic-batching inference server over a jitted batch forward.
 
@@ -160,20 +183,7 @@ class BatchingInferenceServer:
         spread the preprocessing cost (and the native/cv2 work is GIL-free)."""
         if self._stop.is_set():
             raise RuntimeError("server is stopped")
-        frame = np.asarray(frame)
-        # Validate HERE, in the caller's thread: a malformed frame must fail
-        # the one client that sent it, never reach np.stack in the dispatcher
-        # (where a shape mismatch would fail everyone sharing the batch).
-        if frame.ndim != 3 or frame.shape[2] != 3 or 0 in frame.shape[:2]:
-            raise ValueError(
-                f"frame must be (H, W, 3) RGB with H, W > 0, got shape {frame.shape}"
-            )
-        if frame.dtype != np.uint8:
-            raise ValueError(f"frame must be uint8, got dtype {frame.dtype}")
-        if frame.shape[:2] != (self.crop, self.crop):
-            # keep the canonical resize:crop ratio (256:224) for any crop
-            shorter = max(self.crop, round(self.crop * 256 / 224))
-            frame = downscale_frame(frame, crop=self.crop, shorter=shorter)
+        frame = prepare_frame(frame, self.crop)
         if self.transport == "yuv420":
             from .camera import rgb_to_yuv420
 

@@ -58,6 +58,36 @@ class StyleJobResult:
     iterations: int
 
 
+def style_weights(style, names: List[str]) -> np.ndarray:
+    """(K,) f32 blend weights from a gallery name, a {name: weight} mapping
+    (normalised to sum 1 — a convex Gram interpolation), or None (the first
+    style). Module-level so the recycling proxy (tasks/recycling.py) can
+    validate style picks parent-side with the exact same errors."""
+    if style is None:
+        style = names[0]
+    if isinstance(style, str):
+        if style not in names:
+            raise ValueError(
+                f"unknown style {style!r}; gallery: {names}"
+            )
+        w = np.zeros((len(names),), np.float32)
+        w[names.index(style)] = 1.0
+        return w
+    unknown = [n for n in style if n not in names]
+    if unknown:
+        raise ValueError(f"unknown styles {unknown}; gallery: {names}")
+    w = np.zeros((len(names),), np.float32)
+    for n, v in style.items():
+        v = float(v)
+        if not np.isfinite(v) or v < 0:
+            raise ValueError(f"style weight for {n!r} must be >= 0, got {v}")
+        w[names.index(n)] = v
+    total = float(w.sum())
+    if total <= 0:
+        raise ValueError("style weights must sum to > 0")
+    return w / total
+
+
 def _to_canvas(image: np.ndarray, crop: int) -> np.ndarray:
     """Validate an RGB uint8 image and downscale it to the (crop, crop)
     canvas with the canonical 256:224 staged geometry."""
@@ -407,33 +437,7 @@ class StyleTransferService:
             self._jobs_by_size[b].lower(img_s, w_s, ids_s).compile()
 
     def _style_weights(self, style) -> np.ndarray:
-        """(K,) f32 blend weights from a gallery name, a {name: weight}
-        mapping (normalised to sum 1 — a convex Gram interpolation), or
-        None (the first style)."""
-        names = self.style_names
-        if style is None:
-            style = names[0]
-        if isinstance(style, str):
-            if style not in names:
-                raise ValueError(
-                    f"unknown style {style!r}; gallery: {names}"
-                )
-            w = np.zeros((len(names),), np.float32)
-            w[names.index(style)] = 1.0
-            return w
-        unknown = [n for n in style if n not in names]
-        if unknown:
-            raise ValueError(f"unknown styles {unknown}; gallery: {names}")
-        w = np.zeros((len(names),), np.float32)
-        for n, v in style.items():
-            v = float(v)
-            if not np.isfinite(v) or v < 0:
-                raise ValueError(f"style weight for {n!r} must be >= 0, got {v}")
-            w[names.index(n)] = v
-        total = float(w.sum())
-        if total <= 0:
-            raise ValueError("style weights must sum to > 0")
-        return w / total
+        return style_weights(style, self.style_names)
 
     def submit(self, image: np.ndarray, style=None) -> Future:
         """Submit one RGB uint8 image; returns a Future resolving to a

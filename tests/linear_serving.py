@@ -35,3 +35,48 @@ def rgb_batch(n, seed=0):
     return np.random.RandomState(seed).randint(
         0, 256, (n, CROP, CROP, 3), dtype=np.uint8
     )
+
+
+def recycling_builder(argv):
+    """In-child builder for the RecyclingServiceProxy tests: the tiny linear
+    batcher, constructed inside the spawned worker (tasks/recycling.py).
+    argv: optional [max_delay_ms]."""
+    from heuristique_style_transfer_code_tpu.tasks.serving import (
+        BatchingInferenceServer,
+    )
+
+    delay = float(argv[0]) if argv else 5.0
+    batcher = BatchingInferenceServer(
+        linear_forward, linear_variables(), batch_size=4,
+        max_delay_ms=delay, crop=CROP,
+    ).start()
+    return batcher, {"crop": CROP, "count_key": "images",
+                     "class_names": ["a", "b", "c", "d"]}
+
+
+def style_recycling_builder(argv):
+    """In-child builder for the style flavour of the recycling tests: a
+    StyleTransferService over an identity job_fn (no encoder — cheap to
+    compile in every respawned worker)."""
+    import jax.numpy as jnp
+
+    from heuristique_style_transfer_code_tpu.tasks.style_service import (
+        StyleTransferService,
+    )
+
+    def identity_job(images_u8, style_w, job_ids):
+        del style_w, job_ids
+        return (
+            images_u8,
+            jnp.int32(1),
+            jnp.zeros((images_u8.shape[0],), jnp.float32),
+        )
+
+    service = StyleTransferService(
+        job_fn=identity_job, style_names=["mono", "duo"], crop=CROP,
+        batch_size=2, max_delay_ms=5.0, num_iterations=1,
+    ).start()
+    return service, {
+        "crop": CROP, "style_names": ["mono", "duo"], "count_key": "jobs",
+        "batch_sizes": [2], "num_iterations": 1, "transport": "rgb",
+    }

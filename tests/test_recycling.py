@@ -1,0 +1,204 @@
+"""Worker-process recycling (tasks/recycling.py): the drain->respawn
+handover loses no requests, results are identical across workers, crashes
+are replayed, and the serve CLIs' --recycle_after_requests wires it up.
+
+Each RecyclingServiceProxy test spawns real worker processes (fresh
+interpreter + jax import each), so the suite keeps worker counts small.
+"""
+import http.client
+import json
+
+import numpy as np
+import pytest
+
+from heuristique_style_transfer_code_tpu.tasks.recycling import (
+    RecyclingServiceProxy,
+    strip_flag,
+)
+from tests.linear_serving import CROP, rgb_frames
+
+LINEAR_BUILDER = "tests.linear_serving:recycling_builder"
+STYLE_BUILDER = "tests.linear_serving:style_recycling_builder"
+
+
+@pytest.fixture(scope="module")
+def f1_checkpoint(tmp_path_factory):
+    """Tiny family-1 checkpoint + config (same shape as test_serve_cli's)."""
+    import jax
+
+    from heuristique_style_transfer_code_tpu.checkpoint.io import save_pytree_npz
+    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+        classifier_init,
+        truncated_moco_init,
+    )
+
+    d = tmp_path_factory.mktemp("recycle_serve")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tree = {
+        "moco": truncated_moco_init(k1, 5, dim=16),
+        "classifier": classifier_init(k2, 16, 4),
+    }
+    ckpt = str(d / "model.npz")
+    save_pytree_npz(tree, ckpt)
+    cfg = str(d / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                   "seed": 0, "dim": 16}, f)
+    return cfg, ckpt
+
+
+def test_strip_flag():
+    assert strip_flag(["--a", "1", "--recycle_after_requests", "5", "--b"],
+                      "--recycle_after_requests") == ["--a", "1", "--b"]
+    assert strip_flag(["--recycle_after_requests=5", "--b"],
+                      "--recycle_after_requests") == ["--b"]
+
+
+class TestProxy:
+    def test_recycles_with_zero_failures_and_identical_results(self):
+        """8 requests through recycle_after=3: every Future resolves (the
+        handover queues, never fails), >=2 recycles happen, and a frame
+        resubmitted to a LATER worker gets the bit-identical probability
+        vector (same program, same weights, fresh process)."""
+        proxy = RecyclingServiceProxy(
+            LINEAR_BUILDER, [], recycle_after=3
+        ).start()
+        try:
+            frames = rgb_frames(8, seed=3)
+            futs = [proxy.submit(f) for f in frames]
+            results = [f.result(timeout=300) for f in futs]
+            for probs in results:
+                np.testing.assert_allclose(np.sum(probs), 1.0, rtol=1e-5)
+            stats = proxy.stats()
+            assert stats["recycles"] >= 2, stats
+            assert stats["worker_crashes"] == 0
+            assert stats["images"] == 8
+            assert stats["pending"] == 0
+            assert proxy.healthy()
+            # determinism across workers
+            again = proxy.submit(frames[0]).result(timeout=300)
+            np.testing.assert_array_equal(again, results[0])
+        finally:
+            proxy.stop(drain=True)
+        with pytest.raises(RuntimeError, match="stopped"):
+            proxy.submit(frames[0])
+
+    def test_child_submit_error_propagates_to_future(self):
+        """Without a parent-side preprocess, the worker's own submit
+        validation comes back as the Future's exception (an application
+        RESULT — never retried, never a crash)."""
+        proxy = RecyclingServiceProxy(LINEAR_BUILDER, []).start()
+        try:
+            bad = proxy.submit(np.zeros((CROP, CROP, 3), np.float32))
+            with pytest.raises(ValueError, match="uint8"):
+                bad.result(timeout=300)
+            good = proxy.submit(rgb_frames(1)[0]).result(timeout=300)
+            np.testing.assert_allclose(np.sum(good), 1.0, rtol=1e-5)
+            stats = proxy.stats()
+            assert stats["worker_crashes"] == 0
+        finally:
+            proxy.stop(drain=True)
+
+    def test_crash_replay(self):
+        """Requests in flight when the worker process DIES are replayed on
+        the respawned worker: the client Futures still resolve."""
+        # a long flush deadline holds the batch open so the kill lands
+        # while the requests are still in the worker
+        proxy = RecyclingServiceProxy(LINEAR_BUILDER, ["3000"]).start()
+        try:
+            frames = rgb_frames(2, seed=7)
+            futs = [proxy.submit(f) for f in frames]
+            proxy._proc.kill()  # simulate an OOM-killed / crashed worker
+            results = [f.result(timeout=300) for f in futs]
+            for probs in results:
+                np.testing.assert_allclose(np.sum(probs), 1.0, rtol=1e-5)
+            stats = proxy.stats()
+            assert stats["worker_crashes"] == 1
+            assert stats["pending"] == 0
+        finally:
+            proxy.stop(drain=True)
+
+    def test_style_flavour_stats_and_parent_side_validation(self):
+        """The style service behind the proxy: jobs-keyed stats stay
+        complete from request zero, the serve_style preprocess validates
+        style picks parent-side (synchronous ValueError), and the identity
+        job round-trips pixels bit-exactly across a recycle."""
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            _recycle_preprocess,
+        )
+
+        proxy = RecyclingServiceProxy(
+            STYLE_BUILDER, [], recycle_after=2,
+            preprocess_factory=_recycle_preprocess,
+        ).start()
+        try:
+            # stats carry every /metrics key before any batch ran
+            s0 = proxy.stats()
+            for key in ("jobs", "batches", "mean_batch_occupancy",
+                        "mean_iterations", "jobs_per_sec", "batch_size_hist",
+                        "latency_p50_ms", "latency_p95_ms"):
+                assert key in s0, key
+            with pytest.raises(ValueError, match="unknown style"):
+                proxy.submit(rgb_frames(1)[0], style="nope")
+            frames = rgb_frames(5, seed=11)
+            futs = [proxy.submit(f, style="duo") for f in frames]
+            for f, frame in zip(futs, frames):
+                res = f.result(timeout=300)
+                np.testing.assert_array_equal(res.image, frame)
+                assert res.iterations == 1
+            stats = proxy.stats()
+            assert stats["recycles"] >= 1, stats
+            assert stats["jobs"] == 5
+        finally:
+            proxy.stop(drain=True)
+
+
+class TestServeCliRecycling:
+    def test_round_trip_with_recycles(self, f1_checkpoint):
+        """The serve CLI's --recycle_after_requests end to end: HTTP
+        predictions keep answering 200 across worker respawns, /stats shows
+        the recycles, /healthz stays ok."""
+        from heuristique_style_transfer_code_tpu.cli.serve import (
+            build_parser,
+            start_recycling,
+        )
+
+        cfg, ckpt = f1_checkpoint
+        argv = [
+            "--family", "truncated_resnet50", "--config_path", cfg,
+            "--model_path", ckpt, "--port", "0", "--batch_size", "2",
+            "--max_delay_ms", "5", "--request_timeout", "600",
+            "--recycle_after_requests", "3",
+        ]
+        args = build_parser().parse_args(argv)
+        srv, proxy = start_recycling(args, argv)
+        try:
+            host, port = srv.server_address
+            frame = np.random.RandomState(2).randint(
+                0, 256, (224, 224, 3), dtype=np.uint8
+            )
+            outs = []
+            for _ in range(7):
+                conn = http.client.HTTPConnection(host, port, timeout=600)
+                conn.request(
+                    "POST", "/predict", body=frame.tobytes(),
+                    headers={"X-Raw-Shape": "224,224,3"},
+                )
+                r = conn.getresponse()
+                assert r.status == 200
+                outs.append(json.loads(r.read()))
+                conn.close()
+            # identical frame -> identical answer from every worker
+            for out in outs[1:]:
+                assert out["probs"] == outs[0]["probs"]
+            conn = http.client.HTTPConnection(host, port, timeout=60)
+            conn.request("GET", "/stats")
+            stats = json.loads(conn.getresponse().read())
+            assert stats["recycles"] >= 2, stats
+            assert stats["images"] == 7
+            conn.request("GET", "/healthz")
+            assert conn.getresponse().status == 200
+            conn.close()
+        finally:
+            srv.shutdown()
+            proxy.stop(drain=True)
