@@ -129,19 +129,62 @@ def make_style_transfer_optimizer(
     return jax.jit(run)
 
 
+def _quantize_conv_kernels(enc: dict) -> dict:
+    """Symmetric per-output-channel int8 quantization of every 4-D conv
+    kernel in an encoder tree (``nn/resnet_int8._quantize_kernel``'s
+    scheme); BN/bias/1-D leaves untouched. Each kernel leaf becomes a
+    ``{"int8": int8 HWIO, "scale": f32 (O,)}`` marker dict that
+    ``_dequantize_conv_kernels`` reverses inside a traced program."""
+    from ..nn.resnet_int8 import _quantize_kernel
+
+    def q(leaf):
+        arr = np.asarray(leaf)
+        if arr.ndim == 4:
+            qk, s = _quantize_kernel(arr.astype(np.float32))
+            return {"int8": jnp.asarray(qk), "scale": jnp.asarray(s)}
+        return leaf
+
+    return jax.tree_util.tree_map(q, enc)
+
+
+def _dequantize_conv_kernels(enc_q: dict, dtype) -> dict:
+    """Traced inverse of ``_quantize_conv_kernels``: int8 * scale -> dtype.
+    Weights enter the loop as 1-byte tensors; whether that halves the
+    per-iteration weight HBM traffic depends on XLA keeping the dequantise
+    fused (it is loop-invariant, so LICM may hoist and materialise the
+    dequantised copy once) — measured on-chip either way, PERF.md."""
+    is_marker = lambda l: isinstance(l, dict) and "int8" in l  # noqa: E731
+
+    def deq(leaf):
+        if is_marker(leaf):
+            k = leaf["int8"].astype(jnp.float32) * leaf["scale"]
+            return k.astype(dtype) if dtype is not None else k
+        return leaf
+
+    return jax.tree_util.tree_map(deq, enc_q, is_leaf=is_marker)
+
+
 def make_feature_fn_gram_attention(
     variables: dict,
     truncate_layer: int = 8,
     layers: Optional[int] = None,
     compute_dtype=None,
     remat: bool = False,
+    weights_int8: bool = False,
 ) -> Callable:
     """Family-2 truncated-encoder feature program: ``images (B,H,W,3) ->
     feats (B,h,w,C)``. The Gram builder below and the content+style loss
     both ride on it (one encoder pass serves both terms). ``remat``
     checkpoints each bottleneck — inside the style while_loop that shrinks
     the per-iteration activation footprint, raising the single-chip canvas
-    ceiling (the differentiable counterpart of the train CLIs' --remat)."""
+    ceiling (the differentiable counterpart of the train CLIs' --remat).
+
+    ``weights_int8``: store the conv kernels as per-channel int8 + scale
+    and dequantise at use — the loop optimises PIXELS only, so dequantised
+    convs pass the pixel gradients exactly and no weight gradient exists to
+    quantise. An HBM-traffic lever for the weight re-reads every
+    iteration; approximate (int8 weight rounding shifts the encoder
+    features ~1e-3 relative)."""
     from ..nn.resnet import resnet50_apply
 
     truncate = min(
@@ -152,12 +195,17 @@ def make_feature_fn_gram_attention(
         from ..core.dtypes import Policy
 
         enc = Policy(compute_dtype=compute_dtype).cast_to_compute(enc)
+    enc_q = _quantize_conv_kernels(enc) if weights_int8 else None
 
     def feature_fn(images):
         if compute_dtype is not None:
             images = images.astype(compute_dtype)
+        use = (
+            _dequantize_conv_kernels(enc_q, compute_dtype)
+            if weights_int8 else enc
+        )
         feats, _, _ = resnet50_apply(
-            enc, images, truncate=truncate, remat=remat
+            use, images, truncate=truncate, remat=remat
         )
         return feats
 
@@ -171,6 +219,7 @@ def make_extract_fn_gram_attention(
     compute_dtype=None,
     style_layers: str = "last",
     remat: bool = False,
+    weights_int8: bool = False,
 ) -> Callable:
     """Content+style extraction program: ``images (B,H,W,3) -> (feats,
     [style Grams])``, one encoder pass.
@@ -198,12 +247,17 @@ def make_extract_fn_gram_attention(
         from ..core.dtypes import Policy
 
         enc = Policy(compute_dtype=compute_dtype).cast_to_compute(enc)
+    enc_q = _quantize_conv_kernels(enc) if weights_int8 else None
 
     def extract_fn(images):
         if compute_dtype is not None:
             images = images.astype(compute_dtype)
+        use = (
+            _dequantize_conv_kernels(enc_q, compute_dtype)
+            if weights_int8 else enc
+        )
         feats, grams, _ = resnet50_apply(
-            enc, images, truncate=truncate,
+            use, images, truncate=truncate,
             collect_grams=(style_layers == "all"), remat=remat,
         )
         if style_layers != "all" or not grams:
@@ -219,6 +273,7 @@ def make_gram_fn_gram_attention(
     layers: Optional[int] = None,
     compute_dtype=None,
     remat: bool = False,
+    weights_int8: bool = False,
 ) -> Callable:
     """Family-2 per-image target-Gram program (shared by the batch task
     below and the style service, tasks/style_service.py): truncated encoder
@@ -228,7 +283,7 @@ def make_gram_fn_gram_attention(
 
     feature_fn = make_feature_fn_gram_attention(
         variables, truncate_layer, layers=layers,
-        compute_dtype=compute_dtype, remat=remat,
+        compute_dtype=compute_dtype, remat=remat, weights_int8=weights_int8,
     )
 
     def gram_fn(images):

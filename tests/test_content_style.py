@@ -458,3 +458,88 @@ class TestTaskAndCLI:
         for root, _, files in os.walk(out):
             found += [f for f in files if f.startswith("content_style_")]
         assert len(found) == 2
+
+
+class TestWeightsInt8Loop:
+    """weights_int8 on the style encoders (VERDICT r4 #7): conv kernels
+    stored int8+scale, dequantised at use. The loop optimises pixels only,
+    so the dequantised convs pass exact pixel gradients; the features (and
+    hence targets) shift by the weight-rounding error, which is why the
+    quantised loop always runs against its OWN targets."""
+
+    def _vars(self):
+        from heuristique_style_transfer_code_tpu.models.gram_attention import (
+            gram_attention_init,
+        )
+
+        return gram_attention_init(jax.random.PRNGKey(0), 5, 4, 4)
+
+    def test_grams_close_to_f32(self):
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            make_gram_fn_gram_attention,
+        )
+
+        variables = self._vars()
+        images = jax.random.uniform(
+            jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32
+        )
+        g_f32 = make_gram_fn_gram_attention(variables, 5, layers=5)(images)[0]
+        g_q = make_gram_fn_gram_attention(
+            variables, 5, layers=5, weights_int8=True
+        )(images)[0]
+        rel = float(
+            jnp.linalg.norm(g_q - g_f32) / jnp.linalg.norm(g_f32)
+        )
+        assert rel < 0.1, rel  # per-channel int8 rounding only
+        assert rel > 0.0  # actually quantised, not a passthrough
+
+    def test_loop_converges_with_quantised_weights(self):
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            make_gram_fn_gram_attention,
+        )
+
+        variables = self._vars()
+        gf_q = make_gram_fn_gram_attention(
+            variables, 5, layers=5, weights_int8=True
+        )
+        images = jax.random.uniform(
+            jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32
+        )
+        noise = jax.random.normal(jax.random.PRNGKey(2), images.shape)
+        targets = gf_q(images)
+
+        def loss_at(n):
+            per = [
+                jnp.mean(jnp.square(g - t), axis=(1, 2))
+                for g, t in zip(gf_q(n), targets)
+            ]
+            return np.asarray(sum(per))
+
+        l0 = loss_at(noise)
+        opt = make_style_transfer_optimizer(gf_q, 0.05, 8, 0.0)
+        canvas, iters, per = opt(noise, targets)
+        assert int(iters) == 8
+        assert np.all(np.isfinite(np.asarray(canvas)))
+        assert np.all(np.asarray(per) < l0), (np.asarray(per), l0)
+        # pixel gradients flow through the dequantised convs
+        assert float(jnp.abs(canvas - noise).max()) > 0
+
+    def test_content_style_extract_quantised(self):
+        from heuristique_style_transfer_code_tpu.tasks.style_transfer import (
+            make_extract_fn_gram_attention,
+        )
+
+        variables = self._vars()
+        ef_q = make_extract_fn_gram_attention(
+            variables, 5, layers=5, style_layers="all", weights_int8=True
+        )
+        images = jax.random.uniform(
+            jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32
+        )
+        noise = jax.random.normal(jax.random.PRNGKey(2), images.shape)
+        feats, grams = ef_q(images)
+        opt = make_content_style_optimizer(ef_q, 1.0, 0.5, 0.05, 5, 0.0)
+        canvas, iters, per = opt(noise, grams, feats)
+        assert int(iters) == 5
+        assert np.all(np.isfinite(np.asarray(canvas)))
+        assert np.all(np.isfinite(np.asarray(per)))
