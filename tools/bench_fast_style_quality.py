@@ -63,6 +63,9 @@ def main():
                     "synthetic styles (conditional instance norm) and "
                     "prices it per style — the gallery-serving quality "
                     "axis")
+    ap.add_argument("--width", type=int, default=32,
+                    help="Net base width (capacity axis of the quality "
+                    "frontier; serve-default 32)")
     ap.add_argument("--cpu", action="store_true",
                     help="Tiny smoke run on the CPU backend")
     args = ap.parse_args()
@@ -98,7 +101,7 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     crop = 64 if args.cpu else 224
     size = 96 if args.cpu else STAGING_SIZE
-    width, n_res = (8, 1) if args.cpu else (32, 5)
+    width, n_res = (8, 1) if args.cpu else (args.width, 5)
     steps = min(args.steps, 60) if args.cpu else args.steps
     grid = tuple(dict.fromkeys(
         min(int(k), 25) if args.cpu else int(k)
@@ -196,6 +199,7 @@ def main():
             "eval_seconds": round(time.perf_counter() - t1, 1),
             "held_out_images": int(args.held),
             "crop": crop,
+            "width": width,
             "loop_lrs": list(loop_lrs),
         }
         print(json.dumps(out))
@@ -243,6 +247,7 @@ def main():
         "eval_seconds": round(time.perf_counter() - t1, 1),
         "held_out_images": int(args.held),
         "crop": crop,
+        "width": width,
         "loop_lrs": list(loop_lrs),
     }
     print(json.dumps(out))
