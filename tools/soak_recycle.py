@@ -43,9 +43,27 @@ def rss_mb(pid="self"):
 def build_worker(argv):
     """In-child builder: the same bf16 family-1 batcher as soak_openloop
     (PRNGKey(0) init — every respawned worker serves identical weights).
-    argv: [transport]."""
+    argv: [transport]. Startup phases timed to stderr: on the axon relay
+    the respawn latency is dominated by the re-grant after the previous
+    worker exits, not by anything this code does (r5 measurement)."""
+    t0 = time.perf_counter()
+
+    def mark(what):
+        log(f"worker[{os.getpid()}] {what} at +{time.perf_counter()-t0:.1f}s")
+
     import jax
     import jax.numpy as jnp
+
+    # the image pins JAX_PLATFORMS=axon, which hides the host cpu backend;
+    # list it too (axon stays default) so weight init can run host-side.
+    # Must happen before any device query initialises the backends.
+    want = os.environ.get("JAX_PLATFORMS") or ""
+    if want and "cpu" not in want:
+        try:
+            jax.config.update("jax_platforms", want + ",cpu")
+        except Exception:
+            pass
+    mark("jax imported")
 
     from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
         classifier_init,
@@ -58,11 +76,27 @@ def build_worker(argv):
 
     truncate = int(os.environ.get("SOAK_TRUNCATE", "8"))
     dim = int(os.environ.get("SOAK_DIM", "256"))
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    variables = {
-        "moco": truncated_moco_init(k1, truncate, dim=dim),
-        "classifier": classifier_init(k2, dim, 4),
-    }
+    # init on the HOST cpu backend (a checkpoint load in the real CLI):
+    # on-device random init would pay dozens of relay round trips
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu0 = None  # cpu backend unavailable: fall through to default
+    import contextlib
+
+    ctx = jax.default_device(cpu0) if cpu0 is not None else (
+        contextlib.nullcontext()
+    )
+    with ctx:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        variables = jax.tree_util.tree_map(
+            np.asarray,
+            {
+                "moco": truncated_moco_init(k1, truncate, dim=dim),
+                "classifier": classifier_init(k2, dim, 4),
+            },
+        )
+    mark("weights built (host)" if cpu0 is not None else "weights built")
 
     def forward_eval(v, images):
         logits, _ = combined_apply(
@@ -81,6 +115,7 @@ def build_worker(argv):
     warm = np.zeros((224, 224, 3), np.uint8)
     warm[::2, ::2] = 128
     server.submit(warm).result(timeout=1800)
+    mark("warm dispatch done (device granted + compile cache)")
     return server, {"crop": 224, "count_key": "images",
                     "transport": server.transport}
 
@@ -133,7 +168,9 @@ def main():
                 return
             t0, f, i = item
             try:
-                r = f.result(timeout=600)
+                # generous: a request held across a relay-respawn waits the
+                # whole re-grant (measured ~13 min on this relay, r5)
+                r = f.result(timeout=1800)
                 assert r.shape == (4,)
                 ok[i] += 1
             except Exception:
