@@ -207,6 +207,14 @@ class RecyclingServiceProxy:
         requests are unresolved (forwarded or held), mirroring the inner
         service's bounded request queue so open-loop clients cannot pile
         an unbounded backlog into the parent during a handover.
+    max_in_worker : cap on requests outstanding INSIDE the worker (sent,
+        not yet resolved). Must stay below the inner service's request
+        queue bound: the child's pipe-reader thread feeds
+        ``service.submit``, and if the inner queue ever fills, the child
+        stops draining the pipe, the parent's ``conn.send`` blocks holding
+        the proxy lock, and stats()/health() convoy behind a slow device
+        (observed on the relay). Excess requests wait in the parent's hold
+        list and flush as results come back.
     """
 
     def __init__(
@@ -218,6 +226,7 @@ class RecyclingServiceProxy:
         preprocess_factory: Optional[Callable] = None,
         start_timeout: float = 900.0,
         max_pending: int = 1024,
+        max_in_worker: int = 384,
     ):
         self._builder = builder
         self._argv = list(argv)
@@ -226,6 +235,8 @@ class RecyclingServiceProxy:
         self._preprocess: Optional[Callable] = None
         self._start_timeout = float(start_timeout)
         self._max_pending = int(max_pending)
+        self._max_in_worker = int(max_in_worker)
+        self._in_worker = 0
         self._lock = threading.Lock()
         self._room = threading.Condition(self._lock)
         self._pending: dict = {}  # req_id -> (Future, payload)
@@ -279,9 +290,14 @@ class RecyclingServiceProxy:
             rid = self._next_id
             self._next_id += 1
             self._pending[rid] = (fut, payload)
-            if self._conn is not None and not self._draining:
+            if (
+                self._conn is not None
+                and not self._draining
+                and not self._hold
+                and self._in_worker < self._max_in_worker
+            ):
                 self._send_request_locked(rid, payload)
-            else:  # handover in progress: queue parent-side, zero failures
+            else:  # handover in progress or worker window full: queue
                 self._hold.append(rid)
         return fut
 
@@ -298,12 +314,10 @@ class RecyclingServiceProxy:
                     ent = self._pending.pop(rid, None)
                     if ent is not None:
                         ent[0].cancel()
-            if self._conn is not None and not self._draining:
-                self._draining = True
-                try:
-                    self._conn.send(("drain",))
-                except Exception:
-                    pass
+            # flush what the window allows; the reader keeps flushing as
+            # results arrive and sends the drain sentinel once the hold
+            # empties (event-driven — no blocking sends under the lock)
+            self._flush_hold_locked()
             if self._conn is None and not self._hold and not self._pending:
                 self._stopped.set()
         if self._started is None:
@@ -412,6 +426,7 @@ class RecyclingServiceProxy:
             self._hold.append(rid)
             return False
         self._sent_since_spawn += 1
+        self._in_worker += 1
         if (
             self._recycle_after
             and self._sent_since_spawn >= self._recycle_after
@@ -423,6 +438,42 @@ class RecyclingServiceProxy:
             except Exception:
                 pass  # crash path: reader respawns, counter resets anyway
         return True
+
+    def _flush_hold_locked(self) -> None:
+        """Forward held requests in submission order while the worker has
+        window room; once stopping and nothing is left to forward, send
+        the final drain sentinel. Every send is window-bounded, so the
+        child's pipe-reader always drains promptly and ``conn.send`` never
+        blocks for long (blocking sends under this lock convoy
+        stats()/health() — and, with image-sized results, can deadlock
+        against a full child->parent pipe)."""
+        while (
+            self._hold
+            and self._conn is not None
+            and not self._draining
+            and self._in_worker < self._max_in_worker
+        ):
+            rid = self._hold.popleft()
+            ent = self._pending.get(rid)
+            if ent is None:  # cancelled while held
+                continue
+            if not self._send_request_locked(rid, ent[1]):
+                # send failed and re-appended rid at the TAIL; restore
+                # order and let the crash path respawn
+                self._hold.pop()
+                self._hold.appendleft(rid)
+                break
+        if (
+            self._stopping
+            and self._conn is not None
+            and not self._draining
+            and not self._hold
+        ):
+            self._draining = True
+            try:
+                self._conn.send(("drain",))
+            except Exception:
+                pass
 
     def _spawn(self) -> None:
         """Spawn a worker, block until it reports ready, then flush held
@@ -464,26 +515,13 @@ class RecyclingServiceProxy:
             self._conn = parent_conn
             self._proc = proc
             self._sent_since_spawn = 0
+            self._in_worker = 0
             self._draining = False
             self._live_stats = {}
             self._live_health = (True, "ok")
-            while self._hold and not self._draining:
-                rid = self._hold.popleft()
-                ent = self._pending.get(rid)
-                if ent is None:  # cancelled while held
-                    continue
-                if not self._send_request_locked(rid, ent[1]):
-                    # _send_request_locked re-appended rid at the TAIL;
-                    # restore order and let the crash path respawn
-                    self._hold.pop()
-                    self._hold.appendleft(rid)
-                    break
-            if self._stopping and not self._draining:
-                self._draining = True
-                try:
-                    self._conn.send(("drain",))
-                except Exception:
-                    pass
+            # windowed flush; when stopping, the helper itself sends the
+            # final drain once everything held has been forwarded
+            self._flush_hold_locked()
 
     def _accumulate(self, final_stats: dict) -> None:
         b = final_stats.get("batches", 0)
@@ -572,7 +610,10 @@ class RecyclingServiceProxy:
                 rid = msg[1]
                 with self._lock:
                     ent = self._pending.pop(rid, None)
+                    if ent is not None:
+                        self._in_worker -= 1
                     self._room.notify()
+                    self._flush_hold_locked()
                 if ent is None:
                     continue
                 fut = ent[0]
