@@ -80,3 +80,30 @@ def style_recycling_builder(argv):
         "crop": CROP, "style_names": ["mono", "duo"], "count_key": "jobs",
         "batch_sizes": [2], "num_iterations": 1, "transport": "rgb",
     }
+
+
+def slow_recycling_builder(argv):
+    """In-child builder with an artificially SLOW device path (infer_fn
+    sleeps) — exercises the proxy's max_in_worker window under saturation.
+    argv: [seconds_per_batch]."""
+    import time as _time
+
+    from heuristique_style_transfer_code_tpu.tasks.serving import (
+        BatchingInferenceServer,
+    )
+
+    delay = float(argv[0]) if argv else 0.05
+    variables = linear_variables()
+
+    def slow_infer(v, batch_u8):
+        _time.sleep(delay)
+        flat = np.asarray(batch_u8, np.float32).reshape(batch_u8.shape[0], -1)
+        logits = flat @ np.asarray(variables["w"]) + np.asarray(variables["b"])
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    batcher = BatchingInferenceServer(
+        None, None, batch_size=4, max_delay_ms=5.0, crop=CROP, max_queue=16,
+        infer_fn=slow_infer,
+    ).start()
+    return batcher, {"crop": CROP, "count_key": "images"}

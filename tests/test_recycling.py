@@ -202,3 +202,101 @@ class TestServeCliRecycling:
         finally:
             srv.shutdown()
             proxy.stop(drain=True)
+
+
+class TestWindowKeepsProxyResponsive:
+    def test_stats_responsive_while_worker_saturated(self):
+        """The max_in_worker window: with more submissions than the window
+        and a SLOW device, stats()/health() must answer immediately
+        (regression for the lock convoy observed on the relay soak — an
+        unbounded forward path filled the worker's inner queue, the pipe
+        backed up, and conn.send blocked holding the proxy lock)."""
+        import time
+
+        proxy = RecyclingServiceProxy(
+            "tests.linear_serving:slow_recycling_builder", ["0.05"],
+            max_in_worker=8, max_pending=512,
+        ).start()
+        try:
+            futs = [proxy.submit(f) for f in rgb_frames(64, seed=5)]
+            t0 = time.perf_counter()
+            stats = proxy.stats()
+            health = proxy.health()
+            dt = time.perf_counter() - t0
+            assert dt < 1.0, f"stats/health blocked {dt:.1f}s"
+            assert health[0]
+            assert stats["pending"] > 0
+            for f in futs:
+                np.testing.assert_allclose(
+                    np.sum(f.result(timeout=300)), 1.0, rtol=1e-5
+                )
+        finally:
+            proxy.stop(drain=True)
+
+
+class TestServeStyleCliRecycling:
+    def test_net_round_trip_with_recycle(self, tmp_path):
+        """serve_style --net with --recycle_after_requests: stylised PNGs
+        keep coming across a worker respawn; /stats carries the style keys
+        plus the recycle counters."""
+        import http.client
+        import io
+
+        import jax
+
+        from heuristique_style_transfer_code_tpu.checkpoint.io import (
+            save_pytree_npz,
+        )
+        from heuristique_style_transfer_code_tpu.cli.serve_style import (
+            build_parser,
+            start_recycling,
+        )
+        from heuristique_style_transfer_code_tpu.nn.transformer_net import (
+            transformer_net_init,
+        )
+
+        net_path = str(tmp_path / "style_net.npz")
+        save_pytree_npz(
+            transformer_net_init(jax.random.PRNGKey(0), width=4, n_res=1),
+            net_path,
+        )
+        with open(str(tmp_path / "style_net_hyperparameters.json"), "w") as f:
+            json.dump({"crop": 32, "style_image": "warm.png"}, f)
+
+        argv = [
+            "--net", net_path, "--port", "0", "--batch_size", "2",
+            "--max_delay_ms", "5", "--request_timeout", "600",
+            "--recycle_after_requests", "2",
+        ]
+        args = build_parser().parse_args(argv)
+        srv, proxy = start_recycling(args, argv)
+        try:
+            import threading
+
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            host, port = srv.server_address[:2]
+            img = rgb_frames(1, seed=9)[0]
+            for i in range(5):
+                conn = http.client.HTTPConnection(host, port, timeout=600)
+                conn.request(
+                    "POST", "/style", body=img.tobytes(),
+                    headers={"X-Raw-Shape": f"{CROP},{CROP},3"},
+                )
+                r = conn.getresponse()
+                assert r.status == 200, r.read()
+                png = r.read()
+                conn.close()
+                from PIL import Image
+
+                out = Image.open(io.BytesIO(png))
+                assert out.size == (32, 32)
+            conn = http.client.HTTPConnection(host, port, timeout=60)
+            conn.request("GET", "/stats")
+            stats = json.loads(conn.getresponse().read())
+            conn.close()
+            assert stats["recycles"] >= 1, stats
+            assert stats["jobs"] == 5
+            assert "mean_iterations" in stats
+        finally:
+            srv.shutdown()
+            proxy.stop(drain=True)
