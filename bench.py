@@ -162,7 +162,7 @@ def bench_tpu() -> dict:
         )
         return fps[len(fps) // 2], fps[0], fps[-1]
 
-    rgb_fps, _, _ = stream_fps(inferN, batches, ITERS_BATCH, BATCH)
+    rgb_fps, rgb_min, rgb_max = stream_fps(inferN, batches, ITERS_BATCH, BATCH)
 
     # camera-native YUV420 transfer: half the bytes per frame; verify the
     # predictions are identical to the RGB path before trusting the number
@@ -182,7 +182,7 @@ def bench_tpu() -> dict:
     # transport key below makes that visible (the note text describes the
     # verified-YUV420 pipeline, which would otherwise silently mislead)
     bN_fps = yuv_fps if yuv_match_b64 else rgb_fps
-    bN_min, bN_max = (yuv_min, yuv_max) if yuv_match_b64 else (rgb_fps, rgb_fps)
+    bN_min, bN_max = (yuv_min, yuv_max) if yuv_match_b64 else (rgb_min, rgb_max)
     b64_transport = "yuv420" if yuv_match_b64 else "rgb (yuv argmax mismatch)"
 
     # larger streaming batch (multi-stream serving: e.g. 8 cameras x 32

@@ -377,6 +377,7 @@ def _recycle_worker(argv):
         "batch_size": batch_size,
         "served": served,
         "count_key": "images",
+        "max_queue": batcher.max_queue,
     }
     return batcher, info
 

@@ -396,6 +396,7 @@ def _recycle_worker(argv):
         "batch_sizes": list(service.batch_sizes),
         "num_iterations": service.num_iterations,
         "count_key": "jobs",
+        "max_queue": service.max_queue,
     }
     return service, info
 

@@ -435,8 +435,14 @@ def balanced_style_indices(n: int, n_styles: int, rng) -> np.ndarray:
     short fits — measured r5: the weaker of two gallery styles priced 5x
     below the single-style standard partly from draw imbalance; balanced
     batches remove that variance at zero cost."""
-    reps = -(-n // n_styles)
-    idx = np.tile(np.arange(n_styles), reps)[:n]
+    idx = np.tile(np.arange(n_styles), n // n_styles)
+    rem = n % n_styles
+    if rem:
+        # the ceil-count slots go to rng-CHOSEN styles, not always the
+        # low indices — truncating a tile would hand style 0.. the extra
+        # draw in every batch, a systematic per-style training bias
+        extra = rng.permutation(n_styles)[:rem]
+        idx = np.concatenate([idx, extra])
     rng.shuffle(idx)
     return idx
 
@@ -679,6 +685,7 @@ def compare_net_to_loop(
     learning_rates=(0.01, 0.05),
     compute_dtype=None,
     style_weights=None,
+    optimizer_cache: Optional[dict] = None,
 ) -> dict:
     """Price the one-pass net in ITERATIONS of the loop it approximates.
 
@@ -704,6 +711,13 @@ def compare_net_to_loop(
     mean loop loss is still >= the net's mean (the net is "worth" at least
     that many iterations); 0 if even the smallest ``k`` beats the net, and
     ``max(grid)`` means the net matched or beat the deepest loop measured.
+
+    ``optimizer_cache``: pass ONE dict across repeated calls that share
+    ``extract_fn``/weights/shapes (the per-style pricing loop in
+    tools/bench_fast_style_quality.py) — the len(lrs)·len(grid) jitted
+    while_loop programs are then compiled once, not once per call (axon
+    remote compile is 1.6 s–10 min per program; CLAUDE.md "compile once,
+    reuse").
     """
     from ..data.augment import eval_preprocess
     from .style_transfer import make_content_style_optimizer
@@ -736,10 +750,16 @@ def compare_net_to_loop(
     per_by_lr = {lr: {} for lr in lrs}
     for lr in lrs:
         for k in iteration_grid:
-            optimise = make_content_style_optimizer(
-                extract_fn, style_weight, content_weight, lr,
-                int(k), 0.0, tv_weight=tv_weight,
-            )
+            cache_key = (lr, int(k))
+            if optimizer_cache is not None and cache_key in optimizer_cache:
+                optimise = optimizer_cache[cache_key]
+            else:
+                optimise = make_content_style_optimizer(
+                    extract_fn, style_weight, content_weight, lr,
+                    int(k), 0.0, tv_weight=tv_weight,
+                )
+                if optimizer_cache is not None:
+                    optimizer_cache[cache_key] = optimise
             _, iters, per = optimise(pixels0, bcast, content_feats)
             if int(iters) != int(k):
                 # threshold 0.0 can never early-stop (per >= 0); this also

@@ -208,13 +208,16 @@ class RecyclingServiceProxy:
         service's bounded request queue so open-loop clients cannot pile
         an unbounded backlog into the parent during a handover.
     max_in_worker : cap on requests outstanding INSIDE the worker (sent,
-        not yet resolved). Must stay below the inner service's request
-        queue bound: the child's pipe-reader thread feeds
+        not yet resolved). Must stay at or below the inner service's
+        request queue bound: the child's pipe-reader thread feeds
         ``service.submit``, and if the inner queue ever fills, the child
         stops draining the pipe, the parent's ``conn.send`` blocks holding
         the proxy lock, and stats()/health() convoy behind a slow device
         (observed on the relay). Excess requests wait in the parent's hold
-        list and flush as results come back.
+        list and flush as results come back. The worker advertises its
+        queue bound in the ready info (``max_queue``, both services expose
+        it) and the proxy CLAMPS the window to it — a style service's
+        default queue (256) is smaller than this default.
     """
 
     def __init__(
@@ -227,7 +230,15 @@ class RecyclingServiceProxy:
         start_timeout: float = 900.0,
         max_pending: int = 1024,
         max_in_worker: int = 384,
+        max_consecutive_crashes: int = 3,
     ):
+        """``max_consecutive_crashes``: crash-replay is for transient
+        worker deaths (OOM from the leak, a killed process); a request or
+        backlog that reliably kills every worker must not be replayed
+        forever — after this many crashes with no successful result in
+        between, the proxy fails every outstanding Future, reports
+        unhealthy, and rejects new submissions (an orchestrator restarts
+        the whole deployment instead)."""
         self._builder = builder
         self._argv = list(argv)
         self._recycle_after = int(recycle_after)
@@ -255,6 +266,9 @@ class RecyclingServiceProxy:
         self._errors = 0
         self._recycles = 0
         self._crashes = 0
+        self._max_consecutive_crashes = int(max_consecutive_crashes)
+        self._consecutive_crashes = 0
+        self._failed: Optional[str] = None
         # summed FINAL child stats across completed workers
         self._acc = {"batches": 0, "images": 0, "jobs": 0,
                      "occupancy_sum": 0.0, "iters_sum": 0.0, "size_hist": {}}
@@ -273,7 +287,7 @@ class RecyclingServiceProxy:
 
     def submit(self, *args, **kwargs) -> Future:
         if self._stopping:
-            raise RuntimeError("server is stopped")
+            raise RuntimeError(self._failed or "server is stopped")
         if self._preprocess is not None:
             args, kwargs = self._preprocess(*args, **kwargs)
         fut: Future = Future()
@@ -286,7 +300,7 @@ class RecyclingServiceProxy:
             ):
                 self._room.wait()  # backpressure: block the caller
             if self._stopping:
-                raise RuntimeError("server is stopped")
+                raise RuntimeError(self._failed or "server is stopped")
             rid = self._next_id
             self._next_id += 1
             self._pending[rid] = (fut, payload)
@@ -335,6 +349,8 @@ class RecyclingServiceProxy:
         self.stop(drain=exc[0] is None)
 
     def health(self, max_consecutive_failures: int = 3) -> tuple:
+        if self._failed:
+            return False, self._failed
         if self._started is None or self._stopping:
             return False, "batcher not running"
         if self._reader is None or not self._reader.is_alive():
@@ -506,6 +522,12 @@ class RecyclingServiceProxy:
             raise RuntimeError(f"serving worker failed to start: {msg[1]}")
         with self._lock:
             self.info = msg[1]
+            if "max_queue" in self.info:
+                # never outrun the inner queue: a full inner queue blocks
+                # the child's pipe reader (see max_in_worker docstring)
+                self._max_in_worker = min(
+                    self._max_in_worker, int(self.info["max_queue"])
+                )
             if self._preprocess_factory is not None and self._preprocess is None:
                 self._preprocess = self._preprocess_factory(self.info)
             for k, v in self.info.items():
@@ -553,12 +575,18 @@ class RecyclingServiceProxy:
             if proc.is_alive():
                 proc.kill()
                 proc.join(timeout=10.0)
+        give_up = False
         with self._lock:
             if expected:
+                self._consecutive_crashes = 0
                 if not self._stopping:
                     self._recycles += 1
             else:
                 self._crashes += 1
+                self._consecutive_crashes += 1
+                give_up = (
+                    self._consecutive_crashes >= self._max_consecutive_crashes
+                )
                 # requests that were IN FLIGHT in the dead child: re-queue
                 # their payloads for replay on the respawned worker (ids are
                 # monotonic, so sorting restores submission order)
@@ -569,6 +597,25 @@ class RecyclingServiceProxy:
                 ))
             stopping = self._stopping
             work_left = bool(self._hold) or bool(self._pending)
+        if give_up:
+            # a poison request/backlog kills every worker — stop replaying
+            # (each cycle costs a full worker start), fail the outstanding
+            # Futures, report unhealthy, reject new submissions
+            reason = (
+                f"serving worker crashed {self._consecutive_crashes} times "
+                "in a row with no successful result; giving up"
+            )
+            with self._lock:
+                self._failed = reason
+                self._stopping = True
+                leftovers = list(self._pending.items())
+                self._pending.clear()
+                self._hold.clear()
+                self._room.notify_all()
+            for _, (fut, _p) in leftovers:
+                _resolve(fut, exc=RuntimeError(reason))
+            self._stopped.set()
+            return
         if stopping and not work_left:
             self._stopped.set()
             return
@@ -612,6 +659,7 @@ class RecyclingServiceProxy:
                     ent = self._pending.pop(rid, None)
                     if ent is not None:
                         self._in_worker -= 1
+                    self._consecutive_crashes = 0  # worker made progress
                     self._room.notify()
                     self._flush_hold_locked()
                 if ent is None:

@@ -154,6 +154,7 @@ class BatchingInferenceServer:
         self.max_delay = max_delay_ms / 1e3
         self.max_in_flight = int(max_in_flight)
         self.crop = int(crop)
+        self.max_queue = int(max_queue)  # read by the recycling proxy
         self._requests: "queue.Queue" = queue.Queue(maxsize=max_queue)
         # bounded: put() blocking IS the dispatcher's backpressure
         self._in_flight: "queue.Queue" = queue.Queue(maxsize=self.max_in_flight)

@@ -388,6 +388,7 @@ class StyleTransferService:
 
         self._next_id = 0
         self._id_lock = threading.Lock()
+        self.max_queue = int(max_queue)  # read by the recycling proxy
         self._requests: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._in_flight: "queue.Queue" = queue.Queue(maxsize=int(max_in_flight))
         self._stop = threading.Event()

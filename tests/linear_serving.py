@@ -107,3 +107,22 @@ def slow_recycling_builder(argv):
         infer_fn=slow_infer,
     ).start()
     return batcher, {"crop": CROP, "count_key": "images"}
+
+
+def poison_recycling_builder(argv):
+    """In-child builder whose device path KILLS the worker process on the
+    first dispatched batch — exercises the proxy's consecutive-crash cap."""
+    from heuristique_style_transfer_code_tpu.tasks.serving import (
+        BatchingInferenceServer,
+    )
+
+    def lethal_infer(v, batch_u8):
+        import os as _os
+
+        _os._exit(17)
+
+    batcher = BatchingInferenceServer(
+        None, None, batch_size=4, max_delay_ms=5.0, crop=CROP,
+        infer_fn=lethal_infer,
+    ).start()
+    return batcher, {"crop": CROP, "count_key": "images"}

@@ -300,3 +300,47 @@ class TestServeStyleCliRecycling:
         finally:
             srv.shutdown()
             proxy.stop(drain=True)
+
+
+class TestConsecutiveCrashCap:
+    def test_poison_backlog_fails_fast_and_reports_unhealthy(self):
+        """A request that reliably kills every worker must not be replayed
+        forever: after max_consecutive_crashes the outstanding Futures fail
+        with the reason, /healthz-style health() is False, and new
+        submissions are rejected."""
+        proxy = RecyclingServiceProxy(
+            "tests.linear_serving:poison_recycling_builder", [],
+            max_consecutive_crashes=2,
+        ).start()
+        try:
+            fut = proxy.submit(rgb_frames(1)[0])
+            with pytest.raises(RuntimeError, match="2 times in a row"):
+                fut.result(timeout=300)
+            ok, reason = proxy.health()
+            assert not ok and "giving up" in reason
+            stats = proxy.stats()
+            assert stats["worker_crashes"] == 2
+            with pytest.raises(RuntimeError, match="giving up"):
+                proxy.submit(rgb_frames(1)[0])
+        finally:
+            proxy.stop(drain=False)
+
+
+def test_balanced_style_indices_remainder_unbiased():
+    """When the batch does not divide the gallery, the ceil-count slots
+    must rotate over rng-chosen styles — not always styles 0..rem-1
+    (which would systematically under-train the last styles)."""
+    from heuristique_style_transfer_code_tpu.tasks.fast_style import (
+        balanced_style_indices,
+    )
+
+    rng = np.random.RandomState(0)
+    totals = np.zeros(3, np.int64)
+    for _ in range(600):
+        idx = balanced_style_indices(8, 3, rng)
+        counts = np.bincount(idx, minlength=3)
+        assert sorted(counts) == [2, 3, 3]  # still per-batch balanced
+        totals += counts
+    # 1600 expected per style; the old truncated-tile bias gave style 2
+    # a hard 1200 vs 1800 — any style drifting >5% is the regression
+    assert totals.max() / totals.min() < 1.05, totals

@@ -166,6 +166,7 @@ def main():
         train_s = time.perf_counter() - t0
         t1 = time.perf_counter()
         per_style = {}
+        opt_cache = {}  # ONE compile per (lr, k) across all styles
         for s in range(n_styles):
             onehot = np.zeros((n_styles,), np.float32)
             onehot[s] = 1.0
@@ -174,6 +175,7 @@ def main():
                 extract_fn, net, held_u8, style_grams_s, crop=crop,
                 iteration_grid=grid, style_weight=1.0, content_weight=1.0,
                 learning_rates=loop_lrs, style_weights=jnp.asarray(onehot),
+                optimizer_cache=opt_cache,
             )
             per_style[f"style_{s}"] = {
                 "worth_iterations": r["worth_iterations"],
