@@ -111,18 +111,21 @@ def _worker_main(conn, builder: str, argv: List[str]) -> None:
             except Exception:
                 pass  # parent gone; the drain/EOF path below exits us
 
-    def _send_result(req_id: int, fut: Future) -> None:
-        # runs in the service's fetcher thread via add_done_callback
-        exc = fut.exception()
-        if exc is None:
-            _send(("ok", req_id, fut.result()))
-            return
+    def _send_err(req_id: int, exc: BaseException) -> None:
         try:
             with send_lock:
                 conn.send(("err", req_id, exc))
         except Exception:
             # unpicklable exception (or parent gone): degrade to a string
             _send(("err", req_id, RuntimeError(f"{type(exc).__name__}: {exc}")))
+
+    def _send_result(req_id: int, fut: Future) -> None:
+        # runs in the service's fetcher thread via add_done_callback
+        exc = fut.exception()
+        if exc is None:
+            _send(("ok", req_id, fut.result()))
+        else:
+            _send_err(req_id, exc)
 
     info = dict(info)
     info["worker_pid"] = os.getpid()
@@ -150,11 +153,7 @@ def _worker_main(conn, builder: str, argv: List[str]) -> None:
         try:
             fut = service.submit(*args, **kwargs)
         except Exception as e:  # validation error: a RESULT, never retried
-            try:
-                with send_lock:
-                    conn.send(("err", req_id, e))
-            except Exception:
-                _send(("err", req_id, RuntimeError(f"{type(e).__name__}: {e}")))
+            _send_err(req_id, e)
             continue
         fut.add_done_callback(
             lambda f, rid=req_id: _send_result(rid, f)
@@ -218,6 +217,13 @@ class RecyclingServiceProxy:
         queue bound in the ready info (``max_queue``, both services expose
         it) and the proxy CLAMPS the window to it — a style service's
         default queue (256) is smaller than this default.
+    max_consecutive_crashes : crash-replay is for transient worker deaths
+        (OOM from the leak, a killed process); a request or backlog that
+        reliably kills every worker must not be replayed forever — after
+        this many crashes with no successful result in between, the proxy
+        fails every outstanding Future, reports unhealthy, and rejects
+        new submissions (an orchestrator restarts the whole deployment
+        instead).
     """
 
     def __init__(
@@ -232,13 +238,6 @@ class RecyclingServiceProxy:
         max_in_worker: int = 384,
         max_consecutive_crashes: int = 3,
     ):
-        """``max_consecutive_crashes``: crash-replay is for transient
-        worker deaths (OOM from the leak, a killed process); a request or
-        backlog that reliably kills every worker must not be replayed
-        forever — after this many crashes with no successful result in
-        between, the proxy fails every outstanding Future, reports
-        unhealthy, and rejects new submissions (an orchestrator restarts
-        the whole deployment instead)."""
         self._builder = builder
         self._argv = list(argv)
         self._recycle_after = int(recycle_after)
@@ -584,9 +583,8 @@ class RecyclingServiceProxy:
             else:
                 self._crashes += 1
                 self._consecutive_crashes += 1
-                give_up = (
-                    self._consecutive_crashes >= self._max_consecutive_crashes
-                )
+                crash_streak = self._consecutive_crashes
+                give_up = crash_streak >= self._max_consecutive_crashes
                 # requests that were IN FLIGHT in the dead child: re-queue
                 # their payloads for replay on the respawned worker (ids are
                 # monotonic, so sorting restores submission order)
@@ -602,7 +600,7 @@ class RecyclingServiceProxy:
             # (each cycle costs a full worker start), fail the outstanding
             # Futures, report unhealthy, reject new submissions
             reason = (
-                f"serving worker crashed {self._consecutive_crashes} times "
+                f"serving worker crashed {crash_streak} times "
                 "in a row with no successful result; giving up"
             )
             with self._lock:

@@ -65,3 +65,32 @@ def family1(tiny_imagefolder):
         jax.random.PRNGKey(0), cfg, 4, [(None, None)]
     )
     return cfg, variables, forward_eval
+
+
+@pytest.fixture(scope="session")
+def f1_checkpoint(tmp_path_factory):
+    """Tiny family-1 checkpoint + config json on disk (shared by the serve
+    and recycling CLI suites — read-only)."""
+    import json
+
+    import jax
+
+    from heuristique_style_transfer_code_tpu.checkpoint.io import save_pytree_npz
+    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
+        classifier_init,
+        truncated_moco_init,
+    )
+
+    d = tmp_path_factory.mktemp("f1ckpt")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tree = {
+        "moco": truncated_moco_init(k1, 5, dim=16),
+        "classifier": classifier_init(k2, 16, 4),
+    }
+    ckpt = str(d / "model.npz")
+    save_pytree_npz(tree, ckpt)
+    cfg = str(d / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
+                   "seed": 0, "dim": 16}, f)
+    return cfg, ckpt

@@ -21,32 +21,6 @@ LINEAR_BUILDER = "tests.linear_serving:recycling_builder"
 STYLE_BUILDER = "tests.linear_serving:style_recycling_builder"
 
 
-@pytest.fixture(scope="module")
-def f1_checkpoint(tmp_path_factory):
-    """Tiny family-1 checkpoint + config (same shape as test_serve_cli's)."""
-    import jax
-
-    from heuristique_style_transfer_code_tpu.checkpoint.io import save_pytree_npz
-    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
-        classifier_init,
-        truncated_moco_init,
-    )
-
-    d = tmp_path_factory.mktemp("recycle_serve")
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    tree = {
-        "moco": truncated_moco_init(k1, 5, dim=16),
-        "classifier": classifier_init(k2, 16, 4),
-    }
-    ckpt = str(d / "model.npz")
-    save_pytree_npz(tree, ckpt)
-    cfg = str(d / "cfg.json")
-    with open(cfg, "w") as f:
-        json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
-                   "seed": 0, "dim": 16}, f)
-    return cfg, ckpt
-
-
 def test_strip_flag():
     assert strip_flag(["--a", "1", "--recycle_after_requests", "5", "--b"],
                       "--recycle_after_requests") == ["--a", "1", "--b"]

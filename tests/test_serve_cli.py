@@ -8,29 +8,6 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="module")
-def f1_checkpoint(tmp_path_factory):
-    from heuristique_style_transfer_code_tpu.checkpoint.io import save_pytree_npz
-    from heuristique_style_transfer_code_tpu.models.truncated_resnet50 import (
-        classifier_init,
-        truncated_moco_init,
-    )
-
-    d = tmp_path_factory.mktemp("serve")
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    tree = {
-        "moco": truncated_moco_init(k1, 5, dim=16),
-        "classifier": classifier_init(k2, 16, 4),
-    }
-    ckpt = str(d / "model.npz")
-    save_pytree_npz(tree, ckpt)
-    cfg = str(d / "cfg.json")
-    with open(cfg, "w") as f:
-        json.dump({"batch_size": 4, "lr": 0.01, "truncate_layer": 5,
-                   "seed": 0, "dim": 16}, f)
-    return cfg, ckpt
-
-
 def test_build_forward_family2_and_3(tmp_path):
     """The serve CLI must assemble a working eval forward for every family."""
     from heuristique_style_transfer_code_tpu.checkpoint.io import save_pytree_npz
